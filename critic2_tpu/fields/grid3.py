@@ -1,0 +1,195 @@
+"""3D periodic grid fields: readers, interpolation dispatch, FFT-derived
+grids.
+
+Role of the reference grid3mod (src/grid3mod.f90): hold the (n1, n2, n3)
+scalar data over fractional coordinates, read the volumetric file formats,
+interpolate value/gradient/Hessian at arbitrary points, and produce
+FFT-derived grids (laplacian, |grad|, Hessian diagonals, Poisson
+potential).
+
+Host side: file parsing (NumPy). Device side: the data array (jnp) and all
+interpolation/FFT compute.
+"""
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field as dfield
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import fft as fftops
+from ..ops.interp import interp_batch
+
+MODES = ("nearest", "trilinear", "tricubic", "trispline")
+DEFAULT_MODE = "tricubic"  # reference mode_default (src/grid3mod.f90:88)
+
+
+@dataclass
+class Grid3:
+    f: jnp.ndarray                      # (n1,n2,n3) device array
+    mode: str = DEFAULT_MODE
+
+    @property
+    def n(self):
+        return self.f.shape
+
+    @property
+    def ntot(self):
+        return int(np.prod(self.f.shape))
+
+    # ------------------------------------------------------------------
+    def setmode(self, mode: str):
+        if mode not in MODES:
+            raise ValueError(f"unknown interpolation mode {mode}")
+        self.mode = mode
+
+    def interp(self, xfrac, nder: int = 2):
+        """Batched interpolation at fractional points (N,3).
+
+        Returns (y, yp, ypp) with derivatives w.r.t. fractional coords
+        (scaled by n), reference convention (src/grid3mod@proc.f90:1043).
+        """
+        mode = self.mode
+        if mode == "trispline":
+            # trispline arrives with its own module; tricubic is the
+            # default and matches the reference's CP-search usage.
+            mode = "tricubic"
+        return interp_batch(self.f, jnp.atleast_2d(jnp.asarray(xfrac)), mode=mode,
+                            nder=nder)
+
+    # ------------------------------------------------------------------
+    # FFT-derived grids (reference ifformat_as_* computed fields)
+    # ------------------------------------------------------------------
+    def laplacian(self, m_x2c) -> "Grid3":
+        return Grid3(fftops.laplacian(self.f, m_x2c))
+
+    def gradrho(self, m_x2c) -> "Grid3":
+        return Grid3(fftops.gradrho(self.f, m_x2c))
+
+    def hxx(self, m_x2c, ix: int) -> "Grid3":
+        return Grid3(fftops.hxx(self.f, m_x2c, ix))
+
+    def pot(self, m_x2c, isry: bool = False) -> "Grid3":
+        return Grid3(fftops.pot(self.f, m_x2c, isry=isry))
+
+    # ------------------------------------------------------------------
+    # readers (host). Formats follow the reference grid3mod readers.
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_file(cls, path: str, fmt: str | None = None, omega: float | None = None,
+                  **kw) -> "Grid3":
+        if fmt is None:
+            fmt = detect_grid_format(path)
+        if fmt == "cube":
+            return cls.read_cube(path)
+        if fmt == "vasp":
+            return cls.read_vasp(path, omega=omega)
+        if fmt == "xsf":
+            return cls.read_xsf(path)
+        if fmt == "elk":
+            return cls.read_elk(path)
+        if fmt == "qub":
+            return cls.read_qub(path)
+        raise NotImplementedError(f"grid format {fmt}")
+
+    @classmethod
+    def read_cube(cls, path: str) -> "Grid3":
+        """Gaussian cube (reference read_cube, src/grid3mod@proc.f90:396):
+        values with the third index fastest -> C-order reshape."""
+        from ..crystal.seed import parse_cube_header
+
+        x0, vox, n, zs, pos, ismo, offset = parse_cube_header(path)
+        with open(path) as fh:
+            fh.seek(offset)
+            if ismo:
+                fh.readline()  # MO index line
+            data = np.array(fh.read().split(), dtype=np.float64)
+        vals = data[: int(np.prod(n))].reshape(tuple(n))
+        return cls(jnp.asarray(vals))
+
+    @classmethod
+    def read_vasp(cls, path: str, omega: float | None = None) -> "Grid3":
+        """VASP CHGCAR/CHG/ELFCAR (reference read_vasp,
+        src/grid3mod@proc.f90:577): first index fastest (Fortran order);
+        CHGCAR-style charge grids divide by the cell volume omega."""
+        with open(path) as fh:
+            txt = fh.read()
+        # find blank line after the header block
+        m = re.search(r"\n[ \t]*\n", txt)
+        if m is None:
+            raise ValueError(f"no grid block found in {path}")
+        tail = txt[m.end():]
+        toks = tail.split()
+        n = (int(toks[0]), int(toks[1]), int(toks[2]))
+        ntot = n[0] * n[1] * n[2]
+        vals = np.array(toks[3:3 + ntot], dtype=np.float64)
+        grid = vals.reshape(n, order="F")
+        if omega is None:
+            from ..crystal.seed import read_poscar
+
+            seed = read_poscar(path)
+            omega = abs(np.linalg.det(seed.m_x2c))
+        grid = grid / omega
+        return cls(jnp.asarray(grid))
+
+    @classmethod
+    def read_xsf(cls, path: str) -> "Grid3":
+        """xsf 3D datagrid (reference read_xsf): general-grid periodic
+        convention - xsf stores n+1 points per axis (endpoint duplicated),
+        we drop the last plane."""
+        with open(path) as fh:
+            lines = fh.read().splitlines()
+        i = 0
+        while i < len(lines) and "BEGIN_DATAGRID_3D" not in lines[i].upper():
+            i += 1
+        if i == len(lines):
+            raise ValueError(f"no 3D datagrid in {path}")
+        n = [int(t) for t in lines[i + 1].split()[:3]]
+        # skip origin + 3 spanning vectors
+        vals = []
+        j = i + 6
+        while j < len(lines) and "END_DATAGRID" not in lines[j].upper():
+            vals.extend(float(t) for t in lines[j].split())
+            j += 1
+        arr = np.array(vals[: n[0] * n[1] * n[2]]).reshape(n, order="F")
+        grid = arr[: n[0] - 1, : n[1] - 1, : n[2] - 1]
+        return cls(jnp.asarray(np.ascontiguousarray(grid)))
+
+    @classmethod
+    def read_qub(cls, path: str) -> "Grid3":
+        """aimpac qub (reference read_qub): n1 n2 n3 then values, first
+        index fastest."""
+        with open(path) as fh:
+            toks = fh.read().split()
+        n = (int(toks[0]), int(toks[1]), int(toks[2]))
+        vals = np.array(toks[3:3 + n[0] * n[1] * n[2]], dtype=np.float64)
+        return cls(jnp.asarray(vals.reshape(n, order="F")))
+
+    @classmethod
+    def read_elk(cls, path: str) -> "Grid3":
+        """elk 3D grid file (reference read_elk): n1 n2 n3 then rows of
+        x y z value with first index fastest."""
+        with open(path) as fh:
+            toks = fh.read().split()
+        n = (int(toks[0]), int(toks[1]), int(toks[2]))
+        ntot = n[0] * n[1] * n[2]
+        arr = np.array(toks[3:3 + 4 * ntot], dtype=np.float64).reshape(ntot, 4)
+        return cls(jnp.asarray(arr[:, 3].reshape(n, order="F")))
+
+
+def detect_grid_format(path: str) -> str:
+    base = os.path.basename(path).lower()
+    ext = os.path.splitext(base)[1].lstrip(".")
+    if ext == "cube":
+        return "cube"
+    if base.startswith(("chgcar", "chg", "elfcar", "aeccar")) or ext == "vasp":
+        return "vasp"
+    if ext in ("xsf", "axsf"):
+        return "xsf"
+    if ext == "qub":
+        return "qub"
+    if base.endswith(("rho3d.out", "elf3d.out", ".out")) and "3d" in base:
+        return "elk"
+    raise ValueError(f"cannot detect grid format of {path}")
