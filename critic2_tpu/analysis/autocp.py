@@ -1,0 +1,395 @@
+"""AUTO: automatic critical-point search.
+
+Role of the reference autocp (src/autocp@proc.f90 `autocritic`): generate
+seeds (WS-cell barycentric subdivision, atom pairs/triplets, lines,
+spheres, octahedron subdivision, single points), run a Newton search from
+every seed, deduplicate into the CP list with classification, and check
+the Poincare-Hopf sum.
+
+TPU decomposition: seed generation and CP bookkeeping are host NumPy;
+the Newton searches run as ONE device batch over all seeds
+(critic2_tpu/ops/newton.py) instead of the reference's OpenMP loop over
+sequential scalar searches (src/autocp@proc.f90:690-723).
+
+Symmetry status: P1 (every CP has multiplicity 1); space-group-aware
+dedup/multiplicity arrives with the symmetry module.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+from itertools import permutations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.eig3 import rsindex
+from ..ops.newton import newton_batch
+
+__all__ = ["Seed", "CP", "CPList", "autocp", "seed_ws", "gen_seeds"]
+
+
+@dataclass
+class Seed:
+    """One seeding strategy (reference seed_, src/autocp@proc.f90:78-90)."""
+
+    typ: str = "ws"            # ws|pair|triplet|line|sphere|oh|point
+    depth: int = 1
+    x0: np.ndarray = dfield(default_factory=lambda: np.zeros(3))  # cryst
+    x1: np.ndarray = dfield(default_factory=lambda: np.zeros(3))
+    rad: float = -1.0
+    dist: float = 15.0
+    npts: int = 1
+    nr: int = 0
+    ntheta: int = 0
+    nphi: int = 0
+
+
+@dataclass
+class CP:
+    x: np.ndarray               # fractional position
+    r: np.ndarray               # Cartesian position
+    typ: int                    # signature: -3 ncp, -1 bcp, +1 rcp, +3 ccp
+    f: float
+    gfmod: float
+    del2f: float
+    eig: np.ndarray             # Hessian eigenvalues (ascending)
+    isnuc: bool = False
+    mult: int = 1
+    name: str = ""
+
+    @property
+    def typind(self) -> int:
+        return (self.typ + 3) // 2
+
+
+@dataclass
+class CPList:
+    crystal: object
+    cps: list = dfield(default_factory=list)
+
+    def counts(self):
+        """(n, b, r, c) counts over the cell list (with multiplicities)."""
+        out = [0, 0, 0, 0]
+        for cp in self.cps:
+            out[cp.typind] += cp.mult
+        return tuple(out)
+
+    def poincare_hopf(self) -> int:
+        n, b, r, c = self.counts()
+        return n - b + r - c
+
+    def nearest(self, xfrac):
+        """(index, distance) of the nearest CP to fractional point xfrac."""
+        if not self.cps:
+            return -1, np.inf
+        d = self.crystal.distance(
+            np.repeat(np.atleast_2d(xfrac), len(self.cps), axis=0),
+            np.stack([cp.x for cp in self.cps]),
+        )
+        i = int(np.argmin(d))
+        return i, float(d[i])
+
+
+# ---------------------------------------------------------------------------
+# seed generation (host)
+# ---------------------------------------------------------------------------
+def _barycentric_subdivide(verts: np.ndarray, depth: int, out: list):
+    """Emit the barycenter of this simplex and recursively of all its
+    barycentric children (reference barycentric_divide,
+    src/autocp@proc.f90:1352-1530: each k-simplex splits into k!
+    flag-chain children p_m = mean(v_sigma(1..m)))."""
+    out.append(verts.mean(axis=0))
+    if depth == 0:
+        return
+    k = len(verts)
+    if k == 1:
+        return
+    for sigma in permutations(range(k)):
+        child = np.stack(
+            [verts[list(sigma[: m + 1])].mean(axis=0) for m in range(k)]
+        )
+        _barycentric_subdivide(child, depth - 1, out)
+
+
+def seed_ws(crystal, x0=(0.0, 0.0, 0.0), depth: int = 1, rad: float = -1.0):
+    """Seeds from recursive barycentric subdivision of the WS cell
+    (reference styp_ws, src/autocp@proc.f90:356-369 + getiws,
+    src/crystalmod@proc.f90): tetrahedra (origin, face center, vertex,
+    edge midpoint), each subdivided; seeds at the barycenters of every
+    element (vertices, edges, faces, body) of every level."""
+    ws = crystal.ws
+    x0c = crystal.x2c(np.asarray(x0, dtype=float))
+    out = []
+    for face, verts_idx in zip(ws.faces, range(len(ws.faces))):
+        poly = ws.vertices[face]
+        center = poly.mean(axis=0)
+        nv = len(poly)
+        for j in range(nv):
+            p1 = poly[j]
+            p2 = poly[(j + 1) % nv]
+            mid = 0.5 * (p1 + p2)
+            for apex in (p1, p2):
+                tet = np.stack([np.zeros(3), center, apex, mid]) + x0c
+                if rad > 0:
+                    tet = x0c + (tet - x0c) * rad
+                vol = abs(np.linalg.det(tet[1:] - tet[0])) / 6.0
+                if vol < 1e-5:
+                    continue
+                # vertices (dim 1)
+                out.extend(tet)
+                # edges, faces, body with barycentric subdivision
+                for dim, combos in (
+                    (2, [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]),
+                    (3, [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]),
+                    (4, [(0, 1, 2, 3)]),
+                ):
+                    for cmb in combos:
+                        _barycentric_subdivide(tet[list(cmb)], depth, out)
+    seeds = crystal.c2x(np.array(out))
+    return seeds
+
+
+def gen_seeds(crystal, seeds: list[Seed]) -> np.ndarray:
+    """Build the full fractional seed array from the strategies."""
+    xs = []
+    cart = crystal.x_cart
+    for s in seeds:
+        if s.typ == "ws":
+            xs.append(seed_ws(crystal, s.x0, s.depth, s.rad))
+        elif s.typ == "pair":
+            for i1 in range(crystal.ncel):
+                for i2 in range(crystal.ncel):
+                    if i1 == i2:
+                        continue
+                    if np.linalg.norm(cart[i1] - cart[i2]) > s.dist:
+                        continue
+                    for k in range(1, s.npts + 1):
+                        t = k / (s.npts + 1.0)
+                        xs.append(
+                            (crystal.x_frac[i1]
+                             + t * (crystal.x_frac[i2] - crystal.x_frac[i1]))[None]
+                        )
+        elif s.typ == "triplet":
+            for i1 in range(crystal.ncel):
+                for i2 in range(crystal.ncel):
+                    if i1 == i2 or np.linalg.norm(cart[i1] - cart[i2]) > s.dist:
+                        continue
+                    for i3 in range(crystal.ncel):
+                        if i3 in (i1, i2):
+                            continue
+                        if (np.linalg.norm(cart[i1] - cart[i3]) > s.dist
+                                or np.linalg.norm(cart[i2] - cart[i3]) > s.dist):
+                            continue
+                        xs.append(((crystal.x_frac[i1] + crystal.x_frac[i2]
+                                    + crystal.x_frac[i3]) / 3.0)[None])
+        elif s.typ == "line":
+            ts = np.linspace(0.0, 1.0, s.npts)
+            xs.append(s.x0[None, :] + ts[:, None] * (s.x1 - s.x0)[None, :])
+        elif s.typ == "sphere":
+            # reference :418-458: theta shells with doubling phi counts
+            pts = []
+            x1 = crystal.x2c(s.x0)
+            dth = np.pi / 2.0 / s.ntheta
+            theta = dth
+            nphiact = s.nphi
+            for _ in range(s.ntheta):
+                for i2 in range(nphiact):
+                    phi = i2 * 2.0 * np.pi / nphiact
+                    for i3 in range(1, s.nr + 1):
+                        r = s.rad * i3 / s.nr
+                        for th in (theta, np.pi - theta):
+                            pts.append(
+                                x1 + r * np.array([
+                                    np.sin(th) * np.cos(phi),
+                                    np.sin(th) * np.sin(phi),
+                                    np.cos(th),
+                                ])
+                            )
+                theta += dth
+                nphiact *= 2
+            xs.append(crystal.c2x(np.array(pts)))
+        elif s.typ == "oh":
+            # recursive octahedron subdivision of the unit sphere
+            pts = _sphere_triangulation(s.depth)
+            x1 = crystal.x2c(s.x0)
+            out = []
+            for k in range(1, s.nr + 1):
+                r = s.rad * k / s.nr
+                out.append(x1 + r * pts)
+            xs.append(crystal.c2x(np.concatenate(out)))
+        elif s.typ == "point":
+            xs.append(np.atleast_2d(np.asarray(s.x0, dtype=float)))
+        else:
+            raise ValueError(f"unknown seed type {s.typ}")
+    if not xs:
+        return np.zeros((0, 3))
+    return np.concatenate([np.atleast_2d(x) for x in xs], axis=0)
+
+
+def _sphere_triangulation(depth: int) -> np.ndarray:
+    """Vertices of a recursively subdivided octahedron projected on the
+    unit sphere (role of minisurf spheretriang, src/surface.f90)."""
+    verts = [
+        np.array(v, dtype=float)
+        for v in [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1),
+                  (0, 0, -1)]
+    ]
+    faces = [(0, 2, 4), (2, 1, 4), (1, 3, 4), (3, 0, 4),
+             (2, 0, 5), (1, 2, 5), (3, 1, 5), (0, 3, 5)]
+    for _ in range(depth):
+        newfaces = []
+        cache = {}
+
+        def midpoint(i, j):
+            key = (min(i, j), max(i, j))
+            if key not in cache:
+                m = verts[i] + verts[j]
+                m /= np.linalg.norm(m)
+                verts.append(m)
+                cache[key] = len(verts) - 1
+            return cache[key]
+
+        for (i, j, k) in faces:
+            a, b, c = midpoint(i, j), midpoint(j, k), midpoint(k, i)
+            newfaces += [(i, a, c), (a, j, b), (c, b, k), (a, b, c)]
+        faces = newfaces
+    return np.unique(np.round(np.stack(verts), 12), axis=0)
+
+
+# ---------------------------------------------------------------------------
+# the driver
+# ---------------------------------------------------------------------------
+def init_cplist(system) -> CPList:
+    """Atoms enter the CP list as nuclear maxima (reference init_cplist,
+    src/fieldmod@proc.f90:1402)."""
+    c = system.crystal
+    f = system.ref
+    cpl = CPList(crystal=c)
+    if c.ncel:
+        res = f.grd(c.x_cart, nder=2)
+        fv = np.asarray(res.f)
+        lap = np.asarray(res.del2f)
+        eigs = np.asarray(rsindex(res.hf)[0])
+        for i in range(c.ncel):
+            cpl.cps.append(
+                CP(x=c.x_frac[i].copy(), r=c.x_cart[i].copy(),
+                   typ=f.typnuc, f=float(fv[i]), gfmod=0.0,
+                   del2f=float(lap[i]), eig=eigs[i], isnuc=True,
+                   name=c.species[c.species_of[i]].name)
+            )
+    return cpl
+
+
+def autocp(system, seeds: list[Seed] | None = None, gfnormeps: float = 1e-12,
+           cpeps: float = 1e-2, nuceps: float | None = None,
+           nucepsh: float | None = None, hdegen: float = 1e-8,
+           maxit: int = 200, discard=None, cpl: CPList | None = None,
+           chunk: int = 65536, verbose: bool = False) -> CPList:
+    """Run the automatic CP search on the system's reference field.
+
+    Defaults mirror the reference (src/autocp@proc.f90:125-148): WS seed
+    for crystals / atom-pair seed for molecules; gfnormeps 1e-12, cpeps
+    1e-2 bohr, nuceps 0.1 bohr (or 2*max grid step for grid fields),
+    nucepsh 0.2 bohr.
+    """
+    c = system.crystal
+    f = system.ref
+    if seeds is None:
+        seeds = [Seed(typ="pair" if c.ismolecule else "ws")]
+    if nuceps is None:
+        if f.type == "grid":
+            nuceps = 2.0 * float(np.max(np.asarray(c.aa) / np.asarray(f.grid.n)))
+            nucepsh = nuceps if nucepsh is None else nucepsh
+        else:
+            nuceps = 1e-1
+    if nucepsh is None:
+        nucepsh = 2e-1
+
+    xseed = gen_seeds(c, seeds)
+    if len(xseed) == 0:
+        return cpl or init_cplist(system)
+
+    # prune: wrap into the main cell; molecules: clip to molcell border
+    xseed = np.mod(xseed, 1.0)
+    if c.ismolecule:
+        b = c.molborder
+        keep = np.all((xseed >= b) & (xseed <= 1.0 - b), axis=1)
+        xseed = xseed[keep]
+    # dedup seeds (reference uses uniqc)
+    xseed = np.unique(np.round(xseed, 10), axis=0)
+    cart = c.x2c(xseed)
+
+    if verbose:
+        print(f"autocp: {len(cart)} seeds")
+
+    # --- batched Newton on device, chunked to bound memory ---
+    fn = f.eval_fn(nder=2)
+    xs, convs = [], []
+    for lo in range(0, len(cart), chunk):
+        xx, cc, _ = newton_batch(fn, jnp.asarray(cart[lo:lo + chunk]),
+                                 gfnormeps=gfnormeps, maxit=maxit)
+        xs.append(np.asarray(xx))
+        convs.append(np.asarray(cc))
+    xfin = np.concatenate(xs)
+    conv = np.concatenate(convs)
+    xfin = xfin[conv]
+    if verbose:
+        print(f"autocp: {len(xfin)} converged")
+    if len(xfin) == 0:
+        return cpl or init_cplist(system)
+
+    # evaluate all converged candidates once for classification
+    res = f.grd(xfin, nder=2)
+    eigs, rr, ss = rsindex(res.hf, eps=hdegen)
+    eigs = np.asarray(eigs)
+    rr = np.asarray(rr)
+    ss = np.asarray(ss)
+    fv = np.asarray(res.f)
+    gm = np.asarray(res.gfmod)
+    lap = np.asarray(res.del2f)
+
+    # --- host dedup & add (reference addcp, src/fieldmod@proc.f90:1876) ---
+    cpl = cpl or init_cplist(system)
+    zs = c.zatoms
+    for i in range(len(xfin)):
+        xc = c.c2x(xfin[i])
+        xc -= np.floor(xc)
+        xc[xc > 1.0 - 1e-10] = 0.0
+        if c.ismolecule:
+            b = c.molborder
+            if np.any(xc < b) or np.any(xc > 1.0 - b):
+                continue
+        # near an existing CP?
+        _, dcp = cpl.nearest(xc)
+        if dcp < cpeps:
+            continue
+        # near a nucleus?
+        nid, dnuc = c.identify_atom(xc, distmax=max(nuceps, nucepsh))
+        if nid >= 0:
+            if dnuc < nuceps:
+                continue
+            if zs[nid] == 1 and dnuc < nucepsh:
+                continue
+        # degenerate?
+        if rr[i] != 3:
+            continue
+        if discard is not None and discard(xfin[i]):
+            continue
+        cpl.cps.append(
+            CP(x=xc, r=c.x2c(xc), typ=int(ss[i]), f=float(fv[i]),
+               gfmod=float(gm[i]), del2f=float(lap[i]), eig=eigs[i])
+        )
+
+    # names: n1, b1, r1, c1, ... in type order of addition
+    counters = [0, 0, 0, 0]
+    letters = "nbrc"
+    for cp in cpl.cps:
+        if not cp.name:
+            counters[cp.typind] += 1
+            cp.name = f"{letters[cp.typind]}{counters[cp.typind]}"
+        elif cp.isnuc:
+            counters[0] += 1
+
+    # sort: by type (ncp, bcp, rcp, ccp), nuclei first (reference sortcps)
+    cpl.cps.sort(key=lambda cp: (cp.typind, not cp.isnuc))
+    return cpl

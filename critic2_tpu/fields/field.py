@@ -1,0 +1,240 @@
+"""Polymorphic scalar field with batched evaluation.
+
+Role of the reference fieldmod (src/fieldmod.f90): a field is a crystal
+plus one evaluation backend (grid / promolecular / wavefunction / ghost
+expression), evaluated through a single dispatch `grd` that returns value,
+gradient, Hessian and derived scalars - here for a whole batch of points in
+one device program (reference grd, src/fieldmod@proc.f90:613-845).
+
+Pipeline per batch (mirrors the reference exactly):
+  1. Cartesian -> fractional, wrap to the main cell (periodic)
+  2. backend evaluation (device)
+  3. rotate grid-frame derivatives to Cartesian (m_c2x^T sandwiches)
+  4. optional core augmentation (promolecular core tables, zpsp)
+  5. nucleus clamp: zero the gradient on nuclei
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import param
+from .grid3 import Grid3
+from .promol import PromolEnv
+
+
+@dataclass
+class ScalarBatch:
+    """Struct-of-arrays result of a batched field evaluation (role of the
+    reference scalar_value, src/types.f90:113-148)."""
+
+    f: jnp.ndarray              # (N,) value (with core if usecore)
+    gf: jnp.ndarray             # (N,3) gradient
+    hf: jnp.ndarray             # (N,3,3) hessian
+    fval: jnp.ndarray           # (N,) valence-only value
+    isnuc: jnp.ndarray          # (N,) bool
+
+    @property
+    def gfmod(self):
+        return jnp.sqrt((self.gf * self.gf).sum(-1))
+
+    @property
+    def del2f(self):
+        return self.hf[..., 0, 0] + self.hf[..., 1, 1] + self.hf[..., 2, 2]
+
+
+@dataclass
+class Field:
+    crystal: object
+    type: str                       # 'grid' | 'promol' | 'wfn' | 'ghost'
+    grid: Grid3 | None = None
+    promol: PromolEnv | None = None
+    wfn: object | None = None
+    expr: object = None             # compiled ghost expression
+    name: str = ""
+    usecore: bool = False
+    zpsp: dict = dfield(default_factory=dict)
+    typnuc: int = -3
+    _coreenv: PromolEnv | None = None
+
+    # ------------------------------------------------------------------
+    # constructors
+    # ------------------------------------------------------------------
+    @classmethod
+    def promolecular(cls, crystal, name="rho0", fragment=None) -> "Field":
+        return cls(crystal=crystal, type="promol",
+                   promol=PromolEnv(crystal, fragment=fragment), name=name)
+
+    @classmethod
+    def from_grid(cls, crystal, grid: Grid3, name="", **kw) -> "Field":
+        return cls(crystal=crystal, type="grid", grid=grid, name=name, **kw)
+
+    @classmethod
+    def from_file(cls, crystal, path: str, fmt: str | None = None,
+                  name: str = "", **kw) -> "Field":
+        from .grid3 import detect_grid_format
+
+        if fmt is None:
+            try:
+                fmt = detect_grid_format(path)
+            except ValueError:
+                fmt = None
+        if fmt in ("cube", "vasp", "xsf", "qub", "elk"):
+            omega = crystal.volume if fmt == "vasp" else None
+            g = Grid3.from_file(path, fmt=fmt, omega=omega)
+            return cls.from_grid(crystal, g, name=name or path, **kw)
+        from .wfn import Wavefunction
+
+        wfn = Wavefunction.from_file(path)
+        return cls(crystal=crystal, type="wfn", wfn=wfn, name=name or path, **kw)
+
+    # ------------------------------------------------------------------
+    def set_options(self, interp: str | None = None, core: bool | None = None,
+                    zpsp: dict | None = None):
+        if interp is not None and self.grid is not None:
+            self.grid.setmode(interp)
+        if zpsp is not None:
+            self.zpsp = dict(zpsp)
+        if core is not None:
+            self.usecore = core
+        return self
+
+    @property
+    def coreenv(self) -> PromolEnv | None:
+        if not (self.usecore and self.zpsp):
+            return None
+        if self._coreenv is None:
+            self._coreenv = PromolEnv(self.crystal, zpsp=self.zpsp)
+        return self._coreenv
+
+    # ------------------------------------------------------------------
+    # evaluation
+    # ------------------------------------------------------------------
+    def grd(self, points_cart, nder: int = 2, periodic: bool = True) -> ScalarBatch:
+        """Batched field evaluation at Cartesian points (N, 3)."""
+        c = self.crystal
+        v = jnp.atleast_2d(jnp.asarray(points_cart, dtype=jnp.float64))
+        m_c2x = jnp.asarray(c.m_c2x)
+        m_x2c = jnp.asarray(c.m_x2c)
+        wx = v @ m_c2x.T
+        if periodic:
+            wx = wx - jnp.floor(wx)
+        wc = wx @ m_x2c.T
+
+        if self.type == "grid":
+            y, yp_frac, ypp_frac = self.grid.interp(wx, nder=nder)
+            # rotate to Cartesian (reference :741-742): gf = c2x^T yp,
+            # hf = c2x^T ypp c2x
+            gf = yp_frac @ m_c2x
+            hf = jnp.einsum("ki,nkl,lj->nij", m_c2x, ypp_frac, m_c2x)
+            f = y
+        elif self.type == "promol":
+            f, gf, hf = self.promol.eval(wc, nder=nder)
+        elif self.type == "wfn":
+            f, gf, hf = self.wfn.rho_eval(v, nder=nder)  # molecules: no wrap
+        elif self.type == "ghost":
+            f = self.expr(wc)
+            gf = jnp.zeros_like(wc)
+            hf = jnp.zeros((len(wc), 3, 3), f.dtype)
+        else:
+            raise ValueError(f"unknown field type {self.type}")
+
+        fval = f
+        env = self.coreenv
+        if env is not None:
+            cf, cg, ch = env.eval(wc, nder=nder)
+            f = f + cf
+            gf = gf + cg
+            hf = hf + ch
+
+        # nucleus clamp (reference :836-838)
+        isnuc = self._near_nucleus(wc)
+        gf = jnp.where(isnuc[:, None], 0.0, gf)
+
+        return ScalarBatch(f=f, gf=gf, hf=hf, fval=fval, isnuc=isnuc)
+
+    def _near_nucleus(self, wc, eps: float = 1e-5):
+        """Mask of points within eps of a nucleus (periodic), on device."""
+        c = self.crystal
+        at = np.asarray(c.x_cart)
+        if len(at) == 0:
+            return jnp.zeros(wc.shape[0], dtype=bool)
+        # check a 3x3x3 image block around each atom (points are wrapped to
+        # the main cell so immediate neighbors suffice)
+        if c.ismolecule:
+            imgs = at
+        else:
+            shifts = np.array([[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1)
+                               for k in (-1, 0, 1)], dtype=float)
+            imgs = (at[None, :, :] + (shifts @ np.asarray(c.m_x2c).T)[:, None, :]
+                    ).reshape(-1, 3)
+        imgs = jnp.asarray(imgs)
+        d2 = ((wc[:, None, :] - imgs[None, :, :]) ** 2).sum(-1)
+        return d2.min(axis=1) < eps * eps
+
+    def grd0(self, points_cart, periodic: bool = True):
+        return self.grd(points_cart, nder=0, periodic=periodic).f
+
+    # ------------------------------------------------------------------
+    def eval_fn(self, nder: int = 2, clamp_nuclei: bool = True):
+        """A pure jittable closure (N,3) cart -> (f, gf, hf) over captured
+        device constants - the evaluation core consumed by the batched
+        Newton/ODE/NCI kernels."""
+        c = self.crystal
+        m_c2x = jnp.asarray(c.m_c2x)
+        m_x2c = jnp.asarray(c.m_x2c)
+
+        imgs = None
+        if clamp_nuclei and c.ncel > 0:
+            at = np.asarray(c.x_cart)
+            if c.ismolecule:
+                imgs = jnp.asarray(at)
+            else:
+                shifts = np.array(
+                    [[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1)
+                     for k in (-1, 0, 1)], dtype=float)
+                imgs = jnp.asarray(
+                    (at[None, :, :] + (shifts @ np.asarray(c.m_x2c).T)[:, None, :]
+                     ).reshape(-1, 3))
+
+        ftype = self.type
+        grid_f = self.grid.f if ftype == "grid" else None
+        grid_mode = self.grid.mode if ftype == "grid" else None
+        if grid_mode == "trispline":
+            grid_mode = "tricubic"
+        promol = self.promol
+        wfn = self.wfn
+        env = self.coreenv
+
+        from ..ops.interp import interp_batch
+        from .promol import promolecular_batch
+
+        def fn(v):
+            wx = v @ m_c2x.T
+            wx = wx - jnp.floor(wx)
+            wc = wx @ m_x2c.T
+            if ftype == "grid":
+                y, yp, ypp = interp_batch(grid_f, wx, mode=grid_mode, nder=nder)
+                gf = yp @ m_c2x
+                hf = jnp.einsum("ki,nkl,lj->nij", m_c2x, ypp, m_c2x)
+                f = y
+            elif ftype == "promol":
+                f, gf, hf = promolecular_batch(
+                    wc, promol.atpos, promol.atspc, promol.tab, nder=nder)
+            elif ftype == "wfn":
+                f, gf, hf = wfn.rho_eval(v, nder=nder)
+            else:
+                raise ValueError(f"eval_fn unsupported for type {ftype}")
+            if env is not None:
+                cf, cg, ch = promolecular_batch(
+                    wc, env.atpos, env.atspc, env.tab, nder=nder)
+                f, gf, hf = f + cf, gf + cg, hf + ch
+            if imgs is not None:
+                d2 = ((wc[:, None, :] - imgs[None, :, :]) ** 2).sum(-1)
+                isnuc = d2.min(axis=1) < 1e-10
+                gf = jnp.where(isnuc[:, None], 0.0, gf)
+            return f, gf, hf
+
+        return fn

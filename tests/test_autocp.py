@@ -1,0 +1,84 @@
+import numpy as np
+import pytest
+
+from critic2_tpu.analysis.autocp import Seed, autocp, gen_seeds, seed_ws
+from critic2_tpu.crystal.crystal import Crystal, Species
+from critic2_tpu.fields.grid3 import Grid3
+from critic2_tpu.fields.field import Field
+from critic2_tpu.system import System
+
+
+def cosine_system(n=24, a=6.0):
+    """f = cos(2pi x) + cos(2pi y) + cos(2pi z) on a cubic cell: known
+    topology - 1 max, 3+3 saddles, 1 min, Poincare-Hopf = 0."""
+    c = Crystal(m_x2c=np.eye(3) * a, x_frac=np.zeros((0, 3)),
+                species_of=np.zeros(0, dtype=int), species=[])
+    i, j, k = np.meshgrid(*[np.arange(n) / n] * 3, indexing="ij")
+    f = np.cos(2 * np.pi * i) + np.cos(2 * np.pi * j) + np.cos(2 * np.pi * k)
+    s = System(crystal=c)
+    s.fields[0] = Field.from_grid(c, Grid3(__import__("jax.numpy", fromlist=["asarray"]).asarray(f)))
+    s.iref = 0
+    return s
+
+
+def test_seed_ws_counts():
+    c = Crystal(m_x2c=np.eye(3) * 4.0, x_frac=np.zeros((1, 3)),
+                species_of=np.zeros(1, dtype=int), species=[Species("C", 6)])
+    seeds = seed_ws(c, depth=1)
+    assert len(seeds) > 500  # 24 tetrahedra x 75 seeds
+
+
+def test_autocp_cosine_grid():
+    s = cosine_system()
+    cpl = autocp(s, seeds=[Seed(typ="ws", depth=1)])
+    n, b, r, c = cpl.counts()
+    assert (n, b, r, c) == (1, 3, 3, 1)
+    assert cpl.poincare_hopf() == 0
+    # positions: max at origin, min at body center
+    maxima = [cp for cp in cpl.cps if cp.typ == -3]
+    minima = [cp for cp in cpl.cps if cp.typ == 3]
+    np.testing.assert_allclose(
+        np.minimum(maxima[0].x, 1 - maxima[0].x), 0.0, atol=1e-6
+    )
+    np.testing.assert_allclose(minima[0].x, [0.5, 0.5, 0.5], atol=1e-6)
+    # CP values
+    assert maxima[0].f == pytest.approx(3.0, abs=1e-3)
+    assert minima[0].f == pytest.approx(-3.0, abs=1e-3)
+
+
+def test_autocp_nacl_promolecular():
+    c = Crystal(
+        m_x2c=np.eye(3) * 10.658,
+        x_frac=np.array([
+            [0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5],
+            [0.5, 0.5, 0.5], [0, 0, 0.5], [0, 0.5, 0], [0.5, 0, 0],
+        ], dtype=float),
+        species_of=np.array([0, 0, 0, 0, 1, 1, 1, 1]),
+        species=[Species("Na", 11), Species("Cl", 17)],
+    )
+    s = System.from_structure(c)
+    cpl = autocp(s, seeds=[Seed(typ="ws", depth=1), Seed(typ="pair")])
+    n, b, r, cc = cpl.counts()
+    assert n == 8  # all atoms are maxima
+    assert cpl.poincare_hopf() == 0
+    assert b >= 8 and r >= 8 and cc >= 1
+    # every bcp gradient is tiny
+    for cp in cpl.cps:
+        assert cp.gfmod < 1e-10
+
+
+def test_autocp_water_molecule():
+    from critic2_tpu.crystal.seed import CrystalSeed
+
+    cart = np.array([[0.0, 0.0, 0.22], [0.0, 1.43, -0.89], [0.0, -1.43, -0.89]])
+    seed = CrystalSeed(
+        x_frac=cart, species_of=np.array([0, 1, 1]),
+        species=[Species("O", 8), Species("H", 1)], ismolecule=True,
+    )
+    s = System.from_structure(seed.to_crystal())
+    cpl = autocp(s)  # default: pair seeds
+    n, b, r, cc = cpl.counts()
+    assert n == 3
+    assert b == 2  # two O-H bonds
+    # molecule PH: n - b + r - c = 1
+    assert cpl.poincare_hopf() == 1
