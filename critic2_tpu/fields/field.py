@@ -179,25 +179,32 @@ class Field:
 
     # ------------------------------------------------------------------
     def eval_fn(self, nder: int = 2, clamp_nuclei: bool = True):
-        """A pure jittable closure (N,3) cart -> (f, gf, hf) over captured
-        device constants - the evaluation core consumed by the batched
-        Newton/ODE/NCI kernels."""
+        """A pure jittable SoA closure xT (3, N) cart -> (f (N,), gf (3, N),
+        h6 (6, N)) over captured device constants - the evaluation core
+        consumed by the batched Newton/ODE/NCI kernels.
+
+        Batch-last layout keeps every intermediate lane-dense on TPU (see
+        ops/interp.py docstring); the Hessian rotation to Cartesian is one
+        (6, 6) matmul against the components (sym6_rotation of m_c2x).
+        """
         c = self.crystal
         m_c2x = jnp.asarray(c.m_c2x)
         m_x2c = jnp.asarray(c.m_x2c)
+        from ..ops.eig3 import sym6_rotation
+        r6 = jnp.asarray(sym6_rotation(c.m_c2x))
 
-        imgs = None
+        imgsT = None
         if clamp_nuclei and c.ncel > 0:
             at = np.asarray(c.x_cart)
             if c.ismolecule:
-                imgs = jnp.asarray(at)
+                imgsT = jnp.asarray(at.T)
             else:
                 shifts = np.array(
                     [[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1)
                      for k in (-1, 0, 1)], dtype=float)
-                imgs = jnp.asarray(
+                imgsT = jnp.asarray(
                     (at[None, :, :] + (shifts @ np.asarray(c.m_x2c).T)[:, None, :]
-                     ).reshape(-1, 3))
+                     ).reshape(-1, 3).T)
 
         ftype = self.type
         grid_f = self.grid.f if ftype == "grid" else None
@@ -208,33 +215,33 @@ class Field:
         wfn = self.wfn
         env = self.coreenv
 
-        from ..ops.interp import interp_batch
-        from .promol import promolecular_batch
+        from ..ops.interp import interp_soa
+        from .promol import promolecular_soa
 
-        def fn(v):
-            wx = v @ m_c2x.T
+        def fn(xT):
+            wx = m_c2x @ xT
             wx = wx - jnp.floor(wx)
-            wc = wx @ m_x2c.T
+            wc = m_x2c @ wx
             if ftype == "grid":
-                y, yp, ypp = interp_batch(grid_f, wx, mode=grid_mode, nder=nder)
-                gf = yp @ m_c2x
-                hf = jnp.einsum("ki,nkl,lj->nij", m_c2x, ypp, m_c2x)
+                y, yp, ypp6 = interp_soa(grid_f, wx, mode=grid_mode, nder=nder)
+                gf = m_c2x.T @ yp
+                h6 = r6 @ ypp6
                 f = y
             elif ftype == "promol":
-                f, gf, hf = promolecular_batch(
+                f, gf, h6 = promolecular_soa(
                     wc, promol.atpos, promol.atspc, promol.tab, nder=nder)
             elif ftype == "wfn":
-                f, gf, hf = wfn.rho_eval(v, nder=nder)
+                f, gf, h6 = wfn.rho_eval_soa(xT, nder=nder)
             else:
                 raise ValueError(f"eval_fn unsupported for type {ftype}")
             if env is not None:
-                cf, cg, ch = promolecular_batch(
+                cf, cg, ch6 = promolecular_soa(
                     wc, env.atpos, env.atspc, env.tab, nder=nder)
-                f, gf, hf = f + cf, gf + cg, hf + ch
-            if imgs is not None:
-                d2 = ((wc[:, None, :] - imgs[None, :, :]) ** 2).sum(-1)
+                f, gf, h6 = f + cf, gf + cg, h6 + ch6
+            if imgsT is not None:
+                d2 = ((wc[:, :, None] - imgsT[:, None, :]) ** 2).sum(0)
                 isnuc = d2.min(axis=1) < 1e-10
-                gf = jnp.where(isnuc[:, None], 0.0, gf)
-            return f, gf, hf
+                gf = jnp.where(isnuc[None, :], 0.0, gf)
+            return f, gf, h6
 
         return fn

@@ -22,7 +22,8 @@ import numpy as np
 
 from .grid1 import RadialTableSet
 
-__all__ = ["promol_tables", "promolecular_batch", "PromolEnv"]
+__all__ = ["promol_tables", "promolecular_batch", "promolecular_soa",
+           "PromolEnv"]
 
 
 def _radial_interp(tab, s, r0):
@@ -31,6 +32,9 @@ def _radial_interp(tab, s, r0):
     tab: dict of device arrays from RadialTableSet; s: (...,) int32 table
     index per evaluation; r0: (...,) radius. Returns (f, fp, fpp) with
     zeros beyond rmax (reference interp, src/grid1mod@proc.f90:84-135).
+
+    TPU layout: the 4-node axis LEADS every intermediate ((4, ...) and
+    (4, 4, ...)) so the big trailing batch axes stay lane-dense.
     """
     a = tab["a"][s]
     b = tab["b"][s]
@@ -44,24 +48,26 @@ def _radial_interp(tab, s, r0):
     ir = jnp.where(
         below, 1, 1 + jnp.floor(jnp.log(jnp.maximum(r0, 1e-300) / a) / b).astype(jnp.int32)
     )
-    base = jnp.clip(ir, 2, ngrid - 2) - 2  # 1-based start-1 => 0-based node0-? see below
+    base = jnp.clip(ir, 2, ngrid - 2) - 2  # 0-based first node
 
-    # nodes ii = base + i for i=1..4 (1-based) -> 0-based: base + (0..3)
-    offs = jnp.arange(4, dtype=jnp.int32)
-    nodes = base[..., None] + offs  # 0-based node indices (base is 1-based-1)
-    rr = tab["r"][s[..., None], nodes]         # (..., 4)
-    dr1 = r[..., None] - rr
+    # nodes: (4, ...) leading stencil axis
+    nd = r0.ndim
+    offs = jnp.arange(4, dtype=jnp.int32).reshape((4,) + (1,) * nd)
+    nodes = base[None] + offs                        # (4, ...)
+    sb = jnp.broadcast_to(s[None], nodes.shape)
+    rr = tab["r"][sb, nodes]                         # (4, ...)
+    dr1 = r[None] - rr
 
-    # lagrange basis: prod_{j != i} dr1_j / (rr_i - rr_j)
-    diff = rr[..., :, None] - rr[..., None, :]          # (...,4,4)
-    diff = jnp.where(jnp.eye(4, dtype=bool), 1.0, diff)
-    terms = dr1[..., None, :] / diff                     # (...,4,4): j-index last
-    terms = jnp.where(jnp.eye(4, dtype=bool), 1.0, terms)
-    w = jnp.prod(terms, axis=-1)                         # (...,4)
+    # lagrange basis: w_i = prod_{j != i} dr1_j / (rr_i - rr_j)
+    diff = rr[:, None] - rr[None, :]                 # (4, 4, ...)
+    eye = jnp.eye(4, dtype=bool).reshape((4, 4) + (1,) * nd)
+    diff = jnp.where(eye, 1.0, diff)
+    terms = jnp.where(eye, 1.0, dr1[None, :] / diff)  # j-index = axis 1
+    w = jnp.prod(terms, axis=1)                       # (4, ...)
 
-    fv = (tab["f"][s[..., None], nodes] * w).sum(-1)
-    fpv = (tab["fp"][s[..., None], nodes] * w).sum(-1)
-    fppv = (tab["fpp"][s[..., None], nodes] * w).sum(-1)
+    fv = (tab["f"][sb, nodes] * w).sum(0)
+    fpv = (tab["fp"][sb, nodes] * w).sum(0)
+    fppv = (tab["fpp"][sb, nodes] * w).sum(0)
 
     valid = (r0 < rmax) & (ngrid > 0)
     zero = jnp.zeros_like(fv)
@@ -88,21 +94,26 @@ def promol_tables(ts: RadialTableSet, dtype=jnp.float64) -> dict:
 
 
 @partial(jax.jit, static_argnames=("nder",))
-def promolecular_batch(points, atpos, atspc, tab, nder: int = 2):
-    """Promolecular density/gradient/Hessian at Cartesian points.
+def promolecular_soa(pointsT, atpos, atspc, tab, nder: int = 2):
+    """Promolecular density/gradient/Hessian, batch-last SoA.
 
-    points: (N, 3); atpos: (M, 3) Cartesian atom-image positions;
+    pointsT: (3, N) Cartesian points; atpos: (M, 3) atom-image positions;
     atspc: (M,) int32 index into the table set; tab: promol_tables output.
-    Returns (f (N,), fp (N,3), fpp (N,3,3)).
+    Returns (f (N,), fp (3, N), fpp6 (6, N)) with fpp6 in SYM6 order
+    (xx, yy, zz, xy, xz, yz).
 
     Semantics follow reference promolecular (environmod@proc.f90:1284-1323):
     per-pair distance clamped to max(r, r_table(1), 1e-14); per-atom density
     clamped to >= 0; contribution dropped beyond min(cutrad(z), rmax).
+    The pair tensors are (N, M) with the coordinate axis leading - both
+    trailing axes are large, so nothing tile-pads on TPU.
     """
-    points = jnp.asarray(points)
-    xx = points[:, None, :] - atpos[None, :, :]          # (N, M, 3)
-    r2 = (xx * xx).sum(-1)
+    pT = jnp.asarray(pointsT)
+    aT = jnp.asarray(atpos).T                            # (3, M)
+    xx = pT[:, :, None] - aT[:, None, :]                 # (3, N, M)
+    r2 = (xx * xx).sum(0)
     r = jnp.sqrt(jnp.maximum(r2, 1e-28))                 # (N, M)
+    N = pT.shape[1]
 
     s = jnp.broadcast_to(atspc[None, :], r.shape)
     cut = tab["cutoff"][atspc][None, :]
@@ -111,23 +122,38 @@ def promolecular_batch(points, atpos, atspc, tab, nder: int = 2):
     rho, rhop, rhopp = _radial_interp(tab, s, r)
     rho = jnp.maximum(rho, 0.0)
     rho = jnp.where(within, rho, 0.0)
-    f = rho.sum(axis=1)
+    f = rho.sum(axis=-1)
+    z3 = jnp.zeros((3, N), pT.dtype)
+    z6 = jnp.zeros((6, N), pT.dtype)
     if nder < 1:
-        z3 = jnp.zeros((points.shape[0], 3), points.dtype)
-        return f, z3, jnp.zeros((points.shape[0], 3, 3), points.dtype)
+        return f, z3, z6
 
     rinv = 1.0 / r
-    rp = jnp.where(within, rhop, 0.0) * rinv            # rhop / r
-    fp = (xx * rp[..., None]).sum(axis=1)
+    rp = jnp.where(within, rhop, 0.0) * rinv            # rhop / r, (N, M)
+    fp = (xx * rp[None]).sum(axis=-1)                    # (3, N)
     if nder < 2:
-        return f, fp, jnp.zeros((points.shape[0], 3, 3), points.dtype)
+        return f, fp, z6
 
     rfac = (jnp.where(within, rhopp, 0.0) - rp) * rinv * rinv
-    # H = sum_m [ rp * I + rfac * xx xx^T ]
-    hiso = rp.sum(axis=1)
-    hout = jnp.einsum("nm,nmi,nmj->nij", rfac, xx, xx)
-    fpp = hout + hiso[:, None, None] * jnp.eye(3, dtype=points.dtype)
-    return f, fp, fpp
+    # H = sum_m [ rp * I + rfac * xx xx^T ], symmetric components
+    hiso = rp.sum(axis=-1)
+    hxx = (rfac * xx[0] * xx[0]).sum(-1) + hiso
+    hyy = (rfac * xx[1] * xx[1]).sum(-1) + hiso
+    hzz = (rfac * xx[2] * xx[2]).sum(-1) + hiso
+    hxy = (rfac * xx[0] * xx[1]).sum(-1)
+    hxz = (rfac * xx[0] * xx[2]).sum(-1)
+    hyz = (rfac * xx[1] * xx[2]).sum(-1)
+    return f, fp, jnp.stack([hxx, hyy, hzz, hxy, hxz, hyz])
+
+
+def promolecular_batch(points, atpos, atspc, tab, nder: int = 2):
+    """Batch-first wrapper over promolecular_soa: points (N, 3) ->
+    (f (N,), fp (N, 3), fpp (N, 3, 3))."""
+    from ..ops.interp import sym6_to_mat
+
+    f, fpT, fpp6 = promolecular_soa(jnp.asarray(points).T, atpos, atspc,
+                                    tab, nder=nder)
+    return f, fpT.T, sym6_to_mat(fpp6)
 
 
 class PromolEnv:

@@ -14,7 +14,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["eigvalsh3", "eigh3", "inv3", "det3", "rsindex"]
+__all__ = ["eigvalsh3", "eigh3", "inv3", "det3", "rsindex",
+           "det3s", "solve3s", "eigvalsh3s", "sym6_rotation"]
 
 
 def det3(m):
@@ -50,6 +51,80 @@ def inv3(m):
         axis=-2,
     )
     return adj / det[..., None, None]
+
+
+def det3s(h6):
+    """Determinant of symmetric matrices in SYM6 component form (6, N)."""
+    xx, yy, zz, xy, xz, yz = h6
+    return (xx * (yy * zz - yz * yz) - xy * (xy * zz - yz * xz)
+            + xz * (xy * yz - yy * xz))
+
+
+def solve3s(h6, g):
+    """Solve H x = g for symmetric H in SYM6 form.
+
+    h6: (6, N); g: (3, N). Returns (x (3, N), det (N,)) via the adjugate -
+    the batch-last replacement for the reference's dgeco/dgedi Newton
+    solve (src/fieldmod@proc.f90:1860-1861). Caller divides/masks on det.
+    """
+    xx, yy, zz, xy, xz, yz = h6
+    A = yy * zz - yz * yz
+    B = -(xy * zz - yz * xz)
+    C = xy * yz - yy * xz
+    E = xx * zz - xz * xz
+    F = -(xx * yz - xy * xz)
+    I = xx * yy - xy * xy
+    det = xx * A + xy * B + xz * C
+    x0 = A * g[0] + B * g[1] + C * g[2]
+    x1 = B * g[0] + E * g[1] + F * g[2]
+    x2 = C * g[0] + F * g[1] + I * g[2]
+    return jnp.stack([x0, x1, x2]), det
+
+
+def eigvalsh3s(h6):
+    """Eigenvalues (3, N) ascending of symmetric matrices in SYM6 form.
+
+    Same trigonometric closed form as eigvalsh3, batch-last."""
+    xx, yy, zz, xy, xz, yz = h6
+    q = (xx + yy + zz) / 3.0
+    da, db, dc = xx - q, yy - q, zz - q
+    p2 = da * da + db * db + dc * dc + 2.0 * (xy * xy + yz * yz + xz * xz)
+    p = jnp.sqrt(p2 / 6.0)
+    safe_p = jnp.where(p > 0, p, 1.0)
+    r = (da * (db * dc - yz * yz) - xy * (xy * dc - yz * xz)
+         + xz * (xy * yz - db * xz)) / (2.0 * safe_p * safe_p * safe_p)
+    r = jnp.clip(r, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    e1 = q + 2.0 * p * jnp.cos(phi)
+    e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e2 = 3.0 * q - e1 - e3
+    lo = jnp.where(p > 0, e3, q)
+    mid = jnp.where(p > 0, e2, q)
+    hi = jnp.where(p > 0, e1, q)
+    return jnp.stack([lo, mid, hi])
+
+
+def sym6_rotation(M):
+    """(6, 6) matrix R with (M^T H M) in SYM6 form = R @ h6.
+
+    Host-side constant: precomputes the congruence-transform action on
+    symmetric components so the fractional->Cartesian Hessian rotation
+    (reference src/fieldmod@proc.f90:739-741) is one small matmul against
+    a (6, N) batch.
+    """
+    import numpy as np
+
+    SYM6 = ((0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2))
+    M = np.asarray(M, dtype=float)
+    R = np.zeros((6, 6))
+    for col, (k, l) in enumerate(SYM6):
+        E = np.zeros((3, 3))
+        E[k, l] = 1.0
+        E[l, k] = 1.0
+        out = M.T @ E @ M
+        for row, (i, j) in enumerate(SYM6):
+            R[row, col] = out[i, j]
+    return R
 
 
 def eigvalsh3(m):

@@ -16,6 +16,15 @@ constraints and the LM system is nonsingular - so we evaluate it axis by
 axis: 3x4 basis weights and a 4x4x4 stencil contraction per point, instead
 of a 64x64 matvec. (Verified against an independently-built LM solve in
 tests/test_interp.py.)
+
+TPU layout: the hot entry point is `interp_soa`, which is batch-LAST
+("structure of arrays"): points (3, N), gradient (3, N), Hessian as the
+six components (xx, yy, zz, xy, xz, yz) in a (6, N) array. TPU memory is
+tiled (sublane, lane) = (8, 128) over the LAST TWO axes, so batch-first
+layouts like (N, 3, 3) or the (N, 4, 4, 4) stencil gather pad each tiny
+trailing axis up to the tile and blow HBM up 32-113x; with N last, every
+intermediate is lane-dense. `interp_batch` keeps the (N, ...) convention
+for host-facing callers and wraps interp_soa.
 """
 from __future__ import annotations
 
@@ -24,7 +33,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["interp_batch", "eval_at_nodes"]
+__all__ = ["interp_batch", "interp_soa", "eval_at_nodes"]
+
+# symmetric-component order used for all (6, N) Hessian SoA arrays
+SYM6 = ((0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2))
 
 
 def _catmull_rom_weights(t):
@@ -90,90 +102,143 @@ def _gather_stencil(f, i0, offsets):
     )
 
 
-@partial(jax.jit, static_argnames=("mode", "nder"))
-def interp_batch(f, xfrac, mode: str = "tricubic", nder: int = 2):
-    """Interpolate grid f at fractional points xfrac (N, 3).
+def _axis2(g, w):
+    """Contract stencil axis 2 of g (a, b, k, N) with w (k, N) -> (a, b, N)
+    as fused broadcast-multiply-reduce (see tricubic comment on einsum)."""
+    return (g * w[None, None, :, :]).sum(2)
 
-    Returns (y (N,), yp (N,3), ypp (N,3,3)); yp/ypp are zero when the mode
-    or nder does not provide them. Derivatives are d/d(frac) (i.e. already
-    scaled by n per axis, reference convention).
+
+def _axes01(a, wa, wb):
+    """Contract axes 0, 1 of a (ka, kb, N) with wa (ka, N), wb (kb, N)."""
+    return (a * (wa[:, None, :] * wb[None, :, :])).sum((0, 1))
+
+
+def _gather_stencil_soa(f, i0T, offsets):
+    """Batch-last stencil gather.
+
+    f: (n1, n2, n3) grid; i0T: (3, N) int base indices; offsets: (k,).
+    Returns (k, k, k, N) - lane dimension is the batch, so no tile padding.
+    """
+    k = len(offsets)
+    i = (i0T[0][None, :] + offsets[:, None]) % f.shape[0]       # (k, N)
+    j = (i0T[1][None, :] + offsets[:, None]) % f.shape[1]
+    l = (i0T[2][None, :] + offsets[:, None]) % f.shape[2]
+    flat = (i[:, None, None, :] * (f.shape[1] * f.shape[2])
+            + j[None, :, None, :] * f.shape[2]
+            + l[None, None, :, :])                               # (k,k,k,N)
+    return jnp.take(f.reshape(-1), flat.reshape(-1), axis=0).reshape(
+        k, k, k, flat.shape[-1])
+
+
+@partial(jax.jit, static_argnames=("mode", "nder"))
+def interp_soa(f, xfracT, mode: str = "tricubic", nder: int = 2):
+    """Batch-last interpolation: xfracT is (3, N) fractional coords.
+
+    Returns (y (N,), ypT (3, N), ypp6 (6, N)) with ypp6 in SYM6 component
+    order; derivatives are d/d(frac) scaled by n per axis (reference
+    convention, src/grid3mod@proc.f90:2133-2140). Every intermediate keeps
+    the batch in the lane dimension (see module docstring).
     """
     f = jnp.asarray(f)
-    xfrac = jnp.asarray(xfrac, dtype=f.dtype)
+    xT = jnp.asarray(xfracT, dtype=f.dtype)
     n = jnp.asarray(f.shape, dtype=f.dtype)
-    N = xfrac.shape[0]
-    x = xfrac - jnp.floor(xfrac)  # wrap to [0,1), reference interp :1052
+    N = xT.shape[1]
+    x = xT - jnp.floor(xT)  # wrap to [0,1), reference interp :1052
 
-    zero3 = jnp.zeros((N, 3), f.dtype)
-    zero33 = jnp.zeros((N, 3, 3), f.dtype)
+    zero3 = jnp.zeros((3, N), f.dtype)
+    zero6 = jnp.zeros((6, N), f.dtype)
 
     if mode == "nearest":
-        idx = jnp.mod(jnp.rint(x * n).astype(jnp.int32),
-                      jnp.asarray(f.shape, dtype=jnp.int32))
-        y = f[idx[:, 0], idx[:, 1], idx[:, 2]]
-        return y, zero3, zero33
+        idx = jnp.mod(jnp.rint(x * n[:, None]).astype(jnp.int32),
+                      jnp.asarray(f.shape, dtype=jnp.int32)[:, None])
+        y = f.reshape(-1)[idx[0] * (f.shape[1] * f.shape[2])
+                          + idx[1] * f.shape[2] + idx[2]]
+        return y, zero3, zero6
 
-    xg = x * n
+    xg = x * n[:, None]
     i0 = jnp.floor(xg).astype(jnp.int32)
-    t = xg - i0  # position within base cell, [0,1)
+    t = xg - i0  # position within base cell, [0,1); (3, N)
 
     if mode == "trilinear":
-        g = _gather_stencil(f, i0, jnp.arange(0, 2))
-        w1, d1 = _linear_weights(t[:, 0])
-        w2, d2 = _linear_weights(t[:, 1])
-        w3, d3 = _linear_weights(t[:, 2])
-        y = jnp.einsum("nijk,ni,nj,nk->n", g, w1, w2, w3)
+        g = _gather_stencil_soa(f, i0, jnp.arange(0, 2))    # (2,2,2,N)
+        w1, d1 = _linear_weights(t[0]); w1, d1 = w1.T, d1.T  # (2,N)
+        w2, d2 = _linear_weights(t[1]); w2, d2 = w2.T, d2.T
+        w3, d3 = _linear_weights(t[2]); w3, d3 = w3.T, d3.T
+        a0 = _axis2(g, w3)
+        y = _axes01(a0, w1, w2)
         if nder < 1:
-            return y, zero3, zero33
-        gx = jnp.einsum("nijk,ni,nj,nk->n", g, d1, w2, w3)
-        gy = jnp.einsum("nijk,ni,nj,nk->n", g, w1, d2, w3)
-        gz = jnp.einsum("nijk,ni,nj,nk->n", g, w1, w2, d3)
-        yp = jnp.stack([gx, gy, gz], axis=-1) * n[None, :]
-        return y, yp, zero33
+            return y, zero3, zero6
+        a1 = _axis2(g, d3)
+        gx = _axes01(a0, d1, w2)
+        gy = _axes01(a0, w1, d2)
+        gz = _axes01(a1, w1, w2)
+        yp = jnp.stack([gx, gy, gz]) * n[:, None]
+        return y, yp, zero6
 
     if mode != "tricubic":
         raise ValueError(f"unknown interpolation mode {mode}")
 
-    g = _gather_stencil(f, i0, jnp.arange(-1, 3))  # (N,4,4,4)
-    w1, d1, s1 = _catmull_rom_weights(t[:, 0])
-    w2, d2, s2 = _catmull_rom_weights(t[:, 1])
-    w3, d3, s3 = _catmull_rom_weights(t[:, 2])
+    g = _gather_stencil_soa(f, i0, jnp.arange(-1, 3))       # (4,4,4,N)
+    w1, d1, s1 = (a.T for a in _catmull_rom_weights(t[0]))   # each (4,N)
+    w2, d2, s2 = (a.T for a in _catmull_rom_weights(t[1]))
+    w3, d3, s3 = (a.T for a in _catmull_rom_weights(t[2]))
 
-    # contract axis 3 (z)
-    a0 = jnp.einsum("nijk,nk->nij", g, w3)
-    y = jnp.einsum("nij,ni,nj->n", a0, w1, w2)
+    # contract axis z first (separable Catmull-Rom). Broadcast-multiply +
+    # reduce, NOT einsum: XLA lowers these tiny-contraction einsums to
+    # dot_general batched over the lane axis, materializing (4,4,4,4,N)
+    # temporaries (GBs) and running ~1000x below VPU speed; the explicit
+    # form fuses into lane-dense elementwise code.
+    a0 = _axis2(g, w3)
+    y = _axes01(a0, w1, w2)
     if nder < 1:
-        return y, zero3, zero33
+        return y, zero3, zero6
 
-    a1 = jnp.einsum("nijk,nk->nij", g, d3)
-    gx = jnp.einsum("nij,ni,nj->n", a0, d1, w2)
-    gy = jnp.einsum("nij,ni,nj->n", a0, w1, d2)
-    gz = jnp.einsum("nij,ni,nj->n", a1, w1, w2)
-    yp = jnp.stack([gx, gy, gz], axis=-1) * n[None, :]
+    a1 = _axis2(g, d3)
+    gx = _axes01(a0, d1, w2)
+    gy = _axes01(a0, w1, d2)
+    gz = _axes01(a1, w1, w2)
+    yp = jnp.stack([gx, gy, gz]) * n[:, None]
     if nder < 2:
-        return y, yp, zero33
+        return y, yp, zero6
 
-    a2 = jnp.einsum("nijk,nk->nij", g, s3)
-    hxx = jnp.einsum("nij,ni,nj->n", a0, s1, w2)
-    hyy = jnp.einsum("nij,ni,nj->n", a0, w1, s2)
-    hzz = jnp.einsum("nij,ni,nj->n", a2, w1, w2)
-    hxy = jnp.einsum("nij,ni,nj->n", a0, d1, d2)
-    hxz = jnp.einsum("nij,ni,nj->n", a1, d1, w2)
-    hyz = jnp.einsum("nij,ni,nj->n", a1, w1, d2)
-    # scale: ypp_ij *= n_i * n_j (reference :2134-2140)
-    nn = n[None, :, None] * n[None, None, :]
-    ypp = (
-        jnp.stack(
-            [
-                jnp.stack([hxx, hxy, hxz], axis=-1),
-                jnp.stack([hxy, hyy, hyz], axis=-1),
-                jnp.stack([hxz, hyz, hzz], axis=-1),
-            ],
-            axis=-2,
-        )
-        * nn
-    )
-    return y, yp, ypp
+    a2 = _axis2(g, s3)
+    hxx = _axes01(a0, s1, w2)
+    hyy = _axes01(a0, w1, s2)
+    hzz = _axes01(a2, w1, w2)
+    hxy = _axes01(a0, d1, d2)
+    hxz = _axes01(a1, d1, w2)
+    hyz = _axes01(a1, w1, d2)
+    # scale ypp_ij by n_i * n_j (reference :2134-2140), SYM6 order
+    nn = jnp.stack([n[0] * n[0], n[1] * n[1], n[2] * n[2],
+                    n[0] * n[1], n[0] * n[2], n[1] * n[2]])
+    ypp6 = jnp.stack([hxx, hyy, hzz, hxy, hxz, hyz]) * nn[:, None]
+    return y, yp, ypp6
+
+
+def sym6_to_mat(h6):
+    """(6, N) SYM6 components -> (N, 3, 3) full matrices (host-facing)."""
+    xx, yy, zz, xy, xz, yz = h6
+    return jnp.stack(
+        [jnp.stack([xx, xy, xz], -1),
+         jnp.stack([xy, yy, yz], -1),
+         jnp.stack([xz, yz, zz], -1)], axis=-2)
+
+
+def mat_to_sym6(h):
+    """(N, 3, 3) symmetric matrices -> (6, N) SYM6 components."""
+    return jnp.stack([h[..., 0, 0], h[..., 1, 1], h[..., 2, 2],
+                      h[..., 0, 1], h[..., 0, 2], h[..., 1, 2]])
+
+
+@partial(jax.jit, static_argnames=("mode", "nder"))
+def interp_batch(f, xfrac, mode: str = "tricubic", nder: int = 2):
+    """Batch-first wrapper over interp_soa for host-facing callers.
+
+    xfrac (N, 3) -> (y (N,), yp (N, 3), ypp (N, 3, 3)).
+    """
+    y, ypT, ypp6 = interp_soa(jnp.asarray(f), jnp.asarray(xfrac).T,
+                              mode=mode, nder=nder)
+    return y, ypT.T, sym6_to_mat(ypp6)
 
 
 def eval_at_nodes(f, idx):
