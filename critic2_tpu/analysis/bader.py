@@ -1,0 +1,142 @@
+"""Bader grid basin assignment (Henkelman ongrid/neargrid), TPU-native.
+
+Role of the reference bader (src/bader@proc.f90:81-463, Comput. Mater.
+Sci. 36, 254): assign every grid point to the basin of the attractor its
+steepest-ascent path reaches, walking trajectories point by point.
+
+TPU reformulation: the ongrid ascent defines a static successor function
+succ(i) = neighbor maximizing (rho_nbr - rho_i)/|dr| (attractors map to
+themselves), i.e. a forest over the grid. Path-following becomes POINTER
+DOUBLING: succ^(2t) = succ^t o succ^t, so log2(longest path) dense gather
+passes resolve every trajectory at once - no sequential walks, no
+dynamic shapes.
+
+The reference's neargrid correction-vector refinement (refine_edge,
+src/bader@proc.f90:236-358) is approximated by iterative edge
+reassignment: edge points (a neighbor differs) are re-ascended with the
+gradient-weighted successor until the labeling is stable.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["bader_integrate", "BaderResult"]
+
+
+def _neighbor_offsets26():
+    offs = [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1)
+            for k in (-1, 0, 1) if (i, j, k) != (0, 0, 0)]
+    return np.asarray(offs, dtype=np.int32)
+
+
+def _neighbor_flat(idx, offs, shape):
+    n1, n2, n3 = shape
+    x1 = idx // (n2 * n3)
+    r = idx - x1 * (n2 * n3)
+    x2 = r // n3
+    x3 = r - x2 * n3
+    o1 = (x1[None, :] + offs[:, 0:1]) % n1
+    o2 = (x2[None, :] + offs[:, 1:2]) % n2
+    o3 = (x3[None, :] + offs[:, 2:3]) % n3
+    return o1 * (n2 * n3) + o2 * n3 + o3
+
+
+@dataclass
+class BaderResult:
+    crystal: object
+    shape: tuple
+    nattr: int
+    xattr: np.ndarray
+    iattr: np.ndarray
+    labels: np.ndarray           # (n1,n2,n3) int32
+
+    def integrate(self, field_flat) -> np.ndarray:
+        lab = jnp.asarray(self.labels).reshape(-1)
+        return np.asarray(jax.ops.segment_sum(
+            jnp.asarray(field_flat).reshape(-1), lab,
+            num_segments=self.nattr))
+
+
+def bader_integrate(crystal, rho, block: int = 1 << 18,
+                    refine_iters: int = 4):
+    """Ongrid Bader assignment with edge refinement.
+
+    rho: (n1,n2,n3) device array. Returns BaderResult.
+    """
+    shape = tuple(int(s) for s in rho.shape)
+    N = int(np.prod(shape))
+    offs_np = _neighbor_offsets26()
+    m = np.asarray(crystal.m_x2c) @ np.diag(1.0 / np.asarray(shape, dtype=float))
+    dists = np.linalg.norm(offs_np @ m.T, axis=1)
+    offs = jnp.asarray(offs_np)
+    invd = jnp.asarray(1.0 / dists)
+
+    rho_flat = jnp.asarray(rho).reshape(-1)
+    # tie-stable uphill measure: (drho/dist, then lower flat index wins)
+    nblk = (N + block - 1) // block
+
+    @jax.jit
+    def succ_block(idx):
+        nbr = _neighbor_flat(idx, offs, shape)            # (K, B)
+        grad = (rho_flat[nbr] - rho_flat[idx][None, :]) * invd[:, None]
+        kbest = jnp.argmax(grad, axis=0)
+        best = jnp.max(grad, axis=0)
+        s = nbr[kbest, jnp.arange(idx.shape[0])]
+        return jnp.where(best > 0.0, s, idx)              # maxima self-map
+
+    all_idx = jnp.arange(N, dtype=jnp.int32)
+    succ = jnp.concatenate(
+        [succ_block(all_idx[b * block:(b + 1) * block]) for b in range(nblk)])
+
+    # pointer doubling to the attractor roots
+    @jax.jit
+    def double(s):
+        return s[s]
+
+    nsteps = int(np.ceil(np.log2(max(N, 2)))) + 1
+    root = succ
+    for _ in range(nsteps):
+        root = double(root)
+
+    roots_np = np.unique(np.asarray(root))
+    nattr = len(roots_np)
+    label_of_root = jnp.zeros((N,), jnp.int32).at[jnp.asarray(roots_np)].set(
+        jnp.arange(nattr, dtype=jnp.int32))
+    labels = label_of_root[root]
+
+    # edge refinement: recompute succ labels from the *current* labeling;
+    # an edge point takes the label of its steepest uphill neighbor
+    @jax.jit
+    def refine(labels):
+        out = labels
+        for b in range(nblk):
+            idx = all_idx[b * block:(b + 1) * block]
+            nbr = _neighbor_flat(idx, offs, shape)
+            grad = (rho_flat[nbr] - rho_flat[idx][None, :]) * invd[:, None]
+            kbest = jnp.argmax(grad, axis=0)
+            best = jnp.max(grad, axis=0)
+            s = nbr[kbest, jnp.arange(idx.shape[0])]
+            newlab = jnp.where(best > 0.0, labels[s], labels[idx])
+            out = out.at[idx].set(newlab)
+        return out
+
+    for _ in range(refine_iters):
+        new = refine(labels)
+        if bool((new == labels).all()):
+            break
+        labels = new
+
+    i_at = roots_np
+    x1 = i_at // (shape[1] * shape[2])
+    r = i_at - x1 * (shape[1] * shape[2])
+    x2 = r // shape[2]
+    x3 = r - x2 * shape[2]
+    xattr = np.stack([x1 / shape[0], x2 / shape[1], x3 / shape[2]], axis=1)
+
+    return BaderResult(crystal=crystal, shape=shape, nattr=nattr,
+                       xattr=xattr, iattr=i_at,
+                       labels=np.asarray(labels).reshape(shape))

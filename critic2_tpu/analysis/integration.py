@@ -1,0 +1,190 @@
+"""Basin-integration driver: YT/Bader + attractor-atom matching + property
+integration.
+
+Role of the reference integration (src/integration@proc.f90): build the
+basin field (optionally core-augmented), run the chosen decomposition,
+match attractors to the atom list (int_reorder_gridout :821-945; unmatched
+maxima become non-nuclear maxima, NNM), then integrate every requested
+property as a weighted grid reduction and report the table.
+
+Device: decomposition + weighted reductions. Host: matching, merging,
+table assembly.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+
+import jax.numpy as jnp
+import numpy as np
+
+from .bader import bader_integrate
+from .yt import yt_integrate
+
+__all__ = ["intgrid", "IntegrationResult"]
+
+
+@dataclass
+class BasinRow:
+    idx: int
+    name: str               # atom symbol or "nnm"
+    atom: int               # cell-atom index or -1
+    xfrac: np.ndarray
+    volume: float
+    pop: float              # integrated reference density
+    lap: float | None = None
+    extra: dict = dfield(default_factory=dict)
+
+
+@dataclass
+class IntegrationResult:
+    method: str
+    rows: list
+    nattr_raw: int
+
+    @property
+    def charges(self):
+        return np.array([r.pop for r in self.rows])
+
+    @property
+    def volumes(self):
+        return np.array([r.volume for r in self.rows])
+
+    def table(self) -> str:
+        lines = ["# id  name  atom        volume            pop        "
+                 "position (frac)"]
+        for r in self.rows:
+            lines.append(
+                f"{r.idx:4d}  {r.name:>4s}  {r.atom:4d}  {r.volume:14.8f}  "
+                f"{r.pop:14.8f}   {r.xfrac[0]:.6f} {r.xfrac[1]:.6f} "
+                f"{r.xfrac[2]:.6f}")
+        tot_v = sum(r.volume for r in self.rows)
+        tot_q = sum(r.pop for r in self.rows)
+        lines.append(f"# sum             {tot_v:14.8f}  {tot_q:14.8f}")
+        return "\n".join(lines)
+
+
+def _match_attractors(crystal, xattr, ratom):
+    """Map each attractor to the nearest atom within ratom (bohr), else -1
+    (reference int_reorder_gridout, src/integration@proc.f90:821-945)."""
+    nat = crystal.ncel
+    out = np.full(len(xattr), -1, dtype=int)
+    if nat == 0:
+        return out
+    for i, xa in enumerate(xattr):
+        d = xa[None, :] - np.asarray(crystal.x_frac)
+        d -= np.rint(d)
+        dc = np.linalg.norm(d @ np.asarray(crystal.m_x2c).T, axis=1)
+        j = int(np.argmin(dc))
+        if dc[j] <= ratom:
+            out[i] = j
+    return out
+
+
+def intgrid(system, method: str = "yt", ratom: float = 1.0,
+            fields: dict | None = None, block: int = 1 << 16,
+            grid_shape=None):
+    """Run grid basin integration on the reference field of `system`.
+
+    method: "yt" or "bader". fields: optional {name: (n1,n2,n3) array} of
+    extra integrands on the same grid. The reference field must be (or is
+    rasterized to) a grid; its core-augmented variant is used as basin
+    field when the field has usecore set (reference
+    src/integration@proc.f90:176-183).
+    """
+    f = system.ref
+    c = system.crystal
+    if f.type == "grid":
+        rho = f.grid.f
+        shape = tuple(int(s) for s in rho.shape)
+        # core augmentation for the basin field
+        env = f.coreenv
+        if env is not None:
+            rho = rho + _rasterize_env(c, env, shape)
+    else:
+        shape = tuple(grid_shape or (64, 64, 64))
+        rho = _rasterize_field(f, shape, block=block)
+
+    if method == "yt":
+        res = yt_integrate(c, rho, block=block)
+    elif method == "bader":
+        res = bader_integrate(c, rho, block=max(block, 1 << 16))
+    else:
+        raise ValueError(f"unknown integration method {method}")
+
+    omega = c.volume
+    npts = float(np.prod(shape))
+    scale = omega / npts
+
+    vol = res.integrate(np.ones(int(npts))) * scale
+    pop = res.integrate(rho) * scale
+    extras = {}
+    if fields:
+        for name, arr in fields.items():
+            extras[name] = res.integrate(jnp.asarray(arr).reshape(-1)) * scale
+
+    iat = _match_attractors(c, res.xattr, ratom)
+
+    # merge attractors mapped to the same atom (reference keeps one row
+    # per attractor-atom; multiple maxima inside one atomic basin merge)
+    rows = []
+    used = {}
+    for a in range(res.nattr):
+        key = ("atom", iat[a]) if iat[a] >= 0 else ("nnm", a)
+        if key in used:
+            r = rows[used[key]]
+            r.volume += float(vol[a])
+            r.pop += float(pop[a])
+            for name in extras:
+                r.extra[name] += float(extras[name][a])
+            continue
+        if iat[a] >= 0:
+            nm = c.species[c.species_of[iat[a]]].name
+            xf = np.asarray(c.x_frac[iat[a]])
+        else:
+            nm = "nnm"
+            xf = res.xattr[a]
+        rows.append(BasinRow(
+            idx=len(rows) + 1, name=nm, atom=int(iat[a]), xfrac=xf,
+            volume=float(vol[a]), pop=float(pop[a]),
+            extra={k: float(v[a]) for k, v in extras.items()}))
+        used[key] = len(rows) - 1
+
+    return IntegrationResult(method=method, rows=rows, nattr_raw=res.nattr)
+
+
+def _rasterize_field(f, shape, block: int = 1 << 16, nder: int = 0):
+    """Evaluate a field on the regular grid nodes (fractional (i/n))."""
+    import jax
+
+    c = f.crystal
+    n1, n2, n3 = shape
+    i, j, k = np.meshgrid(np.arange(n1), np.arange(n2), np.arange(n3),
+                          indexing="ij")
+    xf = np.stack([i.ravel() / n1, j.ravel() / n2, k.ravel() / n3])
+    xc = np.asarray(c.m_x2c) @ xf
+    fn = f.eval_fn(nder=nder)
+    N = xc.shape[1]
+    out = np.empty(N)
+    for lo in range(0, N, block):
+        chunk = jnp.asarray(xc[:, lo:lo + block])
+        out[lo:lo + chunk.shape[1]] = np.asarray(fn(chunk)[0])
+    return jnp.asarray(out.reshape(shape))
+
+
+def _rasterize_env(crystal, env, shape, block: int = 1 << 16):
+    """Core-density grid from a PromolEnv (reference promolecular_grid,
+    src/crystalmod@proc.f90:5118)."""
+    from ..fields.promol import promolecular_soa
+
+    n1, n2, n3 = shape
+    i, j, k = np.meshgrid(np.arange(n1), np.arange(n2), np.arange(n3),
+                          indexing="ij")
+    xf = np.stack([i.ravel() / n1, j.ravel() / n2, k.ravel() / n3])
+    xc = np.asarray(crystal.m_x2c) @ xf
+    N = xc.shape[1]
+    out = np.empty(N)
+    for lo in range(0, N, block):
+        chunk = jnp.asarray(xc[:, lo:lo + block])
+        out[lo:lo + chunk.shape[1]] = np.asarray(
+            promolecular_soa(chunk, env.atpos, env.atspc, env.tab, nder=0)[0])
+    return jnp.asarray(out.reshape(shape))
