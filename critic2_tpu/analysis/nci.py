@@ -1,0 +1,210 @@
+"""NCIPLOT: reduced-density-gradient (RDG) non-covalent-interaction
+analysis.
+
+Role of the reference nci (src/nci@proc.f90:26-760): on a box grid,
+compute s = |grad rho| / (2 (3 pi^2)^(1/3) rho^(4/3)) and sign(lambda_2)
+rho, apply cutoffs, and emit -dens.cube / -grad.cube / .dat / .vmd / xyz
+outputs; optional promolecular mode, fragment intra/inter filtering
+(rhoparam/rhoparam2), VOID charge integration.
+
+TPU decomposition: the reference's OpenMP triple loop over grid nodes
+(src/nci@proc.f90:499-562) becomes chunked batched field evaluations -
+one fused device program computes rho, gradient, Hessian, the middle
+eigenvalue (closed-form, ops/eig3.eigvalsh3s) and the RDG for each chunk.
+File writers stay host-side.
+
+Defaults mirror the reference: xinc = 0.1 bohr, rhocut = 0.2, rthres = 2
+bohr, rhoparam = 0.95, rhoparam2 = 0.75; density fields get dimcut = 2.0,
+dimplot = 0.5, rhoplot = 0.1 (src/nci@proc.f90:120-159).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.eig3 import eigvalsh3s
+
+__all__ = ["nciplot", "NCIResult"]
+
+_CONST = 2.0 * (3.0 * np.pi ** 2) ** (1.0 / 3.0)
+_VSMALL = 1e-40
+
+
+@dataclass
+class NCIResult:
+    crho: np.ndarray             # (n1,n2,n3) sign(lambda2) rho x 100
+    cgrad: np.ndarray            # (n1,n2,n3) RDG (after plot cutoffs)
+    cgrad_raw: np.ndarray        # RDG before plot cutoffs
+    rhoat: np.ndarray | None     # promolecular density (if computed)
+    x0: np.ndarray               # box origin (Cartesian bohr)
+    xmat: np.ndarray             # (3,3) columns = step vectors
+    dat: np.ndarray              # (npts, 2) scatter (rho, rdg) under cutoffs
+    files: list = dfield(default_factory=list)
+    void: dict | None = None
+
+
+def _box(system, nstep, xinc, rthres):
+    """Reference box logic (src/nci@proc.f90:355-407)."""
+    c = system.crystal
+    f = system.ref
+    m_x2c = np.asarray(c.m_x2c)
+    if not c.ismolecule:
+        x0 = np.zeros(3)
+        if nstep is None:
+            if f.type == "grid":
+                nstep = tuple(int(n) for n in f.grid.n)
+            else:
+                nstep = tuple(int(np.ceil(np.linalg.norm(m_x2c[:, i]) / xinc))
+                              for i in range(3))
+        xmat = m_x2c / np.asarray(nstep)[None, :]
+        periodic = True
+    else:
+        pos = np.asarray(c.x_cart)
+        x0 = pos.min(axis=0) - rthres
+        x1 = pos.max(axis=0) + rthres
+        if nstep is None:
+            nstep = tuple(int(np.ceil(v)) for v in (x1 - x0) / xinc)
+        xmat = np.diag((x1 - x0) / np.asarray(nstep))
+        periodic = False
+    return x0, np.asarray(nstep, dtype=int), xmat, periodic
+
+
+def nciplot(system, oname: str | None = None, outdir: str | None = None,
+            rhocut: float = 0.2, dimcut: float | None = None,
+            rhoplot: float | None = None, dimplot: float | None = None,
+            srhorange=(-1e30, 1e30), onlyneg: bool = False,
+            nstep=None, xinc: float = 0.1, rthres: float = 2.0,
+            fragments=None, rhoparam: float = 0.95, rhoparam2: float = 0.75,
+            rho_void: float = -1.0, isden: bool = True,
+            block: int = 1 << 15, write_files: bool = False) -> NCIResult:
+    """Run the NCI analysis on the reference field of `system`."""
+    if dimcut is None:
+        dimcut = 2.0 if isden else 1.0
+    if dimplot is None:
+        dimplot = 0.5 if isden else 0.3
+    if rhoplot is None:
+        rhoplot = 0.1 if isden else 0.12
+
+    c = system.crystal
+    f = system.ref
+    x0, nstep, xmat, periodic = _box(system, nstep, xinc, rthres)
+    n1, n2, n3 = (int(v) for v in nstep)
+    N = n1 * n2 * n3
+
+    i, j, k = np.meshgrid(np.arange(n1), np.arange(n2), np.arange(n3),
+                          indexing="ij")
+    pts = (x0[:, None] + np.asarray(xmat) @
+           np.stack([i.ravel(), j.ravel(), k.ravel()]).astype(float))
+
+    nfrag = len(fragments) if fragments else 0
+    dopromol = nfrag > 0 or rho_void > 0.0
+    fn = f.eval_fn(nder=2, clamp_nuclei=False)
+
+    promol_env = system.fields[0].promol if dopromol else None
+    frag_envs = []
+    if nfrag:
+        from ..fields.promol import PromolEnv
+        frag_envs = [PromolEnv(c, fragment=np.asarray(fr, dtype=int))
+                     for fr in fragments]
+
+    crho = np.empty(N)
+    cgrad = np.empty(N)
+    rhoat = np.empty(N) if dopromol else None
+    rhofrag = np.empty((nfrag, N)) if nfrag else None
+
+    @jax.jit
+    def chunk_eval(xT):
+        rho, gf, h6 = fn(xT)
+        lam2 = eigvalsh3s(h6)[1]
+        gmod = jnp.sqrt((gf * gf).sum(0))
+        rdg = gmod / (_CONST * jnp.maximum(rho, _VSMALL) ** (4.0 / 3.0))
+        return jnp.sign(lam2) * jnp.abs(rho) * 100.0, rdg
+
+    from ..fields.promol import promolecular_soa
+
+    for lo in range(0, N, block):
+        xT = jnp.asarray(pts[:, lo:lo + block])
+        cr, cg = chunk_eval(xT)
+        sl = slice(lo, lo + xT.shape[1])
+        crho[sl] = np.asarray(cr)
+        cgrad[sl] = np.asarray(cg)
+        if dopromol:
+            rhoat[sl] = np.asarray(promolecular_soa(
+                xT, promol_env.atpos, promol_env.atspc, promol_env.tab,
+                nder=0)[0])
+        for q, env in enumerate(frag_envs):
+            rhofrag[q, sl] = np.asarray(promolecular_soa(
+                xT, env.atpos, env.atspc, env.tab, nder=0)[0])
+
+    # fragment inter/intra filter (reference :577-583)
+    inter = np.ones(N, dtype=bool)
+    if nfrag:
+        tot = rhofrag.sum(axis=0)
+        inter = (tot >= rhoparam2 * rhoat) & \
+            (rhofrag <= tot[None, :] * rhoparam).all(axis=0)
+    void = None
+    if rho_void > 0.0:
+        voidmask = rhoat < rho_void
+        inter &= voidmask
+        omega_cell = c.volume
+        void = {
+            "charge": float(np.abs(crho[voidmask]).sum() / 100.0
+                            * omega_cell / N),
+            "pcharge": float(rhoat[voidmask].sum() * omega_cell / N),
+            "volume": float(voidmask.sum() * omega_cell / N),
+        }
+
+    # .dat scatter under cutoffs (reference :593-596)
+    sel = (np.abs(crho) < rhocut * 100.0) & (cgrad < dimcut) & inter
+    dat = np.stack([crho[sel] / 100.0, cgrad[sel]], axis=1)
+
+    # plot cutoffs applied to the RDG cube (reference :597-600)
+    cgrad_raw = cgrad.copy()
+    mask = (np.abs(crho) > rhoplot * 100.0) | (~inter)
+    mask |= (crho < srhorange[0] * 100.0) | (crho > srhorange[1] * 100.0)
+    if onlyneg:
+        mask |= crho > 0
+    cgrad = np.where(mask, 100.0, cgrad)
+
+    res = NCIResult(
+        crho=crho.reshape(n1, n2, n3), cgrad=cgrad.reshape(n1, n2, n3),
+        cgrad_raw=cgrad_raw.reshape(n1, n2, n3),
+        rhoat=rhoat.reshape(n1, n2, n3) if dopromol else None,
+        x0=x0, xmat=np.asarray(xmat), dat=dat, void=void)
+
+    if write_files:
+        import os
+
+        from ..io.cube import write_cube
+
+        oname = oname or "nci"
+        root = os.path.join(outdir or ".", oname)
+        z = [c.species[si].z for si in c.species_of]
+        pos = np.asarray(c.x_cart)
+        write_cube(root + "-dens.cube", res.crho, x0, xmat, z, pos,
+                   comment1="sign(lambda2) x rho x 100")
+        write_cube(root + "-grad.cube", res.cgrad, x0, xmat, z, pos,
+                   comment1="reduced density gradient")
+        np.savetxt(root + ".dat", dat, fmt="%15.7E")
+        _write_vmd(root, oname, rhoplot, dimplot)
+        res.files = [root + s for s in ("-dens.cube", "-grad.cube", ".dat",
+                                        ".vmd")]
+    return res
+
+
+def _write_vmd(root, oname, rhoplot, dimplot):
+    """VMD visualization script (reference :675-760, abbreviated)."""
+    with open(root + ".vmd", "w") as f:
+        f.write(f"""#!/usr/local/bin/vmd
+# NCI isosurface visualization (critic2-tpu)
+mol new {oname}-dens.cube
+mol addfile {oname}-grad.cube
+mol addrep top
+mol modstyle 1 top Isosurface {dimplot:.5f} 1 0 0 1 1
+mol modcolor 1 top Volume 0
+mol modmaterial 1 top Opaque
+mol scaleminmax top 1 {-rhoplot * 100:.4f} {rhoplot * 100:.4f}
+""")

@@ -1,0 +1,271 @@
+"""Arithmetic expression engine over fields, compiled to JAX.
+
+Role of the reference arithmetic (src/arithmetic.F90, shunting-yard RPN
+evaluator): expressions over scalar fields with `$id:modifier` references
+(modifiers src/arithmetic@proc.F90:1049-1105), ~20 math functions, the
+chemical function library (gtf/vtf/htf[_kir]/gkin/kkin/lag/elf/vir/he/
+lol[_kir], src/arithmetic@proc.F90:2035-2180), and user variables.
+
+TPU design: instead of an RPN interpreter the expression is rewritten to
+Python AST (after desugaring `$field:mod` and `^`), validated against a
+whitelist, and compiled once into a jittable closure over batched SoA
+field evaluations xT (3, N) -> (N,). Field evaluations are cached per
+(field, nder) inside an evaluation context so `$1+$1:l` evaluates field 1
+once. Ghost-field derivatives come from JAX autodiff (jvp), replacing
+the reference's Richardson-extrapolated numerical derivatives
+(src/fieldmod@proc.f90:932-1135).
+"""
+from __future__ import annotations
+
+import ast
+import re
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["compile_expr", "eval_expr", "ExprError"]
+
+CTF = (3.0 / 10.0) * (3.0 * jnp.pi ** 2) ** (2.0 / 3.0)
+
+
+class ExprError(ValueError):
+    pass
+
+
+_MATH = {
+    "abs": jnp.abs, "exp": jnp.exp, "sqrt": jnp.sqrt, "floor": jnp.floor,
+    "ceil": jnp.ceil, "ceiling": jnp.ceil, "round": jnp.round,
+    "log": jnp.log, "log10": jnp.log10, "sin": jnp.sin, "asin": jnp.arcsin,
+    "cos": jnp.cos, "acos": jnp.arccos, "tan": jnp.tan, "atan": jnp.arctan,
+    "atan2": jnp.arctan2, "sinh": jnp.sinh, "cosh": jnp.cosh,
+    "erf": jax.scipy.special.erf, "erfc": jax.scipy.special.erfc,
+    "min": jnp.minimum, "max": jnp.maximum,
+}
+
+_CHEM = ("gtf", "vtf", "htf", "gtf_kir", "vtf_kir", "htf_kir", "gkin",
+         "kkin", "lag", "elf", "vir", "he", "lol", "lol_kir")
+
+_MODS = ("", "v", "c", "x", "y", "z", "g", "xx", "xy", "xz", "yx", "yy",
+         "yz", "zx", "zy", "zz", "l", "lv", "lc")
+
+_FIELD_RE = re.compile(r"\$(\w+)(?::(\w+))?")
+
+
+class _Ctx:
+    """Per-batch evaluation context with (field, nder) caching."""
+
+    def __init__(self, system, xT, periodic=True):
+        self.system = system
+        self.xT = xT
+        self.periodic = periodic
+        self._cache = {}
+
+    def res(self, fid, nder):
+        fid = self.system.resolve_fid(fid)
+        for lvl in range(nder, 3):
+            if (fid, lvl) in self._cache:
+                return self._cache[(fid, lvl)]
+        f = self.system.field(fid)
+        out = f.eval_fn(nder=nder, clamp_nuclei=False)(self.xT)
+        self._cache[(fid, nder)] = out
+        return out
+
+    # ---- field reference with modifier --------------------------------
+    def field(self, fid, mod):
+        mod = mod.lower()
+        if mod not in _MODS:
+            raise ExprError(f"unknown field modifier :{mod}")
+        if mod in ("", "v", "c"):
+            f, _, _ = self.res(fid, 0)
+            if mod == "":
+                return f
+            fv = self._fval(fid)
+            return fv if mod == "v" else f - fv
+        if mod in ("x", "y", "z", "g"):
+            _, gf, _ = self.res(fid, 1)
+            if mod == "g":
+                return jnp.sqrt((gf * gf).sum(0))
+            return gf["xyz".index(mod)]
+        f, gf, h6 = self.res(fid, 2)
+        if mod in ("l", "lv", "lc"):
+            lap = h6[0] + h6[1] + h6[2]
+            if mod == "l":
+                return lap
+            raise ExprError("valence laplacian needs core-split fields")
+        ij = {"xx": 0, "yy": 1, "zz": 2, "xy": 3, "yx": 3, "xz": 4,
+              "zx": 4, "yz": 5, "zy": 5}[mod]
+        return h6[ij]
+
+    def _fval(self, fid):
+        f, _, _ = self.res(fid, 0)
+        fld = self.system.field(self.system.resolve_fid(fid))
+        env = fld.coreenv
+        if env is None:
+            return f
+        from .fields.promol import promolecular_soa
+        cf, _, _ = promolecular_soa(self.xT, env.atpos, env.atspc, env.tab,
+                                    nder=0)
+        return f - cf
+
+    # ---- chemical functions -------------------------------------------
+    def chem(self, name, fid):
+        name = name.lower()
+        if name in ("gtf", "vtf", "htf"):
+            f, _, h6 = self.res(fid, 2)
+            g = CTF * jnp.maximum(f, 0.0) ** (5.0 / 3.0)
+            lap = h6[0] + h6[1] + h6[2]
+            if name == "gtf":
+                return g
+            if name == "vtf":
+                return 0.25 * lap - 2.0 * g
+            return 0.25 * lap - g
+        if name in ("gtf_kir", "vtf_kir", "htf_kir", "lol_kir"):
+            f, gf, h6 = self.res(fid, 2)
+            f0 = jnp.maximum(f, 1e-30)
+            lap = h6[0] + h6[1] + h6[2]
+            gmod2 = (gf * gf).sum(0)
+            g = CTF * f0 ** (5.0 / 3.0) + gmod2 / (72.0 * f0) + lap / 6.0
+            if name == "gtf_kir":
+                return g
+            if name == "vtf_kir":
+                return 0.25 * lap - 2.0 * g
+            if name == "htf_kir":
+                return 0.25 * lap - g
+            g0 = CTF * f0 ** (5.0 / 3.0)
+            q = g0 / g
+            return q / (1.0 + q)
+        if name == "lag":
+            _, _, h6 = self.res(fid, 2)
+            return -0.25 * (h6[0] + h6[1] + h6[2])
+        if name in ("gkin", "kkin", "elf", "vir", "he", "lol"):
+            fld = self.system.field(self.system.resolve_fid(fid))
+            if fld.type != "wfn":
+                raise ExprError(
+                    f"{name} needs a field providing the kinetic energy "
+                    "density (wavefunction fields)")
+            return self._chem_wfn(name, fid)
+        raise ExprError(f"unknown chemical function {name}")
+
+    def _chem_wfn(self, name, fid):
+        fld = self.system.field(self.system.resolve_fid(fid))
+        ex = fld.wfn.extras_soa(self.xT)   # dict with gkin, vir
+        f, gf, h6 = self.res(fid, 2)
+        if name == "gkin":
+            return ex["gkin"]
+        if name == "kkin":
+            lap = h6[0] + h6[1] + h6[2]
+            return ex["gkin"] - 0.25 * lap
+        if name == "elf":
+            f0 = jnp.maximum(f, 1e-30)
+            gmod2 = (gf * gf).sum(0)
+            ds = ex["gkin"] - gmod2 / (8.0 * f0)
+            ds0 = CTF * f0 ** (5.0 / 3.0)
+            q = ds / ds0
+            return jnp.where(f < 1e-30, 0.0, 1.0 / (1.0 + q * q))
+        if name == "vir":
+            return ex["vir"]
+        if name == "he":
+            return ex["vir"] + ex["gkin"]
+        if name == "lol":
+            q = CTF * jnp.maximum(f, 0.0) ** (5.0 / 3.0) / \
+                jnp.maximum(ex["gkin"], 1e-30)
+            return q / (1.0 + q)
+        raise ExprError(name)
+
+
+class _Validator(ast.NodeVisitor):
+    ALLOWED = (ast.Expression, ast.BinOp, ast.UnaryOp, ast.Call,
+               ast.Constant, ast.Name, ast.Load, ast.Add, ast.Sub,
+               ast.Mult, ast.Div, ast.Pow, ast.Mod, ast.USub, ast.UAdd,
+               ast.Compare, ast.Lt, ast.Gt, ast.LtE, ast.GtE, ast.Eq,
+               ast.NotEq, ast.keyword)
+
+    def __init__(self, varnames):
+        self.varnames = varnames
+
+    def generic_visit(self, node):
+        if not isinstance(node, self.ALLOWED):
+            raise ExprError(f"disallowed syntax: {type(node).__name__}")
+        super().generic_visit(node)
+
+    def visit_Call(self, node):
+        if not isinstance(node.func, ast.Name):
+            raise ExprError("only simple function calls allowed")
+        name = node.func.id
+        if name not in _MATH and name.lower() not in _CHEM and \
+                name not in ("__field__",):
+            raise ExprError(f"unknown function {name}")
+        for a in node.args:
+            self.visit(a)
+
+    def visit_Name(self, node):
+        ok = (node.id in ("pi", "e") or node.id in self.varnames
+              or node.id == "__field__")
+        if not ok:
+            raise ExprError(f"unknown variable {node.id}")
+
+
+def _desugar(expr: str) -> str:
+    expr = _FIELD_RE.sub(
+        lambda m: f'__field__("{m.group(1)}","{m.group(2) or ""}")', expr)
+    # ^ is exponentiation in the reference grammar
+    expr = expr.replace("^", "**")
+    return expr
+
+
+def compile_expr(expr: str, system, periodic: bool | None = None):
+    """Compile an expression to fn(xT (3,N)) -> (N,) over `system`."""
+    if periodic is None:
+        periodic = not system.crystal.ismolecule
+    src = _desugar(expr)
+    try:
+        tree = ast.parse(src, mode="eval")
+    except SyntaxError as exc:
+        raise ExprError(f"cannot parse expression: {expr!r} ({exc})") from exc
+    uservars = getattr(system, "vars", {})
+    _Validator(set(uservars)).visit(tree)
+
+    # chemical function calls: gtf(1) -> chem call on the context
+    class _Rw(ast.NodeTransformer):
+        def visit_Call(self, node):
+            self.generic_visit(node)
+            if isinstance(node.func, ast.Name) and \
+                    node.func.id.lower() in _CHEM:
+                arg = node.args[0] if node.args else ast.Constant(None)
+                if isinstance(arg, ast.Constant):
+                    fid = arg.value
+                elif isinstance(arg, ast.Name):
+                    fid = arg.id
+                else:
+                    raise ExprError("chemical functions take a field id")
+                return ast.copy_location(
+                    ast.Call(func=ast.Name("__chem__", ast.Load()),
+                             args=[ast.Constant(node.func.id.lower()),
+                                   ast.Constant(fid)], keywords=[]), node)
+            return node
+
+    tree = ast.fix_missing_locations(_Rw().visit(tree))
+    code = compile(tree, "<critic2-expr>", "eval")
+
+    def fn(xT):
+        ctx = _Ctx(system, xT, periodic=periodic)
+        glb = {"__builtins__": {}, "pi": jnp.pi, "e": jnp.e,
+               "__field__": lambda fid, mod: ctx.field(fid, mod),
+               "__chem__": lambda nm, fid: ctx.chem(
+                   nm, fid if fid is not None else system.iref or 0)}
+        glb.update(_MATH)
+        glb.update({k: jnp.asarray(v) for k, v in uservars.items()})
+        out = eval(code, glb)  # noqa: S307 - AST whitelisted above
+        return jnp.broadcast_to(jnp.asarray(out, jnp.float64),
+                                (xT.shape[1],))
+
+    return fn
+
+
+def eval_expr(expr: str, system, points_cart, periodic=None):
+    """Evaluate an expression at Cartesian points (N, 3) -> (N,)."""
+    import numpy as np
+
+    fn = compile_expr(expr, system, periodic=periodic)
+    xT = jnp.asarray(np.atleast_2d(points_cart)).T
+    return fn(xT)

@@ -45,6 +45,33 @@ class ScalarBatch:
         return self.hf[..., 0, 0] + self.hf[..., 1, 1] + self.hf[..., 2, 2]
 
 
+def _ghost_derivs(expr_fn, xT, nder):
+    """Value/gradient/Hessian of a batched scalar closure via autodiff.
+
+    Points are independent, so d(sum_n f)/dxT = per-point gradients and
+    three jvp passes of the gradient give the Hessian columns."""
+    import jax
+
+    f = expr_fn(xT)
+    N = xT.shape[1]
+    z3 = jnp.zeros((3, N), f.dtype)
+    z6 = jnp.zeros((6, N), f.dtype)
+    if nder < 1:
+        return f, z3, z6
+    gsum = lambda x: expr_fn(x).sum()  # noqa: E731
+    gf = jax.grad(gsum)(xT)
+    if nder < 2:
+        return f, gf, z6
+    gradfn = jax.grad(gsum)
+    cols = []
+    for i in range(3):
+        tang = jnp.zeros_like(xT).at[i, :].set(1.0)
+        cols.append(jax.jvp(gradfn, (xT,), (tang,))[1])  # (3, N) = H[:, i]
+    h = jnp.stack(cols)                                   # (i, j, N)
+    h6 = jnp.stack([h[0, 0], h[1, 1], h[2, 2], h[0, 1], h[0, 2], h[1, 2]])
+    return f, gf, h6
+
+
 @dataclass
 class Field:
     crystal: object
@@ -70,6 +97,14 @@ class Field:
     @classmethod
     def from_grid(cls, crystal, grid: Grid3, name="", **kw) -> "Field":
         return cls(crystal=crystal, type="grid", grid=grid, name=name, **kw)
+
+    @classmethod
+    def ghost(cls, crystal, expr_fn, name="ghost") -> "Field":
+        """Expression-backed field (reference ghost fields): expr_fn is a
+        compiled batched closure xT (3, N) -> (N,). Derivatives come from
+        JAX autodiff instead of the reference's Richardson numerical
+        differences (src/fieldmod@proc.f90:932-1135)."""
+        return cls(crystal=crystal, type="ghost", expr=expr_fn, name=name)
 
     @classmethod
     def from_file(cls, crystal, path: str, fmt: str | None = None,
@@ -135,9 +170,11 @@ class Field:
         elif self.type == "wfn":
             f, gf, hf = self.wfn.rho_eval(v, nder=nder)  # molecules: no wrap
         elif self.type == "ghost":
-            f = self.expr(wc)
-            gf = jnp.zeros_like(wc)
-            hf = jnp.zeros((len(wc), 3, 3), f.dtype)
+            from ..ops.interp import sym6_to_mat
+
+            f, gfT, h6 = _ghost_derivs(self.expr, v.T, nder)
+            gf = gfT.T
+            hf = sym6_to_mat(h6)
         else:
             raise ValueError(f"unknown field type {self.type}")
 
@@ -213,6 +250,7 @@ class Field:
             grid_mode = "tricubic"
         promol = self.promol
         wfn = self.wfn
+        expr_fn = self.expr
         env = self.coreenv
 
         from ..ops.interp import interp_soa
@@ -232,6 +270,8 @@ class Field:
                     wc, promol.atpos, promol.atspc, promol.tab, nder=nder)
             elif ftype == "wfn":
                 f, gf, h6 = wfn.rho_eval_soa(xT, nder=nder)
+            elif ftype == "ghost":
+                f, gf, h6 = _ghost_derivs(expr_fn, xT, nder)
             else:
                 raise ValueError(f"eval_fn unsupported for type {ftype}")
             if env is not None:
