@@ -88,8 +88,8 @@ def detect_format(path: str) -> str:
         return "poscar"
     if ext in ("xsf", "axsf"):
         return "xsf"
-    if ext in ("wfn", "wfx", "fchk", "molden"):
-        return ext
+    if ext in ("wfn", "wfx", "fchk", "fch", "fck", "molden"):
+        return "wfn"
     if ext in ("in",):
         return "qe-in"
     if ext in ("out", "scf"):
@@ -115,7 +115,27 @@ def read_structure(path: str, mol: bool | None = None) -> Crystal:
         return read_cif(path).to_crystal()
     if fmt == "xsf":
         return read_xsf_structure(path).to_crystal()
+    if fmt == "wfn":
+        return read_wfn_structure(path).to_crystal()
     raise NotImplementedError(f"structure format {fmt} not implemented yet")
+
+
+def read_wfn_structure(path: str, border: float = 10.0) -> CrystalSeed:
+    """Molecule geometry from a wavefunction file (reference MOLECULE
+    file.{wfn,wfx,fchk}, src/crystalseedmod.f90 read_mol)."""
+    from ..fields.wfn import Wavefunction
+
+    w = Wavefunction.from_file(path)
+    spmap, species, spof = {}, [], []
+    for z in w.atz:
+        z = int(z)
+        if z not in spmap:
+            spmap[z] = len(species)
+            species.append(Species(param.z_to_symbol(z), z))
+        spof.append(spmap[z])
+    return CrystalSeed(x_frac=np.asarray(w.atpos),
+                       species_of=np.asarray(spof), species=species,
+                       ismolecule=True, name=path, border=border)
 
 
 # ---------------------------------------------------------------------------

@@ -123,6 +123,11 @@ class Field:
         from .wfn import Wavefunction
 
         wfn = Wavefunction.from_file(path)
+        # molecules live in a shifted internal frame (molx0); move the
+        # wavefunction into it so all evaluations share one frame
+        if crystal.ismolecule and crystal.molx0 is not None:
+            wfn.atpos = wfn.atpos - np.asarray(crystal.molx0)
+            wfn._dev = {}
         return cls(crystal=crystal, type="wfn", wfn=wfn, name=name or path, **kw)
 
     # ------------------------------------------------------------------

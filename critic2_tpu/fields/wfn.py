@@ -1,0 +1,562 @@
+"""Molecular wavefunctions: readers + batched GTO evaluation on device.
+
+Role of the reference wfn_private (src/wfn_private.f90, @proc.F90):
+read .wfn/.wfx/.fchk molecular wavefunctions into primitive Cartesian
+Gaussians phi_p = x^a y^b z^c exp(-alpha r^2) with MO coefficients, and
+evaluate rho / grad / Hessian / G(r) / virial at points (rho2,
+src/wfn_private@proc.F90:2032-2228).
+
+TPU decomposition of the hot loop (calculate_mo_gto, :2707-2781): the
+per-point neighbor-list loop over primitives becomes a dense
+points x primitives computation - the 10 derivative components chi_d are
+(P, N) arrays built on the VPU, and the MO contractions
+phi_d = C (M, P) @ chi_d (P, N) are MXU matmuls. Distance screening is a
+multiplicative exp(-alpha r^2) underflow, not a dynamic list, so shapes
+stay static. Density assembly follows rho2 exactly: rho = sum occ phi^2,
+grad = 2 sum occ phi dphi, H from phi d2phi + dphi dphi, gkin = 1/2 sum
+occ |dphi|^2, stress_ij = 1/2 sum occ (phi phi_ij - phi_i phi_j), vir =
+tr(stress).
+
+Primitive type convention = AIMPAC (li table,
+src/wfn_private@proc.F90:2695-2705); fchk shells are expanded to
+normalized primitives exactly as read_fchk does (gnorm, typtrans,
+basis-function renormalization, :1230-1300).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["Wavefunction"]
+
+# AIMPAC primitive type -> cartesian powers (reference li table)
+_LI = np.array([
+    (0, 0, 0),
+    (1, 0, 0), (0, 1, 0), (0, 0, 1),
+    (2, 0, 0), (0, 2, 0), (0, 0, 2), (1, 1, 0), (1, 0, 1), (0, 1, 1),
+    (3, 0, 0), (0, 3, 0), (0, 0, 3), (2, 1, 0), (2, 0, 1), (0, 2, 1),
+    (1, 2, 0), (1, 0, 2), (0, 1, 2), (1, 1, 1),
+    (4, 0, 0), (0, 4, 0), (0, 0, 4), (3, 1, 0), (3, 0, 1), (1, 3, 0),
+    (0, 3, 1), (1, 0, 3), (0, 1, 3), (2, 2, 0), (2, 0, 2), (0, 2, 2),
+    (2, 1, 1), (1, 2, 1), (1, 1, 2),
+], dtype=np.int32)   # types 1..35 (0-indexed row = type-1)
+
+_DFACM1 = np.array([1, 1, 1, 2, 3, 8, 15, 48, 105], dtype=float)
+
+# fchk in-shell primitive order -> AIMPAC type (reference typtrans)
+_TYPTRANS = np.array([
+    1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 17, 14, 15, 18, 19, 16, 20,
+    23, 29, 32, 27, 22, 28, 35, 34, 26, 31, 33, 30, 25, 24, 21],
+    dtype=np.int32)
+
+# first/last fchk in-shell type index per |l| (reference jshl0/jshl1, 1-based)
+_JSHL0 = {0: 1, 1: 2, 2: 5, 3: 11, 4: 21}
+_JSHL1 = {0: 1, 1: 4, 2: 10, 3: 20, 4: 35}
+_NSHLT_CAR = {0: 1, 1: 3, 2: 6, 3: 10, 4: 15}
+_NSHLT_SPH = {0: 1, 1: 3, 2: 5, 3: 7, 4: 9}
+
+
+def _gnorm(ityp: int, a: float) -> float:
+    """Primitive normalization (reference gnorm,
+    src/wfn_private@proc.F90:2877-2933)."""
+    lx, ly, lz = _LI[ityp - 1]
+    l = int(lx + ly + lz)
+    dd = _DFACM1[2 * lx] * _DFACM1[2 * ly] * _DFACM1[2 * lz]
+    return (2.0 ** (3.0 / 4.0 + l) * a ** (3.0 / 4.0 + l / 2.0)
+            / np.pi ** (3.0 / 4.0) / np.sqrt(dd))
+
+
+def _sph_to_car(l: int) -> np.ndarray:
+    """(nsph, ncar) solid-harmonic -> cartesian-product matrices in the
+    fchk component orders (reference dsphcar/fsphcar/gsphcar_fchk)."""
+    s3 = np.sqrt(3.0); s3_8 = np.sqrt(3 / 8); s5_8 = np.sqrt(5 / 8)
+    s6 = np.sqrt(6.0); s15 = np.sqrt(15.0); s15_4 = np.sqrt(15 / 4)
+    s45_8 = np.sqrt(45 / 8)
+    if l == 2:
+        # fchk cartesian order: xx yy zz xy xz yz; sph: 0 1 -1 2 -2
+        m = np.zeros((5, 6))
+        s3_4 = np.sqrt(3 / 4)
+        m[:, 0] = [-0.5, 0, 0, s3_4, 0]     # xx
+        m[:, 1] = [-0.5, 0, 0, -s3_4, 0]    # yy
+        m[:, 2] = [1.0, 0, 0, 0, 0]         # zz
+        m[:, 3] = [0, 0, 0, 0, s3]          # xy
+        m[:, 4] = [0, s3, 0, 0, 0]          # xz
+        m[:, 5] = [0, 0, s3, 0, 0]          # yz
+        return m
+    if l == 3:
+        # fchk cartesian order: xxx yyy zzz xyy xxy xxz xzz yzz yyz xyz
+        m = np.zeros((7, 10))
+        m[:, 0] = [0, -s3_8, 0, 0, 0, s5_8, 0]      # xxx
+        m[:, 1] = [0, 0, -s3_8, 0, 0, 0, -s5_8]     # yyy
+        m[:, 2] = [1, 0, 0, 0, 0, 0, 0]             # zzz
+        m[:, 3] = [0, -s3_8, 0, 0, 0, -s45_8, 0]    # xyy
+        m[:, 4] = [0, 0, -s3_8, 0, 0, 0, s45_8]     # xxy
+        m[:, 5] = [-1.5, 0, 0, s15_4, 0, 0, 0]      # xxz
+        m[:, 6] = [0, s6, 0, 0, 0, 0, 0]            # xzz
+        m[:, 7] = [0, 0, s6, 0, 0, 0, 0]            # yzz
+        m[:, 8] = [-1.5, 0, 0, -s15_4, 0, 0, 0]     # yyz
+        m[:, 9] = [0, 0, 0, 0, s15, 0, 0]           # xyz
+        return m
+    if l == 4:
+        d38 = 3 / 8; d34 = 3 / 4
+        s5_16 = np.sqrt(5 / 16); s35_64 = np.sqrt(35 / 64)
+        s10_8 = np.sqrt(10 / 8); s35_4 = np.sqrt(35 / 4)
+        s35_8 = np.sqrt(35 / 8); s10 = np.sqrt(10.0)
+        s45_4 = np.sqrt(45 / 4); s45 = np.sqrt(45.0)
+        s315_8 = np.sqrt(315 / 8); s315_16 = np.sqrt(315 / 16)
+        # fchk cart order: zzzz yzzz yyzz yyyz yyyy xzzz xyzz xyyz xyyy
+        #                  xxzz xxyz xxyy xxxz xxxy xxxx
+        m = np.zeros((9, 15))
+        m[:, 0] = [1, 0, 0, 0, 0, 0, 0, 0, 0]                    # zzzz
+        m[:, 1] = [0, 0, s10, 0, 0, 0, 0, 0, 0]                  # yzzz
+        m[:, 2] = [-3, 0, 0, -s45_4, 0, 0, 0, 0, 0]              # yyzz
+        m[:, 3] = [0, 0, -s45_8, 0, 0, 0, -s35_8, 0, 0]          # yyyz
+        m[:, 4] = [d38, 0, 0, s5_16, 0, 0, 0, s35_64, 0]         # yyyy
+        m[:, 5] = [0, s10, 0, 0, 0, 0, 0, 0, 0]                  # xzzz
+        m[:, 6] = [0, 0, 0, 0, s45, 0, 0, 0, 0]                  # xyzz
+        m[:, 7] = [0, -s45_8, 0, 0, 0, -s315_8, 0, 0, 0]         # xyyz
+        m[:, 8] = [0, 0, -s10_8, 0, 0, 0, 0, 0, -s35_4]          # xyyy
+        m[:, 9] = [-3, 0, 0, s45_4, 0, 0, 0, 0, 0]               # xxzz
+        m[:, 10] = [0, 0, -s45_8, 0, 0, 0, s315_8, 0, 0]         # xxyz
+        m[:, 11] = [d34, 0, 0, 0, 0, 0, 0, -s315_16, 0]          # xxyy
+        m[:, 12] = [0, -s45_8, 0, 0, 0, s35_8, 0, 0, 0]          # xxxz
+        m[:, 13] = [0, 0, -s10_8, 0, 0, 0, 0, 0, s35_4]          # xxxy
+        m[:, 14] = [d38, 0, 0, -s5_16, 0, 0, 0, s35_64, 0]       # xxxx
+        return m
+    raise ValueError(f"no spherical transform for l={l}")
+
+
+@dataclass
+class Wavefunction:
+    """Primitive-expanded molecular wavefunction (GTO)."""
+
+    atpos: np.ndarray          # (nat, 3) Cartesian bohr
+    atz: np.ndarray            # (nat,)
+    icenter: np.ndarray        # (P,) 0-based atom index per primitive
+    itype: np.ndarray          # (P,) AIMPAC type (1-based)
+    e: np.ndarray              # (P,) exponents
+    cmo: np.ndarray            # (M, P) MO coefficients (primitive basis)
+    occ: np.ndarray            # (M,) occupations
+    wfntyp: str = "rhf"        # rhf | uhf | frac
+    nalpha: int = 0
+    source: str = ""
+    # device cache
+    _dev: dict = dfield(default_factory=dict, repr=False)
+
+    @property
+    def nmo(self):
+        return self.cmo.shape[0]
+
+    @property
+    def npri(self):
+        return self.cmo.shape[1]
+
+    @property
+    def nelec(self):
+        return float(np.sum(self.occ))
+
+    # ------------------------------------------------------------------
+    def _device(self):
+        if not self._dev:
+            li = _LI[self.itype - 1]               # (P, 3)
+            self._dev = dict(
+                ctr=jnp.asarray(self.atpos[self.icenter]),   # (P, 3)
+                lx=jnp.asarray(li.T),                        # (3, P)
+                al=jnp.asarray(self.e),
+                C=jnp.asarray(self.cmo),
+                occ=jnp.asarray(self.occ),
+            )
+        return self._dev
+
+    def eval_closure(self, nder: int = 2, extras: bool = False):
+        """Build a jittable SoA closure xT (3, N) -> outputs.
+
+        Without extras: (rho, grad (3, N), h6 (6, N)).
+        With extras: dict with rho, grad, h6, gkin, vir, stress6.
+        """
+        d = self._device()
+        ctrT, lx, al, C, occ = d["ctr"].T, d["lx"], d["al"], d["C"], d["occ"]
+
+        def pw(X, n):
+            # X^n for per-primitive int exponents n (P,), guarded at n<0
+            return jnp.where(n[:, None] < 0, 0.0,
+                             X ** jnp.maximum(n, 0)[:, None])
+
+        def fn(xT):
+            # per-primitive displacements (3, P, N)
+            dx = xT[:, None, :] - ctrT[:, :, None]
+            r2 = (dx * dx).sum(0)                          # (P, N)
+            ex = jnp.exp(-al[:, None] * r2)
+            X, Y, Z = dx[0], dx[1], dx[2]
+            a, b, c = lx[0], lx[1], lx[2]
+            xa, yb, zc = pw(X, a), pw(Y, b), pw(Z, c)
+            chi0 = xa * yb * zc * ex
+            phi0 = C @ chi0                                 # (M, N) matmul
+            rho = occ @ (phi0 * phi0)
+            N = xT.shape[1]
+            if nder < 1 and not extras:
+                return rho, jnp.zeros((3, N)), jnp.zeros((6, N))
+
+            dxa = a[:, None] * pw(X, a - 1) - 2.0 * al[:, None] * pw(X, a + 1)
+            dyb = b[:, None] * pw(Y, b - 1) - 2.0 * al[:, None] * pw(Y, b + 1)
+            dzc = c[:, None] * pw(Z, c - 1) - 2.0 * al[:, None] * pw(Z, c + 1)
+            phix = C @ (dxa * yb * zc * ex)
+            phiy = C @ (xa * dyb * zc * ex)
+            phiz = C @ (xa * yb * dzc * ex)
+            grad = jnp.stack([occ @ (phi0 * phix), occ @ (phi0 * phiy),
+                              occ @ (phi0 * phiz)]) * 2.0
+            gkin = 0.5 * (occ @ (phix * phix + phiy * phiy + phiz * phiz))
+            if nder < 2 and not extras:
+                return rho, grad, jnp.zeros((6, N))
+
+            al2 = 2.0 * al[:, None]
+            sxa = (a * (a - 1))[:, None] * pw(X, a - 2) \
+                - al2 * (2 * a + 1)[:, None] * xa \
+                + 4.0 * al[:, None] ** 2 * pw(X, a + 2)
+            syb = (b * (b - 1))[:, None] * pw(Y, b - 2) \
+                - al2 * (2 * b + 1)[:, None] * yb \
+                + 4.0 * al[:, None] ** 2 * pw(Y, b + 2)
+            szc = (c * (c - 1))[:, None] * pw(Z, c - 2) \
+                - al2 * (2 * c + 1)[:, None] * zc \
+                + 4.0 * al[:, None] ** 2 * pw(Z, c + 2)
+            phixx = C @ (sxa * yb * zc * ex)
+            phiyy = C @ (xa * syb * zc * ex)
+            phizz = C @ (xa * yb * szc * ex)
+            phixy = C @ (dxa * dyb * zc * ex)
+            phixz = C @ (dxa * yb * dzc * ex)
+            phiyz = C @ (xa * dyb * dzc * ex)
+            h6 = jnp.stack([
+                2.0 * (occ @ (phi0 * phixx + phix * phix)),
+                2.0 * (occ @ (phi0 * phiyy + phiy * phiy)),
+                2.0 * (occ @ (phi0 * phizz + phiz * phiz)),
+                2.0 * (occ @ (phi0 * phixy + phix * phiy)),
+                2.0 * (occ @ (phi0 * phixz + phix * phiz)),
+                2.0 * (occ @ (phi0 * phiyz + phiy * phiz)),
+            ])
+            if not extras:
+                return rho, grad, h6
+            s6 = 0.5 * jnp.stack([
+                occ @ (phi0 * phixx - phix * phix),
+                occ @ (phi0 * phiyy - phiy * phiy),
+                occ @ (phi0 * phizz - phiz * phiz),
+                occ @ (phi0 * phixy - phix * phiy),
+                occ @ (phi0 * phixz - phix * phiz),
+                occ @ (phi0 * phiyz - phiy * phiz),
+            ])
+            vir = s6[0] + s6[1] + s6[2]
+            return {"rho": rho, "grad": grad, "h6": h6, "gkin": gkin,
+                    "vir": vir, "stress6": s6}
+
+        return fn
+
+    def rho_eval_soa(self, xT, nder: int = 2, block: int = 4096):
+        """(f, gf (3,N), h6 (6,N)) with internal chunking."""
+        fn = jax.jit(self.eval_closure(nder=nder))
+        N = xT.shape[1]
+        if N <= block:
+            return fn(xT)
+        outs = [fn(xT[:, lo:lo + block]) for lo in range(0, N, block)]
+        return tuple(jnp.concatenate([o[i] for o in outs], axis=-1)
+                     for i in range(3))
+
+    def extras_soa(self, xT, block: int = 4096):
+        fn = jax.jit(self.eval_closure(nder=2, extras=True))
+        N = xT.shape[1]
+        if N <= block:
+            return fn(xT)
+        outs = [fn(xT[:, lo:lo + block]) for lo in range(0, N, block)]
+        return {k: jnp.concatenate([o[k] for o in outs], axis=-1)
+                for k in outs[0]}
+
+    def rho_eval(self, points, nder: int = 2):
+        """Batch-first wrapper: points (N,3) -> (f, gf (N,3), hf (N,3,3))."""
+        from ..ops.interp import sym6_to_mat
+
+        f, gfT, h6 = self.rho_eval_soa(jnp.asarray(points).T, nder=nder)
+        return f, gfT.T, sym6_to_mat(h6)
+
+    def mo_values(self, points):
+        """MO values at points (N, 3) -> (M, N)."""
+        d = self._device()
+        xT = jnp.asarray(points).T
+        dx = xT[:, None, :] - d["ctr"].T[:, :, None]
+        r2 = (dx * dx).sum(0)
+        ex = jnp.exp(-d["al"][:, None] * r2)
+        a, b, c = d["lx"]
+        chi = (dx[0] ** jnp.maximum(a, 0)[:, None]
+               * dx[1] ** jnp.maximum(b, 0)[:, None]
+               * dx[2] ** jnp.maximum(c, 0)[:, None] * ex)
+        return d["C"] @ chi
+
+    # ------------------------------------------------------------------
+    # readers
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_file(cls, path: str) -> "Wavefunction":
+        low = path.lower()
+        if low.endswith(".wfn"):
+            return cls.read_wfn(path)
+        if low.endswith(".wfx"):
+            return cls.read_wfx(path)
+        if low.endswith(".fchk") or low.endswith(".fck") or \
+                low.endswith(".fch"):
+            return cls.read_fchk(path)
+        if low.endswith(".molden") or low.endswith(".molden.input"):
+            return cls.read_molden(path)
+        raise ValueError(f"unknown wavefunction format: {path}")
+
+    @classmethod
+    def read_wfn(cls, path: str) -> "Wavefunction":
+        """AIMPAC .wfn reader (reference read_wfn,
+        src/wfn_private@proc.F90:484-...)."""
+        import re
+
+        with open(path) as fh:
+            lines = fh.read().splitlines()
+        m = re.search(r"(\d+)\s+MOL ORBITALS\s+(\d+)\s+PRIMITIVES\s+(\d+)\s+NUCLEI",
+                      lines[1])
+        if not m:
+            raise ValueError("bad .wfn header")
+        nmo, npri, nat = (int(v) for v in m.groups())
+        atpos = np.zeros((nat, 3))
+        atz = np.zeros(nat, dtype=int)
+        iline = 2
+        for i in range(nat):
+            ln = lines[iline + i]
+            mm = re.search(r"\)\s*([-\d.DEde+]+)\s+([-\d.DEde+]+)\s+"
+                           r"([-\d.DEde+]+)\s+CHARGE\s*=\s*([-\d.DEde+]+)", ln)
+            atpos[i] = [float(v.replace("D", "E")) for v in mm.groups()[:3]]
+            atz[i] = int(float(mm.group(4).replace("D", "E")))
+        iline += nat
+
+        def read_ints(tag):
+            nonlocal iline
+            vals = []
+            while iline < len(lines) and lines[iline].lstrip().startswith(tag):
+                vals.extend(int(v) for v in
+                            re.findall(r"(\d+)", lines[iline].split(tag)[1]))
+                iline += 1
+            return np.asarray(vals, dtype=np.int32)
+
+        icenter = read_ints("CENTRE ASSIGNMENTS")
+        itype = read_ints("TYPE ASSIGNMENTS")
+        expos = []
+        while iline < len(lines) and lines[iline].lstrip().startswith("EXPONENTS"):
+            expos.extend(float(v.replace("D", "E")) for v in
+                         re.findall(r"[-\d.]+[DEde][-+]\d+",
+                                    lines[iline]))
+            iline += 1
+        e = np.asarray(expos)
+        if not (len(icenter) == len(itype) == len(e) == npri):
+            raise ValueError("inconsistent .wfn primitive data")
+
+        occ = np.zeros(nmo)
+        cmo = np.zeros((nmo, npri))
+        imo = -1
+        vals = []
+        for ln in lines[iline:]:
+            if ln.startswith("MO") or "OCC NO" in ln:
+                if imo >= 0:
+                    cmo[imo, :] = vals[:npri]
+                mm = re.search(r"OCC NO\s*=\s*([-\d.DEde+]+)", ln)
+                if mm is None:
+                    break
+                imo += 1
+                occ[imo] = float(mm.group(1).replace("D", "E"))
+                vals = []
+            elif ln.strip().startswith("END DATA"):
+                if imo >= 0:
+                    cmo[imo, :] = vals[:npri]
+                break
+            else:
+                vals.extend(float(v.replace("D", "E")) for v in
+                            re.findall(r"[-\d.]+[DEde][-+]\d+", ln))
+        return cls(atpos=atpos, atz=atz, icenter=icenter - 1, itype=itype,
+                   e=e, cmo=cmo, occ=occ, source=path)
+
+    @classmethod
+    def read_wfx(cls, path: str) -> "Wavefunction":
+        """AIM .wfx reader (reference read_wfx,
+        src/wfn_private@proc.F90:588-...). EDF core functions are not
+        yet evaluated (ECP wfx will miss core density)."""
+        text = open(path).read()
+
+        def tag(name, dtype=float):
+            import re
+
+            m = re.search(rf"<{re.escape(name)}>(.*?)</{re.escape(name)}>",
+                          text, re.S)
+            if m is None:
+                return None
+            body = m.group(1)
+            body = re.sub(r"<MO Number>.*?</MO Number>", " ", body, flags=re.S)
+            vals = body.replace("D", "E").replace("d", "E").split()
+            return np.asarray([dtype(v) for v in vals])
+
+        nat = int(tag("Number of Nuclei", int)[0])
+        atz = tag("Atomic Numbers", int)
+        atpos = tag("Nuclear Cartesian Coordinates").reshape(nat, 3)
+        icenter = tag("Primitive Centers", int)
+        itype = tag("Primitive Types", int)
+        e = tag("Primitive Exponents")
+        occ = tag("Molecular Orbital Occupation Numbers")
+        coefs = tag("Molecular Orbital Primitive Coefficients")
+        nmo = len(occ)
+        npri = len(e)
+        cmo = coefs.reshape(nmo, npri)
+        return cls(atpos=atpos, atz=atz.astype(int),
+                   icenter=icenter.astype(np.int32) - 1,
+                   itype=itype.astype(np.int32), e=e, cmo=cmo, occ=occ,
+                   source=path)
+
+    @classmethod
+    def read_fchk(cls, path: str, readvirtual: bool = False) -> "Wavefunction":
+        """Gaussian formatted-checkpoint reader (reference read_fchk,
+        src/wfn_private@proc.F90:920-1436)."""
+        ints = {}
+        arrays = {}
+        with open(path) as fh:
+            lines = fh.read().splitlines()
+        i = 0
+        while i < len(lines):
+            ln = lines[i]
+            if len(ln) > 47 and ln[43] == "I" and "N=" not in ln:
+                ints[ln[:40].strip()] = int(ln.split()[-1])
+                i += 1
+                continue
+            if "N=" in ln and len(ln) > 47 and ln[43] in "IR":
+                name = ln[:40].strip()
+                n = int(ln.split()[-1])
+                kind = ln[43]
+                perline = 5 if kind == "R" else 6
+                nlines = (n + perline - 1) // perline
+                vals = []
+                i += 1
+                for _ in range(nlines):
+                    vals.extend(lines[i].split())
+                    i += 1
+                arrays[name] = (np.asarray(vals, dtype=float) if kind == "R"
+                                else np.asarray(vals, dtype=int))
+                continue
+            if len(ln) > 47 and ln[43] == "R" and "N=" not in ln:
+                try:
+                    ints[ln[:40].strip()] = float(ln.split()[-1])
+                except ValueError:
+                    pass
+            i += 1
+
+        nelec = ints["Number of electrons"]
+        nalpha = ints["Number of alpha electrons"]
+        uhf = "Beta Orbital Energies" in arrays
+        nat = ints["Number of atoms"]
+        atz = arrays["Atomic numbers"].astype(int)
+        atpos = arrays["Current cartesian coordinates"].reshape(nat, 3)
+
+        ishlt = arrays["Shell types"].astype(int)
+        ishlpri = arrays["Number of primitives per shell"].astype(int)
+        ishlat = arrays["Shell to atom map"].astype(int)
+        exppri = arrays["Primitive exponents"]
+        ccontr = arrays["Contraction coefficients"]
+        pccontr = arrays.get("P(S=P) Contraction coefficients")
+        nbassph = ints["Number of basis functions"]
+
+        if uhf:
+            nmoocc = nelec
+            occ = np.ones(nmoocc)
+        else:
+            if nelec % 2:
+                raise ValueError("odd electron count for RHF fchk")
+            nmoocc = nelec // 2
+            occ = np.full(nmoocc, 2.0)
+
+        amo = arrays["Alpha MO coefficients"].reshape(-1, nbassph)
+        if uhf:
+            bmo = arrays["Beta MO coefficients"].reshape(-1, nbassph)
+            mo_sph = np.concatenate([amo[:nalpha], bmo[:nelec - nalpha]])
+        else:
+            mo_sph = amo[:nmoocc]
+        nmo = mo_sph.shape[0]
+
+        # unfold SP (l = -1) shells into s + p
+        sh_l, sh_at, sh_exp, sh_cc = [], [], [], []
+        ip = 0
+        for s in range(len(ishlt)):
+            npr = ishlpri[s]
+            ee = exppri[ip:ip + npr]
+            cc = ccontr[ip:ip + npr]
+            if ishlt[s] == -1:
+                pc = pccontr[ip:ip + npr]
+                sh_l.append(0); sh_at.append(ishlat[s])
+                sh_exp.append(ee); sh_cc.append(cc)
+                sh_l.append(1); sh_at.append(ishlat[s])
+                sh_exp.append(ee); sh_cc.append(pc)
+            else:
+                sh_l.append(int(ishlt[s])); sh_at.append(ishlat[s])
+                sh_exp.append(ee); sh_cc.append(cc)
+            ip += npr
+
+        icenter, itype, e, cmo_cols = [], [], [], []
+        ns = 0  # position in the spherical basis-function list
+        for s in range(len(sh_l)):
+            lsig = sh_l[s]
+            l = abs(lsig)
+            ee = sh_exp[s]
+            cc = sh_cc[s]
+            npr = len(ee)
+            ncar = _NSHLT_CAR[l]
+            nsph = _NSHLT_SPH[l] if lsig < -1 else ncar
+            # MO coefficients per cartesian component
+            mo_blk = mo_sph[:, ns:ns + nsph]            # (M, nsph)
+            if lsig < -1:
+                mo_car = mo_blk @ _sph_to_car(l)        # (M, ncar)
+            else:
+                mo_car = mo_blk
+            ns += nsph
+
+            for jj, j in enumerate(range(_JSHL0[l], _JSHL1[l] + 1)):
+                ityp = int(_TYPTRANS[j - 1])
+                cn = np.array([cc[k] * _gnorm(ityp, ee[k])
+                               for k in range(npr)])
+                # basis-function normalization (reference :1247-1258)
+                norm = 0.0
+                for k1 in range(npr):
+                    for k2 in range(npr):
+                        norm += cn[k1] * cn[k2] / \
+                            (ee[k1] + ee[k2]) ** (l + 1.5)
+                cons = np.pi ** 1.5 * _DFACM1[2 * l] / 2 ** l
+                norm = 1.0 / np.sqrt(norm * cons)
+                if lsig >= 0:
+                    if 8 <= ityp <= 10:
+                        norm *= np.sqrt(3.0)
+                    elif 14 <= ityp <= 19:
+                        norm *= np.sqrt(5.0)
+                    elif ityp == 20:
+                        norm *= np.sqrt(15.0)
+                    elif 24 <= ityp <= 29:
+                        norm *= np.sqrt(7.0)
+                    elif 30 <= ityp <= 32:
+                        norm *= np.sqrt(35.0 / 3.0)
+                    elif 33 <= ityp <= 35:
+                        norm *= np.sqrt(35.0)
+                for k in range(npr):
+                    icenter.append(sh_at[s] - 1)
+                    itype.append(ityp)
+                    e.append(ee[k])
+                    cmo_cols.append(cn[k] * norm * mo_car[:, jj])
+
+        cmo = np.stack(cmo_cols, axis=1)
+        return cls(atpos=atpos, atz=atz,
+                   icenter=np.asarray(icenter, dtype=np.int32),
+                   itype=np.asarray(itype, dtype=np.int32),
+                   e=np.asarray(e), cmo=cmo, occ=occ,
+                   wfntyp="uhf" if uhf else "rhf", nalpha=nalpha,
+                   source=path)
+
+    @classmethod
+    def read_molden(cls, path: str) -> "Wavefunction":
+        raise NotImplementedError("molden reader arrives with a later "
+                                  "milestone")

@@ -1,0 +1,98 @@
+"""Wavefunction fields: readers, GTO evaluation, mesh integration, ELF.
+
+Data files come from the read-only reference checkout (test inputs, not
+code); tests skip if unavailable.
+"""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from critic2_tpu import System
+from critic2_tpu.analysis.mesh import becke_mesh
+from critic2_tpu.analysis.molcalc import molcalc_nelec
+from critic2_tpu.fields.wfn import Wavefunction
+
+H2O_WFX = "/root/reference/tests_libxc/h2o.wfx"
+BENZENE = "/root/reference/tests_cint/benzene-631gs.fchk"
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(H2O_WFX) and os.path.exists(BENZENE)),
+    reason="reference wavefunction data not available")
+
+
+@pytest.fixture(scope="module")
+def h2o():
+    return System.from_structure(H2O_WFX)
+
+
+def test_wfx_reader():
+    w = Wavefunction.read_wfx(H2O_WFX)
+    assert w.nelec == 10.0
+    assert len(w.atz) == 3
+    assert w.npri == 65
+
+
+def test_fchk_reader():
+    w = Wavefunction.read_fchk(BENZENE)
+    assert w.nelec == 42.0
+    assert w.nmo == 21
+    assert w.npri == 192          # 6-31G* benzene primitive expansion
+
+
+def test_rho_integrates_to_nelec_h2o(h2o):
+    h2o.load_field(H2O_WFX)
+    n = molcalc_nelec(h2o)
+    assert abs(n - 10.0) < 1e-4
+
+
+def test_rho_integrates_to_nelec_benzene():
+    s = System.from_structure(BENZENE)
+    s.load_field(BENZENE)
+    n = molcalc_nelec(s)
+    assert abs(n - 42.0) < 5e-3
+
+
+def test_gradient_hessian_consistency(h2o):
+    h2o.load_field(H2O_WFX)
+    f = h2o.ref
+    rng = np.random.default_rng(0)
+    pts = np.asarray(f.crystal.x_cart)[0] + rng.normal(0, 1.0, (8, 3))
+    res = f.grd(pts, periodic=False)
+    h = 1e-5
+    for d in range(3):
+        pp = pts.copy(); pp[:, d] += h
+        pm = pts.copy(); pm[:, d] -= h
+        fd = (np.asarray(f.grd(pp, nder=0, periodic=False).f)
+              - np.asarray(f.grd(pm, nder=0, periodic=False).f)) / (2 * h)
+        np.testing.assert_allclose(np.asarray(res.gf)[:, d], fd,
+                                   rtol=5e-5, atol=1e-8)
+        fd2 = (np.asarray(f.grd(pp, nder=1, periodic=False).gf)
+               - np.asarray(f.grd(pm, nder=1, periodic=False).gf)) / (2 * h)
+        np.testing.assert_allclose(np.asarray(res.hf)[:, :, d], fd2,
+                                   rtol=5e-4, atol=1e-6)
+
+
+def test_elf_range(h2o):
+    h2o.load_field(H2O_WFX)
+    from critic2_tpu.arithmetic import eval_expr
+
+    rng = np.random.default_rng(1)
+    pts = np.asarray(h2o.crystal.x_cart).mean(0) + rng.normal(0, 1.5, (64, 3))
+    elf = np.asarray(eval_expr(f"elf({h2o.iref})", h2o, pts))
+    assert (elf >= 0).all() and (elf <= 1).all()
+    # covalent bond region has high ELF somewhere
+    assert elf.max() > 0.7
+
+
+def test_gkin_positive_and_virial_negative(h2o):
+    h2o.load_field(H2O_WFX)
+    w = h2o.ref.wfn
+    m = becke_mesh(h2o.crystal, "small")
+    ex = w.extras_soa(jnp.asarray(m.x.T))
+    gk = np.asarray(ex["gkin"])
+    assert (gk >= -1e-10).all()
+    # integral of gkin = kinetic energy ~ 76 Ha for water (virial: E ~ -T)
+    T = float(gk @ m.w)
+    assert 74.0 < T < 78.0
