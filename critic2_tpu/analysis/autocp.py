@@ -56,6 +56,9 @@ class CP:
     isnuc: bool = False
     mult: int = 1
     name: str = ""
+    ipath: list = None          # graph: connected CP ids per direction
+    brpathlen: list = None      # bond/ring path lengths
+    brvec: np.ndarray = None    # path take-off eigenvector
 
     @property
     def typind(self) -> int:
@@ -392,4 +395,79 @@ def autocp(system, seeds: list[Seed] | None = None, gfnormeps: float = 1e-12,
 
     # sort: by type (ncp, bcp, rcp, ccp), nuclei first (reference sortcps)
     cpl.cps.sort(key=lambda cp: (cp.typind, not cp.isnuc))
+    return cpl
+
+
+def makegraph(system, cpl: CPList, change: float = 1e-2,
+              rterm: float = 0.1):
+    """Build the bond-path / ring-path graph (reference makegraph,
+    src/autocp@proc.f90:1734-1877).
+
+    For each BCP, trace uphill from +-change along the positive-eigenvalue
+    eigenvector to the connected maxima; for each RCP, downhill along the
+    negative-eigenvalue eigenvector to the connected cages. All paths run
+    as ONE batched device trace (ops/ode.trace_paths) instead of the
+    reference's per-CP OpenMP loop. Fills cp.brvec, cp.brpathlen and
+    cp.ipath (indices into cpl.cps; -1 = escaped/unknown).
+    """
+    from ..ops.eig3 import eigh3
+    from ..ops.ode import trace_paths
+
+    c = system.crystal
+    f = system.ref
+
+    def _targets(typ_sel):
+        idx = [i for i, cp in enumerate(cpl.cps) if cp.typ == typ_sel]
+        if not idx:
+            return np.zeros((0, 3)), np.zeros(0, dtype=int)
+        pos = np.array([cpl.cps[i].x for i in idx])
+        if c.ismolecule:
+            imgs = pos
+            ids = np.array(idx)
+        else:
+            shifts = np.array([[i, j, k] for i in (-1, 0, 1)
+                               for j in (-1, 0, 1) for k in (-1, 0, 1)])
+            imgs = (pos[None, :, :] + shifts[:, None, :]).reshape(-1, 3)
+            ids = np.tile(np.array(idx), len(shifts))
+        return c.x2c(imgs), ids
+
+    for typ, iup, ttyp in ((-1, 1, f.typnuc), (1, -1, -f.typnuc)):
+        sel = [i for i, cp in enumerate(cpl.cps) if cp.typ == typ]
+        if not sel:
+            continue
+        hf = np.asarray(f.grd(np.array([cpl.cps[i].r for i in sel]),
+                              nder=2).hf)
+        _, v = eigh3(jnp.asarray(hf))
+        v = np.asarray(v)
+        # BCP: positive-eigenvalue direction (column 2); RCP: most
+        # negative (column 0)
+        vec = v[:, :, 2] if typ == -1 else v[:, :, 0]
+        seeds, owner, sgn = [], [], []
+        for k, i in enumerate(sel):
+            cpl.cps[i].extra = getattr(cpl.cps[i], "extra", {})
+            for s in (+1.0, -1.0):
+                seeds.append(cpl.cps[i].r + s * change * vec[k])
+                owner.append(i)
+                sgn.append(s)
+        tgt, tgt_ids = _targets(ttyp)
+        fn = f.eval_fn(nder=2)
+        xfin, status, termid, plen, _ = trace_paths(
+            fn, jnp.asarray(np.array(seeds)), iup=iup,
+            targets=jnp.asarray(tgt) if len(tgt) else None,
+            rterm=jnp.full(len(tgt), rterm) if len(tgt) else None,
+            m_c2x=jnp.asarray(c.m_c2x) if c.ismolecule else None,
+            molborder=jnp.asarray(c.molborder) if c.ismolecule else None)
+        status = np.asarray(status)
+        termid = np.asarray(termid)
+        plen = np.asarray(plen)
+        for j, i in enumerate(owner):
+            cp = cpl.cps[i]
+            if not hasattr(cp, "ipath") or cp.ipath is None:
+                cp.ipath = [-1, -1]
+                cp.brpathlen = [0.0, 0.0]
+                cp.brvec = vec[sel.index(i)]
+            d = 0 if sgn[j] > 0 else 1
+            cp.brpathlen[d] = float(plen[j])
+            if status[j] == 0 and termid[j] >= 0:
+                cp.ipath[d] = int(tgt_ids[termid[j]])
     return cpl

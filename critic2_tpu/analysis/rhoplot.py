@@ -1,0 +1,168 @@
+"""POINT / LINE / PLANE / CUBE drivers.
+
+Role of the reference rhoplot (src/rhoplot@proc.f90:68,148,356,645):
+evaluate a field or expression at a point, along a segment, on a plane
+(with contour/gnuplot emission) or on a 3D grid (cube/vasp/xsf output).
+
+All evaluation is chunked batched device work; writers are host-side.
+Coordinates: crystallographic fractions for crystals, internal Cartesian
+bohr for molecules (callers shift by crystal.molx0 for user frames, as
+the reference does at the CLI boundary).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.eig3 import eigvalsh3
+
+__all__ = ["point", "line", "plane", "cube"]
+
+_DERIV_SELECT = ("f", "gx", "gy", "gz", "gmod", "xx", "xy", "xz", "yy",
+                 "yz", "zz", "lap")
+
+
+@dataclass
+class PointReport:
+    x: np.ndarray            # fractional
+    r: np.ndarray            # Cartesian
+    f: float
+    gf: np.ndarray
+    hf: np.ndarray
+    gfmod: float
+    del2f: float
+    eig: np.ndarray
+    ellipticity: float | None = None
+
+    def __str__(self):
+        lines = [
+            f"* POINT {self.x[0]:.6f} {self.x[1]:.6f} {self.x[2]:.6f}",
+            f"  Field value (f): {self.f:.8e}",
+            f"  Gradient norm (|grad f|): {self.gfmod:.8e}",
+            f"  Laplacian (del2 f): {self.del2f:.8e}",
+            f"  Hessian eigenvalues: " + " ".join(
+                f"{v:.8e}" for v in self.eig),
+        ]
+        if self.ellipticity is not None:
+            lines.append(f"  Ellipticity (l1/l2 - 1): {self.ellipticity:.8e}")
+        return "\n".join(lines)
+
+
+def _resolve_points(system, pts_frac):
+    c = system.crystal
+    x = np.atleast_2d(np.asarray(pts_frac, dtype=float))
+    return x, x @ np.asarray(c.m_x2c).T
+
+
+def point(system, x_frac, field=None) -> PointReport:
+    """Properties at one point (reference rhoplot_point)."""
+    f = system.field(field) if field is not None else system.ref
+    x, cart = _resolve_points(system, x_frac)
+    res = f.grd(cart, nder=2)
+    hf = np.asarray(res.hf)[0]
+    eig = np.asarray(eigvalsh3(jnp.asarray(hf[None])))[0]
+    ell = None
+    if abs(eig[1]) > 1e-30:
+        ell = float(eig[0] / eig[1] - 1.0)
+    return PointReport(
+        x=x[0], r=cart[0], f=float(res.f[0]), gf=np.asarray(res.gf)[0],
+        hf=hf, gfmod=float(res.gfmod[0]), del2f=float(res.del2f[0]),
+        eig=eig, ellipticity=ell)
+
+
+def _eval_what(system, field, what, cart):
+    """Evaluate a derivative selector or an expression at points."""
+    if what not in _DERIV_SELECT:
+        return np.asarray(system.eval_expr(what, cart))
+    f = system.field(field) if field is not None else system.ref
+    nder = 0 if what == "f" else (1 if what.startswith("g") else 2)
+    res = f.grd(cart, nder=nder)
+    if what == "f":
+        return np.asarray(res.f)
+    if what == "gmod":
+        return np.asarray(res.gfmod)
+    if what in ("gx", "gy", "gz"):
+        return np.asarray(res.gf)[:, "xyz".index(what[1])]
+    if what == "lap":
+        return np.asarray(res.del2f)
+    i, j = "xyz".index(what[0]), "xyz".index(what[1])
+    return np.asarray(res.hf)[:, i, j]
+
+
+def line(system, x0, x1, npts: int = 201, field=None, what: str = "f",
+         file: str | None = None):
+    """Field values along a segment (reference rhoplot_line).
+
+    Returns (t (n,), dist (n,), values (n,)); optionally writes a .dat.
+    """
+    x0 = np.asarray(x0, dtype=float)
+    x1 = np.asarray(x1, dtype=float)
+    t = np.linspace(0.0, 1.0, npts)
+    pts = x0[None, :] + t[:, None] * (x1 - x0)[None, :]
+    _, cart = _resolve_points(system, pts)
+    vals = _eval_what(system, field, what, cart)
+    dist = np.linalg.norm(cart - cart[0], axis=1)
+    if file:
+        np.savetxt(file, np.stack([dist, vals], axis=1),
+                   header=f"LINE {what}: distance value")
+    return t, dist, vals
+
+
+def plane(system, x0, x1, x2, nx: int = 101, ny: int = 101, field=None,
+          what: str = "f", file: str | None = None):
+    """Field values on a plane patch spanned by x1-x0, x2-x0 (reference
+    rhoplot_plane). Returns (u, v, vals (nx, ny)); optional gnuplot .dat.
+    """
+    x0, x1, x2 = (np.asarray(v, dtype=float) for v in (x0, x1, x2))
+    u = np.linspace(0, 1, nx)
+    v = np.linspace(0, 1, ny)
+    uu, vv = np.meshgrid(u, v, indexing="ij")
+    pts = (x0[None, :] + uu.ravel()[:, None] * (x1 - x0)[None, :]
+           + vv.ravel()[:, None] * (x2 - x0)[None, :])
+    _, cart = _resolve_points(system, pts)
+    vals = _eval_what(system, field, what, cart).reshape(nx, ny)
+    if file:
+        with open(file, "w") as fh:
+            fh.write(f"# PLANE {what}\n")
+            for i in range(nx):
+                for j in range(ny):
+                    fh.write(f"{u[i]:14.8f} {v[j]:14.8f} "
+                             f"{vals[i, j]:18.10e}\n")
+                fh.write("\n")
+    return u, v, vals
+
+
+def cube(system, n=(64, 64, 64), origin=(0.0, 0.0, 0.0), lengths=None,
+         field=None, what: str = "f", file: str | None = None,
+         block: int = 1 << 16):
+    """Field/expression on a 3D grid over the cell (reference
+    rhoplot_cube). Returns the (n1,n2,n3) array; optional cube file.
+    """
+    c = system.crystal
+    n1, n2, n3 = (int(v) for v in n)
+    origin = np.asarray(origin, dtype=float)
+    if lengths is None:
+        lengths = np.ones(3)
+    lengths = np.asarray(lengths, dtype=float)
+    i, j, k = np.meshgrid(np.arange(n1), np.arange(n2), np.arange(n3),
+                          indexing="ij")
+    frac = origin[None, :] + np.stack(
+        [i.ravel() / n1, j.ravel() / n2, k.ravel() / n3],
+        axis=1) * lengths[None, :]
+    cart = frac @ np.asarray(c.m_x2c).T
+    out = np.empty(len(cart))
+    for lo in range(0, len(cart), block):
+        out[lo:lo + block] = _eval_what(system, field, what,
+                                        cart[lo:lo + block])
+    data = out.reshape(n1, n2, n3)
+    if file:
+        from ..io.cube import write_cube
+
+        xmat = np.asarray(c.m_x2c) * (lengths / np.array([n1, n2, n3]))
+        zs = [c.species[s].z for s in c.species_of]
+        write_cube(file, data, origin @ np.asarray(c.m_x2c).T, xmat, zs,
+                   np.asarray(c.x_cart),
+                   comment1=f"critic2-tpu CUBE {what}")
+    return data

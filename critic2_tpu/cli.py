@@ -1,0 +1,403 @@
+"""Keyword-driven CLI: the critic2 input-script surface.
+
+Role of the reference main program (src/critic2.F90:102-558): a REPL
+reading keyword commands (CRYSTAL, LOAD, AUTO, YT, NCIPLOT, POINT, ...),
+with unknown lines falling through to expression-variable assignment
+(:553-556) and syntax errors skipping the line instead of aborting
+(ferror syntax mode, src/tools_io.f90:56).
+
+Run: ``python -m critic2_tpu.cli input.cri`` or pipe on stdin.
+"""
+from __future__ import annotations
+
+import shlex
+import sys
+
+import numpy as np
+
+from .system import System
+
+__all__ = ["Repl", "main"]
+
+
+class CliError(Exception):
+    pass
+
+
+class Repl:
+    def __init__(self, out=None, quiet: bool = False):
+        self.sy: System | None = None
+        self.out = out or sys.stdout
+        self.quiet = quiet
+        self.cpl = None
+        self.nwarns = 0
+
+    # ------------------------------------------------------------------
+    def write(self, *args):
+        print(*args, file=self.out)
+
+    def warn(self, msg):
+        self.nwarns += 1
+        self.write(f"!! warning: {msg}")
+
+    def need_system(self):
+        if self.sy is None:
+            raise CliError("no structure loaded (use CRYSTAL/MOLECULE)")
+        return self.sy
+
+    # ------------------------------------------------------------------
+    def run_script(self, text: str):
+        lines = iter(text.splitlines())
+        for raw in lines:
+            line = raw.split("#")[0].strip()
+            if not line:
+                continue
+            if not self.quiet:
+                self.write(f"%% {raw.rstrip()}")
+            try:
+                self.dispatch(line, lines)
+            except CliError as exc:
+                self.warn(str(exc))
+            except (NotImplementedError, FileNotFoundError, ValueError,
+                    KeyError) as exc:
+                self.warn(f"{type(exc).__name__}: {exc}")
+
+    # ------------------------------------------------------------------
+    def dispatch(self, line: str, lines):
+        toks = shlex.split(line)
+        kw = toks[0].lower()
+        rest = toks[1:]
+        handler = getattr(self, f"cmd_{kw}", None)
+        if handler is not None:
+            return handler(rest, lines)
+        if "=" in line and not line.lower().startswith(tuple(
+                k[4:] for k in dir(self) if k.startswith("cmd_"))):
+            name, _, expr = line.partition("=")
+            name = name.strip()
+            if name.isidentifier():
+                sy = self.sy
+                val = float(np.asarray(
+                    sy.eval_expr(expr.strip(), np.zeros((1, 3)))[0])) \
+                    if sy else float(eval(expr, {"__builtins__": {}}, {}))
+                if sy is not None:
+                    sy.vars[name] = val
+                self.write(f"{name} = {val}")
+                return
+        raise CliError(f"unknown keyword: {toks[0]}")
+
+    # ------------------------------------------------------------------
+    # structure
+    # ------------------------------------------------------------------
+    def cmd_crystal(self, args, lines):
+        if not args:
+            raise CliError("CRYSTAL needs a file")
+        self.sy = System.from_structure(args[0])
+        c = self.sy.crystal
+        self.write(f"+ crystal: {args[0]} | {c.ncel} atoms | "
+                   f"volume {c.volume:.4f} bohr^3")
+
+    def cmd_molecule(self, args, lines):
+        if not args:
+            raise CliError("MOLECULE needs a file")
+        self.sy = System.from_structure(args[0], mol=True) \
+            if args[0].endswith(".xyz") else System.from_structure(args[0])
+        self.write(f"+ molecule: {args[0]} | {self.sy.crystal.ncel} atoms")
+
+    # ------------------------------------------------------------------
+    # fields
+    # ------------------------------------------------------------------
+    def cmd_load(self, args, lines):
+        sy = self.need_system()
+        if not args:
+            raise CliError("LOAD needs a file or AS expr")
+        name = None
+        if "id" in [a.lower() for a in args]:
+            i = [a.lower() for a in args].index("id")
+            name = args[i + 1]
+            args = args[:i] + args[i + 2:]
+        if args[0].lower() == "as":
+            expr = args[1]
+            shape = None
+            if len(args) >= 5 and all(a.isdigit() for a in args[2:5]):
+                shape = tuple(int(v) for v in args[2:5])
+            fid = sy.load_field_expr(expr, name=name, shape=shape)
+        else:
+            interp = None
+            for mode in ("trilinear", "tricubic", "trispline", "nearest"):
+                if mode in [a.lower() for a in args[1:]]:
+                    interp = mode
+            fid = sy.load_field(args[0], name=name)
+            if interp:
+                sy.field(fid).set_options(interp=interp)
+        f = sy.field(fid)
+        self.write(f"+ field {fid} <- {f.name} (type {f.type})"
+                   + (f" grid {tuple(f.grid.n)}" if f.type == "grid" else ""))
+
+    def cmd_unload(self, args, lines):
+        self.need_system().unload_field(
+            int(args[0]) if args[0].isdigit() else args[0])
+
+    def cmd_reference(self, args, lines):
+        sy = self.need_system()
+        sy.set_reference(int(args[0]) if args[0].isdigit() else args[0])
+        self.write(f"+ reference field: {sy.iref}")
+
+    def cmd_setfield(self, args, lines):
+        sy = self.need_system()
+        fid = int(args[0]) if args and args[0].isdigit() else sy.iref
+        opts = [a.lower() for a in args[1:]]
+        f = sy.field(fid)
+        for mode in ("trilinear", "tricubic", "trispline", "nearest"):
+            if mode in opts:
+                f.set_options(interp=mode)
+
+    # ------------------------------------------------------------------
+    # point properties / plots
+    # ------------------------------------------------------------------
+    def cmd_point(self, args, lines):
+        from .analysis import rhoplot
+
+        sy = self.need_system()
+        x = [float(v) for v in args[:3]]
+        rep = rhoplot.point(sy, x)
+        self.write(str(rep))
+
+    def cmd_line(self, args, lines):
+        from .analysis import rhoplot
+
+        sy = self.need_system()
+        x0 = [float(v) for v in args[:3]]
+        x1 = [float(v) for v in args[3:6]]
+        npts = int(args[6]) if len(args) > 6 else 201
+        file = None
+        if "file" in [a.lower() for a in args]:
+            file = args[[a.lower() for a in args].index("file") + 1]
+        t, dist, vals = rhoplot.line(sy, x0, x1, npts, file=file)
+        self.write(f"+ LINE: {npts} points, f in "
+                   f"[{vals.min():.6e}, {vals.max():.6e}]"
+                   + (f" -> {file}" if file else ""))
+
+    def cmd_cube(self, args, lines):
+        from .analysis import rhoplot
+
+        sy = self.need_system()
+        n = (64, 64, 64)
+        file = None
+        what = "f"
+        i = 0
+        while i < len(args):
+            a = args[i].lower()
+            if a == "grid" and i + 3 < len(args):
+                n = tuple(int(v) for v in args[i + 1:i + 4]); i += 4
+            elif a == "file":
+                file = args[i + 1]; i += 2
+            elif a == "field":
+                what = args[i + 1]; i += 2
+            else:
+                i += 1
+        data = rhoplot.cube(sy, n=n, what=what, file=file)
+        self.write(f"+ CUBE {n}: [{data.min():.6e}, {data.max():.6e}]"
+                   + (f" -> {file}" if file else ""))
+
+    # ------------------------------------------------------------------
+    # analysis drivers
+    # ------------------------------------------------------------------
+    def cmd_auto(self, args, lines):
+        from .analysis.autocp import autocp, makegraph
+
+        sy = self.need_system()
+        self.cpl = autocp(sy)
+        n, b, r, c = self.cpl.counts()
+        self.write(f"+ AUTO: {len(self.cpl.cps)} CPs "
+                   f"(n={n} b={b} r={r} c={c}); "
+                   f"Poincare-Hopf sum = {self.cpl.poincare_hopf()}")
+        if "graph" in [a.lower() for a in args]:
+            makegraph(sy, self.cpl)
+            self.write("+ AUTO: bond-path graph built")
+
+    def cmd_cpreport(self, args, lines):
+        if self.cpl is None:
+            raise CliError("no CP list (run AUTO)")
+        self.write("# name  type      f            |grad f|      del2 f"
+                   "        position (frac)")
+        for cp in self.cpl.cps:
+            t = {-3: "(3,-3)", -1: "(3,-1)", 1: "(3,1)", 3: "(3,3)"}[cp.typ]
+            self.write(f"{cp.name:>5s} {t:>7s} {cp.f: .6e} {cp.gfmod: .6e}"
+                       f" {cp.del2f: .6e}  {cp.x[0]:.6f} {cp.x[1]:.6f}"
+                       f" {cp.x[2]:.6f}")
+
+    def cmd_yt(self, args, lines):
+        self._intgrid("yt", args)
+
+    def cmd_bader(self, args, lines):
+        self._intgrid("bader", args)
+
+    def _intgrid(self, method, args):
+        from .analysis.integration import intgrid
+
+        sy = self.need_system()
+        res = intgrid(sy, method=method)
+        self.write(f"+ {method.upper()}: {res.nattr_raw} attractors")
+        self.write(res.table())
+
+    def cmd_nciplot(self, args, lines):
+        from .analysis.nci import nciplot
+
+        sy = self.need_system()
+        kw = {}
+        oname = "nci"
+        for raw in lines:
+            sub = raw.split("#")[0].strip()
+            if not sub:
+                continue
+            t = sub.split()
+            k = t[0].lower()
+            if k == "endnciplot" or k == "end":
+                break
+            if k == "oname":
+                oname = t[1]
+            elif k == "cutoffs":
+                kw["rhocut"], kw["dimcut"] = float(t[1]), float(t[2])
+            elif k == "cutplot":
+                kw["rhoplot"], kw["dimplot"] = float(t[1]), float(t[2])
+            elif k == "nstep":
+                kw["nstep"] = tuple(int(v) for v in t[1:4])
+            elif k == "increments":
+                kw["xinc"] = float(t[1])
+            elif k == "onlyneg":
+                kw["onlyneg"] = True
+            elif k == "rhoparam":
+                kw["rhoparam"] = float(t[1])
+            elif k == "rhoparam2":
+                kw["rhoparam2"] = float(t[1])
+            elif k == "void":
+                kw["rho_void"] = float(t[1])
+            else:
+                self.warn(f"NCIPLOT: ignored option {t[0]}")
+        res = nciplot(sy, oname=oname, write_files=True, **kw)
+        self.write(f"+ NCIPLOT: grid {res.crho.shape}, "
+                   f"{len(res.dat)} dat points, files: "
+                   + " ".join(res.files))
+
+    def cmd_molcalc(self, args, lines):
+        from .analysis.molcalc import molcalc_integral, molcalc_nelec
+
+        sy = self.need_system()
+        if not args or args[0].lower() == "nelec":
+            v = molcalc_nelec(sy)
+            self.write(f"+ MOLCALC NELEC = {v:.8f}")
+        else:
+            v = molcalc_integral(sy, " ".join(args))
+            self.write(f"+ MOLCALC integral = {v:.10e}")
+
+    def cmd_benchmark(self, args, lines):
+        import time
+
+        import jax.numpy as jnp
+
+        sy = self.need_system()
+        n = int(args[0]) if args else 10000
+        rng = np.random.default_rng(0)
+        pts = rng.random((n, 3)) @ np.asarray(sy.crystal.m_x2c).T
+        fn = sy.ref.eval_fn(nder=2)
+        xT = jnp.asarray(pts.T)
+        import jax
+        jax.block_until_ready(fn(xT))
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(xT))
+        dt = time.perf_counter() - t0
+        self.write(f"+ BENCHMARK: {n} evals in {dt:.4f} s "
+                   f"({n / dt:.0f} evals/s)")
+
+    # ------------------------------------------------------------------
+    # grid reductions (reference SUM/MIN/MAX/MEAN/COUNT)
+    # ------------------------------------------------------------------
+    def _gridred(self, op, args):
+        sy = self.need_system()
+        fid = int(args[0]) if args else sy.iref
+        f = sy.field(fid)
+        if f.type != "grid":
+            raise CliError(f"{op.upper()} needs a grid field")
+        g = np.asarray(f.grid.f)
+        val = {"sum": g.sum, "min": g.min, "max": g.max, "mean": g.mean,
+               "count": lambda: int((g > (float(args[1]) if len(args) > 1
+                                          else 0.0)).sum())}[op]()
+        self.write(f"+ {op.upper()}({fid}) = {val}")
+
+    def cmd_sum(self, args, lines):
+        self._gridred("sum", args)
+
+    def cmd_min(self, args, lines):
+        self._gridred("min", args)
+
+    def cmd_max(self, args, lines):
+        self._gridred("max", args)
+
+    def cmd_mean(self, args, lines):
+        self._gridred("mean", args)
+
+    def cmd_count(self, args, lines):
+        self._gridred("count", args)
+
+    # ------------------------------------------------------------------
+    def cmd_pointprop(self, args, lines):
+        sy = self.need_system()
+        if args and args[0].lower() == "clear":
+            sy.pointprops.clear()
+            return
+        sy.pointprops.append(" ".join(args))
+
+    def cmd_integrable(self, args, lines):
+        sy = self.need_system()
+        if args and args[0].lower() == "clear":
+            sy.integrables.clear()
+            return
+        sy.integrables.append(" ".join(args))
+
+    def cmd_list(self, args, lines):
+        sy = self.need_system()
+        for fid, f in sorted(sy.fields.items(), key=lambda kv: str(kv[0])):
+            mark = "*" if fid == sy.iref else " "
+            self.write(f" {mark} {fid}: {f.name} ({f.type})")
+
+    def cmd_reset(self, args, lines):
+        self.sy = None
+        self.cpl = None
+
+    def cmd_clear(self, args, lines):
+        self.cmd_reset(args, lines)
+
+    def cmd_echo(self, args, lines):
+        self.write(" ".join(args))
+
+    def cmd_end(self, args, lines):
+        raise StopIteration
+
+    def cmd_exit(self, args, lines):
+        raise StopIteration
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    quiet = "-q" in argv
+    if "--cpu" in argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    argv = [a for a in argv if a not in ("-q", "--cpu")]
+    repl = Repl(quiet=quiet)
+    if argv:
+        text = open(argv[0]).read()
+    else:
+        text = sys.stdin.read()
+    try:
+        repl.run_script(text)
+    except StopIteration:
+        pass
+    if not quiet:
+        repl.write(f"CRITIC2-TPU ended ({repl.nwarns} warnings)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,136 @@
+"""Batched gradient-path tracing (device).
+
+Role of the reference gradient/adaptive_stepper
+(src/fieldmod@proc.f90:2076-2399): trace dx/ds = +-grad f / |grad f| with
+the Bogacki-Shampine 2(3) embedded pair (the reference default,
+src/global@proc.f90:104-107: step 0.3, maxerr 1e-4, gradeps 1e-7),
+terminating at attractor points (nuclei / CPs of the right type, within
+min(0.1, h/2)), at new CPs (|grad| < gradeps), on step collapse, or on
+leaving the molecular cell.
+
+TPU decomposition: the reference traces one path at a time inside OpenMP
+loops; here ALL paths advance in lockstep under one jax.lax.while_loop
+with per-trajectory step sizes, accept/reject masks and termination
+states - each iteration is one BS23 attempt costing three batched field
+evaluations for every live trajectory.
+
+Status codes: 0 = reached attractor (termid >= 0), 1 = converged to a
+gradient zero away from the list, 2 = step collapse/bounce, 3 = left the
+molecular cell, 4 = ran out of steps.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["trace_paths"]
+
+STAT_ATTRACTOR = 0
+STAT_NEWCP = 1
+STAT_STUCK = 2
+STAT_ESCAPED = 3
+STAT_MAXSTEP = 4
+
+
+@partial(jax.jit, static_argnames=("eval_fn", "iup", "mstep"))
+def trace_paths(eval_fn, x0, iup: int = 1, targets=None, rterm=None,
+                hini: float = 0.3, maxerr: float = 1e-4,
+                gradeps: float = 1e-7, mstep: int = 4000,
+                m_c2x=None, molborder=None):
+    """Trace gradient paths from Cartesian seeds x0 (N, 3).
+
+    eval_fn: SoA evaluator (3, N) -> (f, gf (3, N), h6).
+    iup: +1 uphill (to maxima), -1 downhill.
+    targets: (K, 3) Cartesian attractor points incl. periodic images, or
+    None; rterm: (K,) termination radius per target (reference
+    min(rbetadef, h/2) when no beta sphere is set).
+    m_c2x/molborder: enable molecular-cell escape detection (iup == -1).
+
+    Returns (x (N, 3), status (N,), termid (N,), plen (N,), nsteps).
+    """
+    xT0 = jnp.asarray(x0).T
+    N = xT0.shape[1]
+    sgn = float(iup)
+
+    have_t = targets is not None and targets.shape[0] > 0
+    if have_t:
+        tT = jnp.asarray(targets).T                      # (3, K)
+        rt = jnp.asarray(rterm)
+
+    def direction(xT):
+        _, gf, _ = eval_fn(xT)
+        gmod = jnp.sqrt((gf * gf).sum(0))
+        return sgn * gf / (gmod + 1e-80)[None, :], gmod
+
+    def nearest_target(xT):
+        d2 = ((xT[:, :, None] - tT[:, None, :]) ** 2).sum(0)   # (N, K)
+        k = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        return k, jnp.sqrt(d2[jnp.arange(N), k])
+
+    def cond(st):
+        it, xT, h, done, status, termid, plen, d1, gmod = st
+        return (it < mstep) & ~done.all()
+
+    def body(st):
+        it, xT, h, done, status, termid, plen, d1, gmod = st
+
+        # termination: gradient zero (new CP)
+        cp_now = (gmod < gradeps) & ~done
+        status = jnp.where(cp_now, STAT_NEWCP, status)
+        done = done | cp_now
+
+        # termination: attractor proximity
+        if have_t:
+            k, dist = nearest_target(xT)
+            hit = (dist <= jnp.maximum(rt[k], 0.5 * jnp.abs(h))) & ~done
+            xT = jnp.where(hit[None, :], tT[:, k], xT)
+            plen = jnp.where(hit, plen + dist, plen)
+            termid = jnp.where(hit, k, termid)
+            status = jnp.where(hit, STAT_ATTRACTOR, status)
+            done = done | hit
+
+        # termination: left the molecular cell (downhill only)
+        if m_c2x is not None and iup == -1:
+            wx = m_c2x @ xT
+            out = ((wx < molborder[:, None]) |
+                   (wx > 1.0 - molborder[:, None])).any(0) & ~done
+            status = jnp.where(out, STAT_ESCAPED, status)
+            done = done | out
+
+        # BS23 attempt (FSAL: d1 is the direction at xT)
+        d2_, _ = direction(xT + 0.5 * h[None, :] * d1)
+        d3_, _ = direction(xT + 0.75 * h[None, :] * d2_)
+        xnew = xT + h[None, :] * (2.0 / 9.0 * d1 + 1.0 / 3.0 * d2_
+                                  + 4.0 / 9.0 * d3_)
+        d4_, gmod4 = direction(xnew)
+        errv = h[None, :] * (-5.0 / 72.0 * d1 + 1.0 / 12.0 * d2_
+                             + 1.0 / 9.0 * d3_ - 1.0 / 8.0 * d4_)
+        nerr = jnp.sqrt((errv * errv).sum(0))
+
+        accept = (nerr < maxerr) & ~done
+        grow = accept & (nerr < maxerr / 10.0)
+        step_len = jnp.sqrt(((xnew - xT) ** 2).sum(0))
+        plen = jnp.where(accept, plen + step_len, plen)
+        xT = jnp.where(accept[None, :], xnew, xT)
+        d1 = jnp.where(accept[None, :], d4_, d1)
+        gmod = jnp.where(accept, gmod4, gmod)
+        h = jnp.where(grow, jnp.minimum(jnp.abs(1.6 * h), hini), h)
+        h = jnp.where(~accept & ~done,
+                      0.9 * h * maxerr / jnp.maximum(nerr, 1e-30), h)
+
+        # step collapse
+        stuck = (jnp.abs(h) < 1e-12) & ~done
+        status = jnp.where(stuck, STAT_STUCK, status)
+        done = done | stuck
+
+        return it + 1, xT, h, done, status, termid, plen, d1, gmod
+
+    d1_0, gmod0 = direction(xT0)
+    st0 = (jnp.zeros((), jnp.int32), xT0, jnp.full((N,), hini),
+           jnp.zeros(N, bool), jnp.full((N,), STAT_MAXSTEP, jnp.int32),
+           jnp.full((N,), -1, jnp.int32), jnp.zeros(N), d1_0, gmod0)
+    it, xT, h, done, status, termid, plen, _, _ = \
+        jax.lax.while_loop(cond, body, st0)
+    return xT.T, status, termid, plen, it
