@@ -37,7 +37,7 @@ def main():
 
     small = "--small" in sys.argv
     n = 64 if small else 256
-    npts = 1 << (16 if small else 22)     # 4M points per timed call
+    npts = 1 << (16 if small else 20)     # 1M points per timed call
 
     a = 12.0
     c = Crystal(m_x2c=m_x2c_from_cellpar([a, a, a], [90.0, 90.0, 90.0]),

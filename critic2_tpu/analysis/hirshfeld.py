@@ -1,0 +1,93 @@
+"""Hirshfeld atomic charges on grids.
+
+Role of the reference hirshfeld (src/hirshfeld@proc.f90:26-120): per-atom
+stockholder weights w_at = rho_at / rho_promol accumulated over expanding
+image shells, populations N_at = int w_at rho, charges Z - N_at.
+
+TPU decomposition: one device pass computes, for every grid node, the
+per-cell-atom promolecular contribution (segment-sum over atom images)
+and the total, giving all weights at once - no per-atom shell loop.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["hirshfeld_charges", "HirshfeldResult"]
+
+
+@dataclass
+class HirshfeldResult:
+    names: list
+    z: np.ndarray
+    pops: np.ndarray            # integrated electron populations
+    charges: np.ndarray         # Z - pop
+
+    def table(self) -> str:
+        lines = ["# i  Atom      population          charge"]
+        for i, (nm, z, p, q) in enumerate(
+                zip(self.names, self.z, self.pops, self.charges), 1):
+            lines.append(f"{i:4d}  {nm:>4s}  {p:16.10f}  {q:16.10f}")
+        lines.append(f"# total population: {self.pops.sum():.10f}")
+        return "\n".join(lines)
+
+
+def hirshfeld_charges(system, block: int = 1 << 15) -> HirshfeldResult:
+    """Hirshfeld charges of the reference field (grid or rasterized)."""
+    from ..fields.promol import _radial_interp
+    from .integration import _rasterize_field
+
+    sy = system
+    c = sy.crystal
+    f = sy.ref
+    if f.type == "grid":
+        rho = np.asarray(f.grid.f)
+        shape = rho.shape
+    else:
+        shape = (48, 48, 48)
+        rho = np.asarray(_rasterize_field(f, shape))
+
+    env = sy.fields[0].promol
+    nat = c.ncel
+    atpos = env.atpos                   # (M, 3) images
+    atspc = env.atspc
+    cellidx = jnp.asarray(env.cellidx, dtype=jnp.int32)
+    tab = env.tab
+
+    n1, n2, n3 = shape
+    i, j, k = np.meshgrid(np.arange(n1), np.arange(n2), np.arange(n3),
+                          indexing="ij")
+    xf = np.stack([i.ravel() / n1, j.ravel() / n2, k.ravel() / n3])
+    xc = np.asarray(c.m_x2c) @ xf
+    N = xc.shape[1]
+
+    @jax.jit
+    def chunk(pT, rho_chunk):
+        aT = atpos.T
+        xx = pT[:, :, None] - aT[:, None, :]            # (3, n, M)
+        r = jnp.sqrt(jnp.maximum((xx * xx).sum(0), 1e-28))
+        s = jnp.broadcast_to(atspc[None, :], r.shape)
+        within = r <= tab["cutoff"][atspc][None, :]
+        rr, _, _ = _radial_interp(tab, s, r)
+        rr = jnp.where(within, jnp.maximum(rr, 0.0), 0.0)   # (n, M)
+        tot = rr.sum(axis=1)
+        w = rho_chunk / jnp.maximum(tot, 1e-300)
+        # per-cell-atom accumulation: sum over this chunk's points, then
+        # over the images belonging to each cell atom
+        per_image = (rr * w[:, None]).sum(0)             # (M,)
+        return jax.ops.segment_sum(per_image, cellidx, num_segments=nat)
+
+    pops = np.zeros(nat)
+    rho_flat = rho.reshape(-1)
+    for lo in range(0, N, block):
+        pT = jnp.asarray(xc[:, lo:lo + block])
+        pops += np.asarray(chunk(pT, jnp.asarray(rho_flat[lo:lo + block])))
+
+    pops *= c.volume / N
+    zs = np.asarray(c.zatoms, dtype=float)
+    names = [c.species[s].name for s in c.species_of]
+    return HirshfeldResult(names=names, z=zs, pops=pops,
+                           charges=zs - pops)

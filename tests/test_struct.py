@@ -1,0 +1,129 @@
+"""POWDER / RDF / COMPARE / writers / CIF / Hirshfeld."""
+import numpy as np
+import pytest
+
+from critic2_tpu import System
+from critic2_tpu.crystal.cell import m_x2c_from_cellpar
+from critic2_tpu.crystal.crystal import Crystal, Species
+from critic2_tpu.crystal.seed import read_structure
+from critic2_tpu import param
+from critic2_tpu.analysis.struct import compare, packing_ratio, powder, rdf
+from critic2_tpu.analysis.hirshfeld import hirshfeld_charges
+from critic2_tpu.io import writers
+
+
+def _nacl(a_ang=5.6402):
+    a = a_ang * param.ANGSTROM_TO_BOHR
+    # rocksalt conventional cell
+    base = np.array([[0, 0, 0], [0, .5, .5], [.5, 0, .5], [.5, .5, 0]])
+    na = base
+    cl = (base + [.5, .5, .5]) % 1.0
+    return Crystal(m_x2c=m_x2c_from_cellpar([a, a, a], [90, 90, 90]),
+                   x_frac=np.vstack([na, cl]),
+                   species_of=np.array([0] * 4 + [1] * 4),
+                   species=[Species("Na", 11), Species("Cl", 17)])
+
+
+def test_powder_nacl_peaks():
+    pat = powder(_nacl(), th2ini=10, th2end=60, npts=2001)
+    assert pat.ih.max() == pytest.approx(100.0)
+    # strongest peak: (200) at 2theta = 31.7 deg for CuKa
+    imax = pat.peaks_i.argmax()
+    assert abs(pat.peaks_t[imax] - 31.70) < 0.1
+    # (111) reflection near 27.37
+    assert np.min(np.abs(pat.peaks_t - 27.37)) < 0.1
+
+
+def test_rdf_first_shell():
+    pat = rdf(_nacl(), rend=12.0, npts=2001)
+    a = 5.6402 * param.ANGSTROM_TO_BOHR
+    # nearest-neighbor Na-Cl distance a/2
+    peaks = pat.t[1:-1][(pat.ih[1:-1] > pat.ih[:-2])
+                        & (pat.ih[1:-1] > pat.ih[2:])]
+    assert np.min(np.abs(peaks - a / 2)) < 0.05
+
+
+def test_compare_same_vs_strained():
+    c1 = _nacl()
+    c2 = _nacl()
+    c3 = _nacl(a_ang=6.2)
+    d = compare([c1, c2, c3], th2ini=10, th2end=60, npts=2001)
+    assert d[0, 1] < 1e-8           # identical structures
+    assert d[0, 2] > 0.1            # strained lattice differs
+    assert np.allclose(d, d.T)
+
+
+def test_writers_roundtrip(tmp_path):
+    c = _nacl()
+    p = tmp_path / "out.vasp"
+    writers.write_poscar(c, str(p))
+    c2 = read_structure(str(p))
+    assert abs(c2.volume - c.volume) < 1e-6
+    assert c2.ncel == 8
+
+    pc = tmp_path / "out.cif"
+    writers.write_cif(c, str(pc))
+    c3 = read_structure(str(pc))
+    assert abs(c3.volume - c.volume) < 1e-4
+    assert c3.ncel == 8
+
+    px = tmp_path / "out.xyz"
+    writers.write_xyz(c, str(px))
+    assert px.read_text().splitlines()[0] == "8"
+
+
+def test_cif_with_symops(tmp_path):
+    # NaCl with symmetry-generated sites
+    cif = """data_nacl
+_cell_length_a 5.6402
+_cell_length_b 5.6402
+_cell_length_c 5.6402
+_cell_angle_alpha 90
+_cell_angle_beta 90
+_cell_angle_gamma 90
+loop_
+_symmetry_equiv_pos_as_xyz
+'x,y,z'
+'x,y+1/2,z+1/2'
+'x+1/2,y,z+1/2'
+'x+1/2,y+1/2,z'
+loop_
+_atom_site_label
+_atom_site_fract_x
+_atom_site_fract_y
+_atom_site_fract_z
+Na1 0.0 0.0 0.0
+Cl1 0.5 0.5 0.5
+"""
+    p = tmp_path / "nacl.cif"
+    p.write_text(cif)
+    c = read_structure(str(p))
+    assert c.ncel == 8
+    zs = sorted(c.zatoms)
+    assert zs == [11, 11, 11, 11, 17, 17, 17, 17]
+
+
+def test_packing_ratio():
+    assert 0 < packing_ratio(_nacl()) < 100
+
+
+def test_hirshfeld_nacl():
+    # shift atoms off the grid nodes so no node samples a nuclear cusp
+    c0 = _nacl(a_ang=5.6402)
+    c = Crystal(m_x2c=c0.m_x2c, x_frac=(c0.x_frac + 0.013) % 1.0,
+                species_of=c0.species_of, species=c0.species)
+    s = System.from_structure(c)
+    from critic2_tpu.analysis.integration import _rasterize_field
+    from critic2_tpu.fields.field import Field
+    from critic2_tpu.fields.grid3 import Grid3
+
+    g = _rasterize_field(s.fields[0], (24, 24, 24))
+    s.load_field(Field.from_grid(s.crystal, Grid3(g)))
+    res = hirshfeld_charges(s)
+    # partition of unity: populations sum exactly to the grid integral
+    assert abs(res.pops.sum() - float(np.asarray(g).sum())
+               * s.crystal.volume / np.asarray(g).size) < 1e-8
+    # symmetry: all Na alike, all Cl alike; Cl basin holds more
+    np.testing.assert_allclose(res.pops[:4], res.pops[0], rtol=1e-6)
+    np.testing.assert_allclose(res.pops[4:], res.pops[4], rtol=1e-6)
+    assert res.pops[4] > res.pops[0] > 0

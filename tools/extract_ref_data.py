@@ -84,6 +84,35 @@ def main():
     )
     print(f"element_tables.npz: cutrad[0:3]={cutrad[:3]}, atmcov[0:3]={atmcov[:3]}")
 
+    # --- X-ray atomic scattering factors (Cromer-Mann 4-Gaussian fits +
+    # high-angle log-polynomial extension), published International Tables
+    # data vendored by the reference in src/param.F90 cscatt/c2scatt ---
+    psrc = open(os.path.join(REF, "src", "param.F90")).read()
+
+    def parse_flat(name, expect):
+        m = re.search(rf"{name}\([0-9:,]+\)\s*=\s*reshape\(\(/", psrc)
+        if not m:
+            raise RuntimeError(f"{name} not found")
+        tail = psrc[m.end():]
+        body = tail[:tail.index("/)")]
+        vals = []
+        for ln in body.splitlines():
+            ln = ln.split("!")[0].replace("&", " ")
+            for tok in ln.replace(",", " ").split():
+                try:
+                    vals.append(float(tok.replace("d", "e").replace("D", "E")))
+                except ValueError:
+                    pass
+        if len(vals) != expect:
+            raise RuntimeError(f"{name}: {len(vals)} values, want {expect}")
+        return np.asarray(vals)
+
+    cscatt = parse_flat("cscatt", 9 * 94).reshape(94, 9)      # (z, 9)
+    c2scatt = parse_flat("c2scatt", 4 * 93).reshape(93, 4)    # (z-2, 4)
+    np.savez_compressed(os.path.join(OUT, "scatt.npz"),
+                        cscatt=cscatt, c2scatt=c2scatt)
+    print(f"scatt.npz: cscatt {cscatt.shape}, c2scatt {c2scatt.shape}")
+
     # --- atomic radial density tables ---
     # store per-element: r grid params + per-orbital occupations and
     # occ*wfc^2 radial profiles (the only combination the runtime needs).
