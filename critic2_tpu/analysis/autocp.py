@@ -351,9 +351,12 @@ def autocp(system, seeds: list[Seed] | None = None, gfnormeps: float = 1e-12,
     gm = np.asarray(res.gfmod)
     lap = np.asarray(res.del2f)
 
-    # --- host dedup & add (reference addcp, src/fieldmod@proc.f90:1876) ---
+    # --- host dedup & add (reference addcp, src/fieldmod@proc.f90:1876);
+    # symmetry-aware: a candidate is rejected if ANY image of its orbit
+    # matches an existing CP, and its multiplicity is the orbit size ---
     cpl = cpl or init_cplist(system)
     zs = c.zatoms
+    sg = None if c.ismolecule else c.spacegroup
     for i in range(len(xfin)):
         xc = c.c2x(xfin[i])
         xc -= np.floor(xc)
@@ -362,9 +365,15 @@ def autocp(system, seeds: list[Seed] | None = None, gfnormeps: float = 1e-12,
             b = c.molborder
             if np.any(xc < b) or np.any(xc > 1.0 - b):
                 continue
-        # near an existing CP?
-        _, dcp = cpl.nearest(xc)
-        if dcp < cpeps:
+        # near an existing CP (any symmetry image)?
+        orbit = sg.orbit(xc) if sg is not None else xc[None, :]
+        dup = False
+        for y in orbit:
+            _, dcp = cpl.nearest(y)
+            if dcp < cpeps:
+                dup = True
+                break
+        if dup:
             continue
         # near a nucleus?
         nid, dnuc = c.identify_atom(xc, distmax=max(nuceps, nucepsh))
@@ -380,7 +389,8 @@ def autocp(system, seeds: list[Seed] | None = None, gfnormeps: float = 1e-12,
             continue
         cpl.cps.append(
             CP(x=xc, r=c.x2c(xc), typ=int(ss[i]), f=float(fv[i]),
-               gfmod=float(gm[i]), del2f=float(lap[i]), eig=eigs[i])
+               gfmod=float(gm[i]), del2f=float(lap[i]), eig=eigs[i],
+               mult=len(orbit))
         )
 
     # names: n1, b1, r1, c1, ... in type order of addition
@@ -420,16 +430,23 @@ def makegraph(system, cpl: CPList, change: float = 1e-2,
         idx = [i for i, cp in enumerate(cpl.cps) if cp.typ == typ_sel]
         if not idx:
             return np.zeros((0, 3)), np.zeros(0, dtype=int)
-        pos = np.array([cpl.cps[i].x for i in idx])
         if c.ismolecule:
-            imgs = pos
-            ids = np.array(idx)
-        else:
-            shifts = np.array([[i, j, k] for i in (-1, 0, 1)
-                               for j in (-1, 0, 1) for k in (-1, 0, 1)])
-            imgs = (pos[None, :, :] + shifts[:, None, :]).reshape(-1, 3)
-            ids = np.tile(np.array(idx), len(shifts))
-        return c.x2c(imgs), ids
+            return (np.array([cpl.cps[i].r for i in idx]),
+                    np.array(idx))
+        # expand each representative to its full symmetry orbit, then to
+        # the 27 neighboring cells (reference cpcel list)
+        sg = c.spacegroup
+        pos, ids = [], []
+        for i in idx:
+            orb = sg.orbit(cpl.cps[i].x)
+            pos.append(orb)
+            ids.extend([i] * len(orb))
+        pos = np.concatenate(pos)
+        ids = np.asarray(ids)
+        shifts = np.array([[i, j, k] for i in (-1, 0, 1)
+                           for j in (-1, 0, 1) for k in (-1, 0, 1)])
+        imgs = (pos[None, :, :] + shifts[:, None, :]).reshape(-1, 3)
+        return c.x2c(imgs), np.tile(ids, len(shifts))
 
     for typ, iup, ttyp in ((-1, 1, f.typnuc), (1, -1, -f.typnuc)):
         sel = [i for i, cp in enumerate(cpl.cps) if cp.typ == typ]

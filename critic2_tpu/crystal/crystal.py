@@ -164,6 +164,15 @@ class Crystal:
     # Wigner-Seitz cell
     # ------------------------------------------------------------------
     @property
+    def spacegroup(self):
+        """Lazy space-group symmetry dataset (crystal/symmetry.py)."""
+        if getattr(self, "_sg", None) is None:
+            from .symmetry import find_symmetry
+
+            self._sg = find_symmetry(self)
+        return self._sg
+
+    @property
     def ws(self) -> WignerSeitz:
         if self._ws is None:
             self._ws = wigner_seitz(self.m_x2c)

@@ -1,0 +1,79 @@
+"""Space-group detection against known op counts."""
+import numpy as np
+import pytest
+
+from critic2_tpu.crystal.cell import m_x2c_from_cellpar
+from critic2_tpu.crystal.crystal import Crystal, Species
+from critic2_tpu.crystal.symmetry import find_symmetry, lattice_point_group
+
+
+def test_cubic_lattice_point_group():
+    ops = lattice_point_group(np.eye(3) * 5.0)
+    assert len(ops) == 48
+
+
+def test_hexagonal_lattice_point_group():
+    m = m_x2c_from_cellpar([5, 5, 8], [90, 90, 120])
+    assert len(lattice_point_group(m)) == 24
+
+
+def test_nacl_rocksalt():
+    # Fm-3m (225) conventional cell: 192 ops (48 x 4 centering)
+    base = np.array([[0, 0, 0], [0, .5, .5], [.5, 0, .5], [.5, .5, 0]])
+    c = Crystal(m_x2c=np.eye(3) * 10.66,
+                x_frac=np.vstack([base, (base + [.5, .5, .5]) % 1]),
+                species_of=np.array([0] * 4 + [1] * 4),
+                species=[Species("Na", 11), Species("Cl", 17)])
+    sg = find_symmetry(c)
+    assert sg.nops == 192
+    assert sg.crystal_system == "cubic"
+    assert sg.nneq == 2
+    assert sorted(sg.mult.tolist()) == [4, 4]
+
+
+def test_cscl():
+    # Pm-3m (221): 48 ops
+    c = Crystal(m_x2c=np.eye(3) * 7.0,
+                x_frac=np.array([[0, 0, 0], [.5, .5, .5]]),
+                species_of=np.array([0, 1]),
+                species=[Species("Cs", 55), Species("Cl", 17)])
+    sg = find_symmetry(c)
+    assert sg.nops == 48
+    assert sg.nneq == 2
+
+
+def test_perovskite():
+    # SrTiO3 Pm-3m: 48 ops, 3 inequivalent sites (Sr, Ti, 3xO)
+    c = Crystal(m_x2c=np.eye(3) * 7.38,
+                x_frac=np.array([[0, 0, 0], [.5, .5, .5],
+                                 [.5, .5, 0], [.5, 0, .5], [0, .5, .5]]),
+                species_of=np.array([0, 1, 2, 2, 2]),
+                species=[Species("Sr", 38), Species("Ti", 22),
+                         Species("O", 8)])
+    sg = find_symmetry(c)
+    assert sg.nops == 48
+    assert sg.nneq == 3
+    assert sorted(sg.mult.tolist()) == [1, 1, 3]
+
+
+def test_site_symmetry_and_orbit():
+    c = Crystal(m_x2c=np.eye(3) * 7.0,
+                x_frac=np.array([[0, 0, 0], [.5, .5, .5]]),
+                species_of=np.array([0, 1]),
+                species=[Species("Cs", 55), Species("Cl", 17)])
+    sg = find_symmetry(c)
+    # general position: orbit of 48; special position (0,0,0): orbit of 1
+    assert len(sg.orbit(np.array([0.13, 0.27, 0.41]))) == 48
+    assert len(sg.orbit(np.array([0.0, 0.0, 0.0]))) == 1
+    assert sg.site_symmetry_order(np.zeros(3)) == 48
+    # face-center (1/2,0,0) has site order 16 in Pm-3m
+    assert sg.site_symmetry_order(np.array([0.5, 0.0, 0.0])) == 16
+
+
+def test_broken_symmetry():
+    c = Crystal(m_x2c=np.eye(3) * 7.0,
+                x_frac=np.array([[0.01, 0, 0], [.5, .5, .5]]),
+                species_of=np.array([0, 1]),
+                species=[Species("Cs", 55), Species("Cl", 17)])
+    sg = find_symmetry(c)
+    assert sg.nops < 48
