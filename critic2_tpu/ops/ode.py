@@ -38,7 +38,7 @@ STAT_MAXSTEP = 4
 def trace_paths(eval_fn, x0, iup: int = 1, targets=None, rterm=None,
                 hini: float = 0.3, maxerr: float = 1e-4,
                 gradeps: float = 1e-7, mstep: int = 4000,
-                m_c2x=None, molborder=None):
+                m_c2x=None, molborder=None, h0=None):
     """Trace gradient paths from Cartesian seeds x0 (N, 3).
 
     eval_fn: SoA evaluator (3, N) -> (f, gf (3, N), h6).
@@ -48,7 +48,8 @@ def trace_paths(eval_fn, x0, iup: int = 1, targets=None, rterm=None,
     min(rbetadef, h/2) when no beta sphere is set).
     m_c2x/molborder: enable molecular-cell escape detection (iup == -1).
 
-    Returns (x (N, 3), status (N,), termid (N,), plen (N,), nsteps).
+    h0: optional per-trajectory initial step (resume support).
+    Returns (x (N, 3), status (N,), termid (N,), plen (N,), h (N,)).
     """
     xT0 = jnp.asarray(x0).T
     N = xT0.shape[1]
@@ -128,9 +129,41 @@ def trace_paths(eval_fn, x0, iup: int = 1, targets=None, rterm=None,
         return it + 1, xT, h, done, status, termid, plen, d1, gmod
 
     d1_0, gmod0 = direction(xT0)
-    st0 = (jnp.zeros((), jnp.int32), xT0, jnp.full((N,), hini),
+    hstart = jnp.full((N,), hini) if h0 is None else jnp.asarray(h0)
+    st0 = (jnp.zeros((), jnp.int32), xT0, hstart,
            jnp.zeros(N, bool), jnp.full((N,), STAT_MAXSTEP, jnp.int32),
            jnp.full((N,), -1, jnp.int32), jnp.zeros(N), d1_0, gmod0)
     it, xT, h, done, status, termid, plen, _, _ = \
         jax.lax.while_loop(cond, body, st0)
-    return xT.T, status, termid, plen, it
+    return xT.T, status, termid, plen, h
+
+
+def trace_paths_recorded(eval_fn, x0, nrec: int = 400, **kw):
+    """Like trace_paths but records the trajectory (host-side pruning of
+    repeated tail points). Returns (paths list of (L_i, 3) arrays, status,
+    termid). Runs nrec bounded steps; use for plotting (FLUXPRINT/GRDVEC),
+    not for termination-critical work."""
+    import numpy as np
+
+    x = jnp.asarray(x0)
+    N = x.shape[0]
+    recs = [np.asarray(x)]
+    status = termid = None
+    # advance in nrec single-step traces (mstep=1 per record) would retrace;
+    # instead run progressively longer traces and record the frontier.
+    # Cheaper: step the batch nrec times with mstep=1 each.
+    cur = x
+    h = None
+    for _ in range(nrec):
+        xn, status, termid, _, h = trace_paths(eval_fn, cur, mstep=1,
+                                               h0=h, **kw)
+        recs.append(np.asarray(xn))
+        cur = jnp.asarray(xn)
+    arr = np.stack(recs)             # (nrec+1, N, 3)
+    paths = []
+    for i in range(N):
+        p = arr[:, i, :]
+        keep = np.ones(len(p), bool)
+        keep[1:] = np.linalg.norm(np.diff(p, axis=0), axis=1) > 1e-12
+        paths.append(p[keep])
+    return paths, np.asarray(status), np.asarray(termid)
