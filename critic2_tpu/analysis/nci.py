@@ -116,21 +116,45 @@ def nciplot(system, oname: str | None = None, outdir: str | None = None,
     rhofrag = np.empty((nfrag, N)) if nfrag else None
 
     @jax.jit
-    def chunk_eval(xT):
-        rho, gf, h6 = fn(xT)
+    def _rdg(rho, gf, h6):
         lam2 = eigvalsh3s(h6)[1]
         gmod = jnp.sqrt((gf * gf).sum(0))
         rdg = gmod / (_CONST * jnp.maximum(rho, _VSMALL) ** (4.0 / 3.0))
         return jnp.sign(lam2) * jnp.abs(rho) * 100.0, rdg
 
+    if f.type == "grid" and periodic and not f.usecore:
+        # regular-grid separable fast path (HBM-bandwidth bound on TPU);
+        # the reference's analog builds FFT grad/Hxx grids
+        # (src/nci@proc.f90:483-496)
+        from ..ops.eig3 import sym6_rotation
+        from ..ops.interp import interp_grid_soa
+
+        m_c2x = jnp.asarray(c.m_c2x)
+        r6 = jnp.asarray(sym6_rotation(c.m_c2x))
+        y, yp, ypp6 = interp_grid_soa(f.grid.f, (n1, n2, n3), nder=2)
+        gf = jnp.tensordot(m_c2x.T, yp.reshape(3, -1), axes=1)
+        h6 = jnp.tensordot(r6, ypp6.reshape(6, -1), axes=1)
+        cr, cg = _rdg(y.reshape(-1), gf, h6)
+        crho[:] = np.asarray(cr)
+        cgrad[:] = np.asarray(cg)
+
     from ..fields.promol import promolecular_soa
 
+    @jax.jit
+    def chunk_eval(xT):
+        return _rdg(*fn(xT))
+
     for lo in range(0, N, block):
-        xT = jnp.asarray(pts[:, lo:lo + block])
-        cr, cg = chunk_eval(xT)
-        sl = slice(lo, lo + xT.shape[1])
-        crho[sl] = np.asarray(cr)
-        cgrad[sl] = np.asarray(cg)
+        sl = slice(lo, min(lo + block, N))
+        xT = None
+        if not (f.type == "grid" and periodic and not f.usecore):
+            xT = jnp.asarray(pts[:, sl])
+            cr, cg = chunk_eval(xT)
+            crho[sl] = np.asarray(cr)
+            cgrad[sl] = np.asarray(cg)
+        if dopromol or nfrag:
+            if xT is None:
+                xT = jnp.asarray(pts[:, sl])
         if dopromol:
             rhoat[sl] = np.asarray(promolecular_soa(
                 xT, promol_env.atpos, promol_env.atspc, promol_env.tab,

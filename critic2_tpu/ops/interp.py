@@ -215,6 +215,79 @@ def interp_soa(f, xfracT, mode: str = "tricubic", nder: int = 2):
     return y, yp, ypp6
 
 
+@partial(jax.jit, static_argnames=("nout", "nder"))
+def interp_grid_soa(f, nout, origin=(0.0, 0.0, 0.0),
+                    lengths=(1.0, 1.0, 1.0), nder: int = 2):
+    """Tricubic evaluation on a REGULAR output grid, separable fast path.
+
+    The hot workloads (NCI boxes, CUBE maps, supersampled property grids)
+    evaluate on regular grids; there the 4^3 stencil factorizes into three
+    1-D passes of 4 whole-plane gathers + weighted sums per axis - coarse
+    -grained memory access that runs at HBM bandwidth on TPU, ~1000x the
+    scattered jnp.take path (fine-grained gathers serialize).
+
+    f: (n1, n2, n3); nout: (m1, m2, m3) output shape; output node x_a =
+    origin_a + i/m_a * lengths_a (fractional). Returns (y (m...),
+    yp (3, m...), ypp6 (6, m...)) in the same derivative conventions as
+    interp_soa.
+    """
+    f = jnp.asarray(f)
+    n = f.shape
+    m1, m2, m3 = (int(v) for v in nout)
+
+    def axis_weights(a, m):
+        xg = (origin[a] + jnp.arange(m) / m * lengths[a]) * n[a]
+        xg = xg - jnp.floor(xg / n[a]) * n[a]
+        i0 = jnp.floor(xg).astype(jnp.int32)
+        t = xg - i0
+        w, d, s = _catmull_rom_weights(t)          # each (m, 4)
+        idx = (i0[:, None] + jnp.arange(-1, 3)[None, :]) % n[a]  # (m, 4)
+        return idx, w, d * n[a], s * n[a] * n[a]
+
+    def contract(arr, axis, idx, wt):
+        """sum_t wt[:, t] * arr[idx[:, t]] along `axis`."""
+        out = None
+        for tt in range(4):
+            g = jnp.take(arr, idx[:, tt], axis=axis)
+            shape = [1, 1, 1]
+            shape[axis] = -1
+            term = g * wt[:, tt].reshape(shape)
+            out = term if out is None else out + term
+        return out
+
+    i1, w1, d1, s1 = axis_weights(0, m1)
+    i2, w2, d2, s2 = axis_weights(1, m2)
+    i3, w3, d3, s3 = axis_weights(2, m3)
+
+    # stage 1: axis 0
+    aw = contract(f, 0, i1, w1)
+    y = contract(contract(aw, 1, i2, w2), 2, i3, w3)
+    if nder < 1:
+        z = jnp.zeros((3, m1, m2, m3), f.dtype)
+        return y, z, jnp.zeros((6, m1, m2, m3), f.dtype)
+
+    ad = contract(f, 0, i1, d1)
+    aww = contract(aw, 1, i2, w2)       # (m1, m2, n3)
+    awd = contract(aw, 1, i2, d2)
+    adw = contract(ad, 1, i2, w2)
+    gx = contract(adw, 2, i3, w3)
+    gy = contract(awd, 2, i3, w3)
+    gz = contract(aww, 2, i3, d3)
+    yp = jnp.stack([gx, gy, gz])
+    if nder < 2:
+        return y, yp, jnp.zeros((6, m1, m2, m3), f.dtype)
+
+    as_ = contract(f, 0, i1, s1)
+    hxx = contract(contract(as_, 1, i2, w2), 2, i3, w3)
+    hyy = contract(contract(aw, 1, i2, s2), 2, i3, w3)
+    hzz = contract(aww, 2, i3, s3)
+    hxy = contract(contract(ad, 1, i2, d2), 2, i3, w3)
+    hxz = contract(adw, 2, i3, d3)
+    hyz = contract(awd, 2, i3, d3)
+    ypp6 = jnp.stack([hxx, hyy, hzz, hxy, hxz, hyz])
+    return y, yp, ypp6
+
+
 def sym6_to_mat(h6):
     """(6, N) SYM6 components -> (N, 3, 3) full matrices (host-facing)."""
     xx, yy, zz, xy, xz, yz = h6
