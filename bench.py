@@ -50,11 +50,11 @@ def main():
         2.0 + np.cos(2 * np.pi * i / n) * np.cos(2 * np.pi * j / n)
         + 0.5 * np.cos(2 * np.pi * k / n), dtype=np.float64)
 
-    from critic2_tpu.ops.eig3 import sym6_rotation
+    from critic2_tpu.ops.eig3 import linmap, sym6_rotation
     from critic2_tpu.ops.interp import interp_grid_soa
 
-    m_c2x = jnp.asarray(c.m_c2x)
-    r6 = jnp.asarray(sym6_rotation(c.m_c2x))
+    m_c2x_np = np.asarray(c.m_c2x)
+    r6_np = sym6_rotation(c.m_c2x)
     gridj = jnp.asarray(grid)
     # evaluate on the grid shifted by half a step: a genuine interpolation
     # workload (on-node evaluation would shortcut the stencil)
@@ -64,8 +64,8 @@ def main():
     def evalstep(g):
         y, yp, ypp6 = interp_grid_soa(g, (n, n, n),
                                       origin=(shift, shift, shift), nder=2)
-        gf = jnp.tensordot(m_c2x.T, yp, axes=1)
-        h6 = jnp.tensordot(r6, ypp6, axes=1)
+        gf = linmap(m_c2x_np.T, yp)
+        h6 = linmap(r6_np, ypp6)
         return y.sum(), gf.sum(), h6.sum()
 
     # warmup/compile (also absorbs the one-time device warmup)

@@ -126,14 +126,12 @@ def nciplot(system, oname: str | None = None, outdir: str | None = None,
         # regular-grid separable fast path (HBM-bandwidth bound on TPU);
         # the reference's analog builds FFT grad/Hxx grids
         # (src/nci@proc.f90:483-496)
-        from ..ops.eig3 import sym6_rotation
+        from ..ops.eig3 import linmap, sym6_rotation
         from ..ops.interp import interp_grid_soa
 
-        m_c2x = jnp.asarray(c.m_c2x)
-        r6 = jnp.asarray(sym6_rotation(c.m_c2x))
         y, yp, ypp6 = interp_grid_soa(f.grid.f, (n1, n2, n3), nder=2)
-        gf = jnp.tensordot(m_c2x.T, yp.reshape(3, -1), axes=1)
-        h6 = jnp.tensordot(r6, ypp6.reshape(6, -1), axes=1)
+        gf = linmap(np.asarray(c.m_c2x).T, yp.reshape(3, -1))
+        h6 = linmap(sym6_rotation(c.m_c2x), ypp6.reshape(6, -1))
         cr, cg = _rdg(y.reshape(-1), gf, h6)
         crho[:] = np.asarray(cr)
         cgrad[:] = np.asarray(cg)

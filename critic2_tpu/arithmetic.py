@@ -193,7 +193,7 @@ class _Validator(ast.NodeVisitor):
             raise ExprError("only simple function calls allowed")
         name = node.func.id
         if name not in _MATH and name.lower() not in _CHEM and \
-                name not in ("__field__",):
+                name.lower() != "xc" and name not in ("__field__",):
             raise ExprError(f"unknown function {name}")
         for a in node.args:
             self.visit(a)
@@ -247,9 +247,19 @@ def compile_expr(expr: str, system, periodic: bool | None = None):
     tree = ast.fix_missing_locations(_Rw().visit(tree))
     code = compile(tree, "<critic2-expr>", "eval")
 
+    def _xc(*args):
+        # xc(rho[, grad][, lap, tau], func_id) - reference fun_xc
+        # (src/arithmetic@proc.F90:1609-1646), libxc numbering
+        from .ops.xc import xc_eval
+
+        if len(args) < 2:
+            raise ExprError("xc() needs field arguments and an id")
+        return xc_eval(int(args[-1]), *args[:-1])
+
     def fn(xT):
         ctx = _Ctx(system, xT, periodic=periodic)
         glb = {"__builtins__": {}, "pi": jnp.pi, "e": jnp.e,
+               "xc": _xc,
                "__field__": lambda fid, mod: ctx.field(fid, mod),
                "__chem__": lambda nm, fid: ctx.chem(
                    nm, fid if fid is not None else system.iref or 0)}

@@ -232,8 +232,10 @@ class Field:
         c = self.crystal
         m_c2x = jnp.asarray(c.m_c2x)
         m_x2c = jnp.asarray(c.m_x2c)
-        from ..ops.eig3 import sym6_rotation
-        r6 = jnp.asarray(sym6_rotation(c.m_c2x))
+        from ..ops.eig3 import linmap, sym6_rotation
+        m_c2x_np = np.asarray(c.m_c2x)
+        m_x2c_np = np.asarray(c.m_x2c)
+        r6_np = sym6_rotation(c.m_c2x)
 
         imgsT = None
         if clamp_nuclei and c.ncel > 0:
@@ -262,13 +264,13 @@ class Field:
         from .promol import promolecular_soa
 
         def fn(xT):
-            wx = m_c2x @ xT
+            wx = linmap(m_c2x_np, xT)
             wx = wx - jnp.floor(wx)
-            wc = m_x2c @ wx
+            wc = linmap(m_x2c_np, wx)
             if ftype == "grid":
                 y, yp, ypp6 = interp_soa(grid_f, wx, mode=grid_mode, nder=nder)
-                gf = m_c2x.T @ yp
-                h6 = r6 @ ypp6
+                gf = linmap(m_c2x_np.T, yp)
+                h6 = linmap(r6_np, ypp6)
                 f = y
             elif ftype == "promol":
                 f, gf, h6 = promolecular_soa(

@@ -15,7 +15,31 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["eigvalsh3", "eigh3", "inv3", "det3", "rsindex",
-           "det3s", "solve3s", "eigvalsh3s", "sym6_rotation"]
+           "det3s", "solve3s", "eigvalsh3s", "sym6_rotation", "linmap"]
+
+
+def linmap(A, v):
+    """Apply a SMALL host-constant matrix A (m, k) to batched rows
+    v (k, ...), unrolled into scalar multiply-adds.
+
+    On TPU, tiny-by-huge f64 matmuls hit the emulated MXU path (measured
+    3x slowdown of the full-grid sweep); unrolled scalar FMAs stay on the
+    VPU and fuse with neighbors. Zero entries are skipped at trace time.
+    """
+    import numpy as np
+
+    A = np.asarray(A)
+    rows = []
+    for i in range(A.shape[0]):
+        acc = None
+        for j in range(A.shape[1]):
+            a = float(A[i, j])
+            if a == 0.0:
+                continue
+            term = a * v[j]
+            acc = term if acc is None else acc + term
+        rows.append(acc if acc is not None else jnp.zeros_like(v[0]))
+    return jnp.stack(rows)
 
 
 def det3(m):
