@@ -40,6 +40,10 @@ class IntegrationResult:
     method: str
     rows: list
     nattr_raw: int
+    decomp: object = None        # YTResult/BaderResult (weight access)
+    attr_map: list = None        # row index per raw attractor
+    grid_shape: tuple = None
+    rho: object = None           # basin-field grid (device)
 
     @property
     def charges(self):
@@ -128,6 +132,7 @@ def intgrid(system, method: str = "yt", ratom: float = 1.0,
     # per attractor-atom; multiple maxima inside one atomic basin merge)
     rows = []
     used = {}
+    attr_map = []
     for a in range(res.nattr):
         key = ("atom", iat[a]) if iat[a] >= 0 else ("nnm", a)
         if key in used:
@@ -136,6 +141,7 @@ def intgrid(system, method: str = "yt", ratom: float = 1.0,
             r.pop += float(pop[a])
             for name in extras:
                 r.extra[name] += float(extras[name][a])
+            attr_map.append(used[key])
             continue
         if iat[a] >= 0:
             nm = c.species[c.species_of[iat[a]]].name
@@ -148,8 +154,43 @@ def intgrid(system, method: str = "yt", ratom: float = 1.0,
             volume=float(vol[a]), pop=float(pop[a]),
             extra={k: float(v[a]) for k, v in extras.items()}))
         used[key] = len(rows) - 1
+        attr_map.append(used[key])
 
-    return IntegrationResult(method=method, rows=rows, nattr_raw=res.nattr)
+    return IntegrationResult(method=method, rows=rows, nattr_raw=res.nattr,
+                             decomp=res, attr_map=attr_map,
+                             grid_shape=shape, rho=rho)
+
+
+def multipoles(system, intres: IntegrationResult, lmax: int = 4):
+    """Atomic multipoles Q_lm = int_basin w rho r^l S_lm(r - x_attr)
+    (reference intgrid_multipoles, src/integration@proc.f90:1102-1178).
+
+    Returns (nrows, (lmax+1)^2) with components in -m..m order per l,
+    centered on each row's attractor (minimum-image displacements).
+    """
+    from ..ops.rlm import nlm, solid_harmonics
+
+    c = system.crystal
+    res = intres.decomp
+    shape = intres.grid_shape
+    n1, n2, n3 = shape
+    i, j, k = np.meshgrid(np.arange(n1), np.arange(n2), np.arange(n3),
+                          indexing="ij")
+    xf = np.stack([i.ravel() / n1, j.ravel() / n2, k.ravel() / n3], axis=1)
+    rho_flat = jnp.asarray(intres.rho).reshape(-1)
+    scale = c.volume / float(np.prod(shape))
+
+    out = np.zeros((len(intres.rows), nlm(lmax)))
+    for a in range(res.nattr):
+        row = intres.attr_map[a]
+        center = intres.rows[row].xfrac
+        d = xf - center[None, :]
+        d -= np.rint(d)
+        dc = (d @ np.asarray(c.m_x2c).T).T                # (3, N)
+        rl = solid_harmonics(jnp.asarray(dc), lmax)       # (nlm, N)
+        for q in range(nlm(lmax)):
+            out[row, q] += float(res.integrate(rl[q] * rho_flat)[a]) * scale
+    return out
 
 
 def _rasterize_field(f, shape, block: int = 1 << 16, nder: int = 0):
