@@ -1,0 +1,136 @@
+"""ctypes bindings for the C++ host kernels (native/critic2_native.cpp).
+
+The native library provides the qhull-equivalent geometry kernels (convex
+hull, Wigner-Seitz cell) and the exact sequential Yu-Trinkle sweep for
+large-grid cross-checks. Every entry point has a NumPy fallback, so the
+library is an accelerator, not a dependency. Build:
+
+    cmake -S native -B native/build -G Ninja && cmake --build native/build
+
+(or `python -m critic2_tpu.native` to build in place with g++).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+__all__ = ["available", "hull", "ws_cell", "yt_labels", "build"]
+
+_LIB = None
+_HERE = os.path.dirname(__file__)
+_PATHS = [
+    os.path.join(_HERE, "data", "libcritic2_native.so"),
+    os.path.join(_HERE, "..", "native", "build", "libcritic2_native.so"),
+]
+
+
+def _load():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    for p in _PATHS:
+        if os.path.exists(p):
+            lib = ctypes.CDLL(p)
+            lib.c2n_hull.restype = ctypes.c_int
+            lib.c2n_ws_cell.restype = ctypes.c_int
+            lib.c2n_yt_labels.restype = ctypes.c_int
+            _LIB = lib
+            return lib
+    return None
+
+
+def build():
+    """Compile the native library in place with g++."""
+    src = os.path.join(_HERE, "..", "native", "critic2_native.cpp")
+    out = _PATHS[0]
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    subprocess.run(["g++", "-O2", "-fPIC", "-shared", "-std=c++17",
+                    src, "-o", out], check=True)
+    global _LIB
+    _LIB = None
+    return _load() is not None
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def hull(points):
+    """Convex hull triangles of (n, 3) points (native if available)."""
+    lib = _load()
+    pts = np.ascontiguousarray(points, dtype=np.float64)
+    if lib is not None:
+        maxt = 8 * len(pts) + 64
+        tris = np.zeros((maxt, 3), dtype=np.int32)
+        nt = lib.c2n_hull(
+            ctypes.c_int(len(pts)),
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            tris.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            ctypes.c_int(maxt))
+        if nt >= 0:
+            return tris[:nt].copy()
+    from .analysis.bisect import _hull_faces
+
+    return _hull_faces(pts)
+
+
+def ws_cell(m_x2c):
+    """Wigner-Seitz facets of a lattice: (ineigh (nf,3), areas (nf,),
+    verts (nv,3))."""
+    lib = _load()
+    m = np.ascontiguousarray(np.asarray(m_x2c, dtype=np.float64))
+    if lib is not None:
+        maxf, maxv = 64, 256
+        ineigh = np.zeros((maxf, 3), dtype=np.int32)
+        areas = np.zeros(maxf)
+        verts = np.zeros((maxv, 3))
+        nv = ctypes.c_int(0)
+        # column-major 3x3 (columns = lattice vectors)
+        mcol = np.ascontiguousarray(m.T.reshape(-1))
+        nf = lib.c2n_ws_cell(
+            mcol.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ineigh.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            areas.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            verts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.byref(nv), ctypes.c_int(maxf), ctypes.c_int(maxv))
+        if nf >= 0:
+            return ineigh[:nf].copy(), areas[:nf].copy(), \
+                verts[:nv.value].copy()
+    from .crystal.wscell import wigner_seitz
+
+    ws = wigner_seitz(m)
+    return np.asarray(ws.ineighx, dtype=np.int32), \
+        np.asarray(ws.areas), np.asarray(ws.vertices)
+
+
+def yt_labels(rho, offs, wts):
+    """Exact sequential Yu-Trinkle labels (native). rho (n1,n2,n3);
+    offs (K,3) int; wts (K,). Returns (labels (n1,n2,n3), nattr)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built "
+                           "(python -m critic2_tpu.native)")
+    rho = np.ascontiguousarray(rho, dtype=np.float64)
+    n1, n2, n3 = rho.shape
+    offs = np.ascontiguousarray(offs, dtype=np.int32)
+    wts = np.ascontiguousarray(wts, dtype=np.float64)
+    labels = np.zeros(rho.size, dtype=np.int32)
+    nattr = lib.c2n_yt_labels(
+        ctypes.c_int(n1), ctypes.c_int(n2), ctypes.c_int(n3),
+        rho.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int(len(offs)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        wts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        ctypes.c_int(1 << 20))
+    if nattr < 0:
+        raise RuntimeError("native yt sweep failed")
+    return labels.reshape(rho.shape), int(nattr)
+
+
+if __name__ == "__main__":
+    ok = build()
+    print("native build:", "ok" if ok else "FAILED")

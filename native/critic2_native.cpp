@@ -1,0 +1,330 @@
+// critic2-tpu native host kernels (C++17, C ABI for ctypes).
+//
+// Role of the reference's native C/F77 components (SURVEY.md S2.3):
+//   - qhull (src/qhull/ + src/doqhull.c): convex-hull triangulation of
+//     basin surfaces and Voronoi construction of the Wigner-Seitz cell
+//     -> c2n_hull (incremental 3-D convex hull), c2n_ws_cell
+//     (halfspace-intersection Voronoi cell of a lattice).
+//   - the strictly-sequential Yu-Trinkle sweep (src/yt@proc.f90:106-190)
+//     as a native host engine -> c2n_yt_labels: exact reference-order
+//     basin assignment used to cross-check the device formulation on
+//     grids too large for the Python sequential checker.
+//
+// Everything is plain C arrays; the Python side (critic2_tpu/native.py)
+// loads this with ctypes and falls back to NumPy implementations.
+
+#include <algorithm>
+#include <array>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <numeric>
+#include <utility>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// incremental 3-D convex hull
+// pts: n x 3 doubles. tris: output triangle vertex ids (max_tris x 3).
+// returns number of triangles, or -1 on failure / overflow.
+// ---------------------------------------------------------------------
+int c2n_hull(int n, const double* pts, int* tris, int max_tris) {
+    if (n < 4) return -1;
+    struct Face { int a, b, c; bool alive; };
+    auto at = [&](int i, int k) { return pts[3 * i + k]; };
+    auto sub = [&](int i, int j, double* out) {
+        for (int k = 0; k < 3; ++k) out[k] = at(i, k) - at(j, k);
+    };
+    auto orient = [&](int a, int b, int c, int d) {
+        double u[3], v[3], w[3];
+        sub(b, a, u); sub(c, a, v); sub(d, a, w);
+        double nx = u[1] * v[2] - u[2] * v[1];
+        double ny = u[2] * v[0] - u[0] * v[2];
+        double nz = u[0] * v[1] - u[1] * v[0];
+        return nx * w[0] + ny * w[1] + nz * w[2];
+    };
+
+    // initial non-degenerate tetrahedron
+    int i0 = 0, i1 = -1, i2 = -1, i3 = -1;
+    for (int i = 1; i < n && i1 < 0; ++i) {
+        double d[3]; sub(i, i0, d);
+        if (std::abs(d[0]) + std::abs(d[1]) + std::abs(d[2]) > 1e-12)
+            i1 = i;
+    }
+    if (i1 < 0) return -1;
+    for (int i = 1; i < n && i2 < 0; ++i) {
+        if (i == i1) continue;
+        double u[3], v[3]; sub(i1, i0, u); sub(i, i0, v);
+        double cx = u[1] * v[2] - u[2] * v[1];
+        double cy = u[2] * v[0] - u[0] * v[2];
+        double cz = u[0] * v[1] - u[1] * v[0];
+        if (cx * cx + cy * cy + cz * cz > 1e-20) i2 = i;
+    }
+    if (i2 < 0) return -1;
+    for (int i = 1; i < n && i3 < 0; ++i) {
+        if (i == i1 || i == i2) continue;
+        if (std::abs(orient(i0, i1, i2, i)) > 1e-18) i3 = i;
+    }
+    if (i3 < 0) return -1;
+    if (orient(i0, i1, i2, i3) > 0) std::swap(i1, i2);
+
+    std::vector<Face> faces = {
+        {i0, i1, i2, true}, {i0, i3, i1, true},
+        {i1, i3, i2, true}, {i2, i3, i0, true}};
+
+    for (int p = 0; p < n; ++p) {
+        if (p == i0 || p == i1 || p == i2 || p == i3) continue;
+        // find visible faces
+        std::vector<int> vis;
+        for (size_t f = 0; f < faces.size(); ++f) {
+            if (!faces[f].alive) continue;
+            if (orient(faces[f].a, faces[f].b, faces[f].c, p) > 1e-12)
+                vis.push_back((int)f);
+        }
+        if (vis.empty()) continue;
+        // horizon edges: edges of visible faces shared with non-visible
+        std::vector<std::pair<int, int>> horizon;
+        auto edge_visible = [&](int u, int v) {
+            // is the directed edge (u,v) on some visible face?
+            for (int f : vis) {
+                const Face& F = faces[f];
+                if ((F.a == u && F.b == v) || (F.b == u && F.c == v) ||
+                    (F.c == u && F.a == v))
+                    return true;
+            }
+            return false;
+        };
+        for (int f : vis) {
+            const Face& F = faces[f];
+            int e[3][2] = {{F.a, F.b}, {F.b, F.c}, {F.c, F.a}};
+            for (auto& ed : e)
+                if (!edge_visible(ed[1], ed[0]))
+                    horizon.push_back({ed[0], ed[1]});
+        }
+        for (int f : vis) faces[f].alive = false;
+        for (auto& ed : horizon)
+            faces.push_back({ed.first, ed.second, p, true});
+    }
+
+    int nt = 0;
+    for (auto& F : faces) {
+        if (!F.alive) continue;
+        if (nt >= max_tris) return -1;
+        tris[3 * nt] = F.a; tris[3 * nt + 1] = F.b; tris[3 * nt + 2] = F.c;
+        ++nt;
+    }
+    return nt;
+}
+
+// ---------------------------------------------------------------------
+// Wigner-Seitz cell of a lattice (halfspace intersection vs the 3x3x3
+// neighbor star). m: column-major 3x3 lattice matrix (columns = vectors).
+// outputs: up to maxf facets: ineigh (3 ints, lattice vector), area;
+// up to maxv vertices (x,y,z). returns number of facets, nv via pnv.
+// ---------------------------------------------------------------------
+int c2n_ws_cell(const double* m, int* ineigh, double* areas,
+                double* verts, int* pnv, int maxf, int maxv) {
+    // candidate neighbors: all nonzero (i,j,k) in [-2,2]^3 (covers very
+    // skewed cells; the reference restricts to the Delaunay star)
+    struct P { double x[3]; int h[3]; };
+    std::vector<P> cand;
+    for (int i = -2; i <= 2; ++i)
+        for (int j = -2; j <= 2; ++j)
+            for (int k = -2; k <= 2; ++k) {
+                if (!i && !j && !k) continue;
+                P p;
+                p.h[0] = i; p.h[1] = j; p.h[2] = k;
+                for (int d = 0; d < 3; ++d)
+                    p.x[d] = i * m[d] + j * m[3 + d] + k * m[6 + d];
+                cand.push_back(p);
+            }
+    const size_t nc = cand.size();
+    std::vector<double> rhs(nc), nrm2(nc);
+    double scale = 0.0;
+    for (size_t i = 0; i < nc; ++i) {
+        nrm2[i] = cand[i].x[0] * cand[i].x[0] + cand[i].x[1] * cand[i].x[1]
+                + cand[i].x[2] * cand[i].x[2];
+        rhs[i] = 0.5 * nrm2[i];
+        scale = std::max(scale, nrm2[i]);
+    }
+    scale = std::sqrt(scale);
+    const double eps = 1e-8 * scale * scale;
+
+    // vertices: intersections of plane triples inside all halfspaces
+    std::vector<std::array<double, 3>> V;
+    for (size_t a = 0; a < nc; ++a)
+        for (size_t b = a + 1; b < nc; ++b)
+            for (size_t c = b + 1; c < nc; ++c) {
+                double A[9] = {cand[a].x[0], cand[a].x[1], cand[a].x[2],
+                               cand[b].x[0], cand[b].x[1], cand[b].x[2],
+                               cand[c].x[0], cand[c].x[1], cand[c].x[2]};
+                double det = A[0] * (A[4] * A[8] - A[5] * A[7])
+                           - A[1] * (A[3] * A[8] - A[5] * A[6])
+                           + A[2] * (A[3] * A[7] - A[4] * A[6]);
+                if (std::abs(det) < 1e-10 * scale * scale * scale) continue;
+                double bvec[3] = {rhs[a], rhs[b], rhs[c]};
+                // Cramer
+                double v[3];
+                for (int col = 0; col < 3; ++col) {
+                    double M2[9];
+                    std::memcpy(M2, A, sizeof(M2));
+                    M2[col] = bvec[0]; M2[3 + col] = bvec[1];
+                    M2[6 + col] = bvec[2];
+                    double d2 = M2[0] * (M2[4] * M2[8] - M2[5] * M2[7])
+                              - M2[1] * (M2[3] * M2[8] - M2[5] * M2[6])
+                              + M2[2] * (M2[3] * M2[7] - M2[4] * M2[6]);
+                    v[col] = d2 / det;
+                }
+                bool inside = true;
+                for (size_t q = 0; q < nc && inside; ++q)
+                    if (cand[q].x[0] * v[0] + cand[q].x[1] * v[1]
+                        + cand[q].x[2] * v[2] > rhs[q] + eps)
+                        inside = false;
+                if (!inside) continue;
+                bool dup = false;
+                for (auto& u : V) {
+                    double dx = u[0] - v[0], dy = u[1] - v[1],
+                           dz = u[2] - v[2];
+                    if (dx * dx + dy * dy + dz * dz < 1e-12 * scale * scale)
+                        { dup = true; break; }
+                }
+                if (!dup) V.push_back({v[0], v[1], v[2]});
+            }
+    if ((int)V.size() > maxv) return -1;
+    *pnv = (int)V.size();
+    for (size_t i = 0; i < V.size(); ++i)
+        for (int d = 0; d < 3; ++d) verts[3 * i + d] = V[i][d];
+
+    // facets: planes supporting >= 3 vertices; area by fan triangulation
+    int nf = 0;
+    for (size_t q = 0; q < nc; ++q) {
+        std::vector<int> on;
+        for (size_t i = 0; i < V.size(); ++i) {
+            double s = cand[q].x[0] * V[i][0] + cand[q].x[1] * V[i][1]
+                     + cand[q].x[2] * V[i][2];
+            if (std::abs(s - rhs[q]) < 10 * eps) on.push_back((int)i);
+        }
+        if (on.size() < 3) continue;
+        if (nf >= maxf) return -1;
+        // order polygon by angle around the facet normal
+        double n0 = std::sqrt(nrm2[q]);
+        double nx = cand[q].x[0] / n0, ny = cand[q].x[1] / n0,
+               nz = cand[q].x[2] / n0;
+        double cx = 0, cy = 0, cz = 0;
+        for (int i : on) { cx += V[i][0]; cy += V[i][1]; cz += V[i][2]; }
+        cx /= on.size(); cy /= on.size(); cz /= on.size();
+        // basis in the plane
+        double ux, uy, uz;
+        if (std::abs(nx) < 0.9) { ux = 1; uy = 0; uz = 0; }
+        else { ux = 0; uy = 1; uz = 0; }
+        double px = uy * nz - uz * ny, py = uz * nx - ux * nz,
+               pz = ux * ny - uy * nx;
+        double pn = std::sqrt(px * px + py * py + pz * pz);
+        px /= pn; py /= pn; pz /= pn;
+        double qx = ny * pz - nz * py, qy = nz * px - nx * pz,
+               qz = nx * py - ny * px;
+        std::vector<std::pair<double, int>> ang;
+        for (int i : on) {
+            double dx = V[i][0] - cx, dy = V[i][1] - cy, dz = V[i][2] - cz;
+            ang.push_back({std::atan2(dx * qx + dy * qy + dz * qz,
+                                      dx * px + dy * py + dz * pz), i});
+        }
+        std::sort(ang.begin(), ang.end());
+        double area = 0.0;
+        for (size_t t = 1; t + 1 < ang.size(); ++t) {
+            int a0 = ang[0].second, a1 = ang[t].second,
+                a2 = ang[t + 1].second;
+            double e1[3] = {V[a1][0] - V[a0][0], V[a1][1] - V[a0][1],
+                            V[a1][2] - V[a0][2]};
+            double e2[3] = {V[a2][0] - V[a0][0], V[a2][1] - V[a0][1],
+                            V[a2][2] - V[a0][2]};
+            double crx = e1[1] * e2[2] - e1[2] * e2[1];
+            double cry = e1[2] * e2[0] - e1[0] * e2[2];
+            double crz = e1[0] * e2[1] - e1[1] * e2[0];
+            area += 0.5 * std::sqrt(crx * crx + cry * cry + crz * crz);
+        }
+        ineigh[3 * nf] = cand[q].h[0];
+        ineigh[3 * nf + 1] = cand[q].h[1];
+        ineigh[3 * nf + 2] = cand[q].h[2];
+        areas[nf] = area;
+        ++nf;
+    }
+    return nf;
+}
+
+// ---------------------------------------------------------------------
+// sequential Yu-Trinkle basin assignment (exact reference order,
+// src/yt@proc.f90:106-190). rho: flattened n1*n2*n3 grid; offs: K x 3
+// neighbor offsets; wts: K facet weights (A/l). outputs:
+// labels (-1 boundary marker resolved to argmax basin), nattr.
+// Weights of boundary points are accumulated into qout (nattr x nf
+// integrands) for the nf fields fed in fields (nf x N, may be null).
+// ---------------------------------------------------------------------
+int c2n_yt_labels(int n1, int n2, int n3, const double* rho,
+                  int K, const int* offs, const double* wts,
+                  int* labels, int max_attr) {
+    const int64_t N = (int64_t)n1 * n2 * n3;
+    std::vector<int64_t> order(N);
+    std::iota(order.begin(), order.end(), 0);
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int64_t a, int64_t b) { return rho[a] > rho[b]; });
+    std::vector<int64_t> rank(N);
+    for (int64_t r = 0; r < N; ++r) rank[order[r]] = r;
+
+    // sparse boundary weights: per boundary point, map basin->w
+    std::vector<std::vector<std::pair<int, double>>> wstore(N);
+    int nattr = 0;
+    std::vector<int64_t> nbr(K);
+    for (int64_t rr = 0; rr < N; ++rr) {
+        int64_t i = order[rr];
+        int64_t x1 = i / ((int64_t)n2 * n3);
+        int64_t rem = i - x1 * n2 * n3;
+        int64_t x2 = rem / n3, x3 = rem - (int64_t)x2 * n3;
+        int nhi = 0;
+        double chisum = 0.0;
+        int64_t kmin_nbr = -1;
+        int64_t kmin_rank = N;
+        std::vector<std::pair<int64_t, double>> chi;
+        for (int k = 0; k < K; ++k) {
+            int64_t y1 = (x1 + offs[3 * k] % n1 + n1) % n1;
+            int64_t y2 = (x2 + offs[3 * k + 1] % n2 + n2) % n2;
+            int64_t y3 = (x3 + offs[3 * k + 2] % n3 + n3) % n3;
+            int64_t j = (y1 * n2 + y2) * n3 + y3;
+            if (rank[j] < rank[i]) {
+                ++nhi;
+                if (rank[j] < kmin_rank) { kmin_rank = rank[j]; kmin_nbr = j; }
+                double c = wts[k] * (rho[j] - rho[i]);
+                if (c > 0) { chi.push_back({j, c}); chisum += c; }
+            }
+        }
+        if (nhi == 0) {
+            if (nattr >= max_attr) return -1;
+            labels[i] = nattr;
+            wstore[i] = {{nattr, 1.0}};
+            ++nattr;
+            continue;
+        }
+        if (chi.empty()) { chi.push_back({kmin_nbr, 1.0}); chisum = 1.0; }
+        // accumulate weights from uphill neighbors
+        std::vector<std::pair<int, double>> row;
+        for (auto& [j, c] : chi) {
+            double p = c / chisum;
+            for (auto& [b, w] : wstore[j]) {
+                bool found = false;
+                for (auto& [b2, w2] : row)
+                    if (b2 == b) { w2 += p * w; found = true; break; }
+                if (!found) row.push_back({b, p * w});
+            }
+        }
+        // label = argmax weight
+        int best = -1; double bw = -1.0;
+        for (auto& [b, w] : row)
+            if (w > bw) { bw = w; best = b; }
+        labels[i] = best;
+        wstore[i] = std::move(row);
+    }
+    return nattr;
+}
+
+}  // extern "C"
