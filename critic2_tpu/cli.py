@@ -340,6 +340,147 @@ class Repl:
         self._gridred("count", args)
 
     # ------------------------------------------------------------------
+    def cmd_hirshfeld(self, args, lines):
+        from .analysis.hirshfeld import hirshfeld_charges
+
+        res = hirshfeld_charges(self.need_system())
+        self.write("* Hirshfeld atomic charges")
+        self.write(res.table())
+
+    def cmd_xdm(self, args, lines):
+        from .analysis.xdm import xdm_grid
+
+        sy = self.need_system()
+        kw = {}
+        if len(args) >= 2:
+            try:
+                kw["a1"] = float(args[0])
+                kw["a2_ang"] = float(args[1])
+            except ValueError:
+                pass
+        res = xdm_grid(sy, **kw)
+        self.write(f"+ XDM: Evdw = {res.energy:.10e} Ha")
+        for nn, v in res.ehadd.items():
+            self.write(f"  Evdw{nn} = {v:.10e} Ha")
+        self.write("# i  V            Vfree        alpha        C6(ii)")
+        for q in range(len(res.volumes)):
+            self.write(f"{q + 1:4d} {res.volumes[q]:12.6f} "
+                       f"{res.vfree[q]:12.6f} {res.alpha[q]:12.6f} "
+                       f"{res.c6[q, q]:12.6f}")
+
+    def cmd_stm(self, args, lines):
+        from .analysis.stm import stm
+
+        sy = self.need_system()
+        mode = "current"
+        level = None
+        if args and args[0].lower() in ("current", "height"):
+            mode = args[0].lower()
+            if len(args) > 1:
+                level = float(args[1])
+        res = stm(sy, mode=mode, level=level)
+        self.write(f"+ STM {mode}: image {res.image.shape}, "
+                   f"range [{res.image.min():.6e}, {res.image.max():.6e}]")
+
+    def cmd_powder(self, args, lines):
+        from .analysis.struct import powder
+
+        sy = self.need_system()
+        pat = powder(sy.crystal)
+        self.write("# 2theta   intensity (top peaks)")
+        order = np.argsort(-pat.peaks_i)[:10]
+        for idx in sorted(order, key=lambda t: pat.peaks_t[t]):
+            h, k, l = pat.peaks_hkl[idx]
+            self.write(f"{pat.peaks_t[idx]:9.4f} "
+                       f"{100 * pat.peaks_i[idx] / pat.peaks_i.max():9.3f}"
+                       f"   ({h} {k} {l})")
+
+    def cmd_rdf(self, args, lines):
+        from .analysis.struct import rdf
+
+        sy = self.need_system()
+        rend = float(args[0]) if args else 25.0
+        pat = rdf(sy.crystal, rend=rend)
+        self.write(f"+ RDF: {len(pat.t)} points to {rend} bohr, "
+                   f"max {pat.ih.max():.4f}")
+
+    def cmd_compare(self, args, lines):
+        from .analysis.struct import compare
+        from .crystal.seed import read_structure
+
+        crystals = [read_structure(a) for a in args
+                    if not a.startswith("-")]
+        if self.sy is not None:
+            crystals.insert(0, self.sy.crystal)
+        if len(crystals) < 2:
+            raise CliError("COMPARE needs at least two structures")
+        d = compare(crystals)
+        self.write("+ COMPARE (POWDIFF):")
+        for row in d:
+            self.write("  " + " ".join(f"{v:10.6f}" for v in row))
+
+    def cmd_write(self, args, lines):
+        from .io.writers import write_structure
+
+        sy = self.need_system()
+        write_structure(sy.crystal, args[0])
+        self.write(f"+ WRITE -> {args[0]}")
+
+    def cmd_ewald(self, args, lines):
+        from .analysis.ewald import ewald_energy
+
+        sy = self.need_system()
+        q = None
+        if sy.vars.get("__charges__") is not None:
+            q = sy.vars["__charges__"]
+        e = ewald_energy(sy.crystal, q)
+        self.write(f"+ EWALD energy = {e:.10f} Ha "
+                   "(charges = Z unless Q set)")
+
+    def cmd_environ(self, args, lines):
+        sy = self.need_system()
+        c = sy.crystal
+        rmax = float(args[0]) if args else 10.0
+        pos, spc, cidx = c.atomic_environment(rmax)
+        self.write(f"+ ENVIRON: {len(pos)} atom images within {rmax} bohr")
+
+    def cmd_coord(self, args, lines):
+        from .analysis.struct import coordination
+
+        sy = self.need_system()
+        coord = coordination(sy.crystal)
+        for i, n in enumerate(coord):
+            nm = sy.crystal.species[sy.crystal.species_of[i]].name
+            self.write(f"  {i + 1:4d} {nm:>4s}  coordination {n}")
+
+    def cmd_packing(self, args, lines):
+        from .analysis.struct import packing_ratio
+
+        self.write(f"+ PACKING ratio = "
+                   f"{packing_ratio(self.need_system().crystal):.4f} %")
+
+    def cmd_basinplot(self, args, lines):
+        from .analysis.bisect import basinplot
+
+        sy = self.need_system()
+        x = [float(v) for v in args[:3]]
+        file = args[3] if len(args) > 3 else "basin.obj"
+        _, faces, r = basinplot(sy, x, file=file)
+        self.write(f"+ BASINPLOT: {len(faces)} faces, r in "
+                   f"[{r.min():.4f}, {r.max():.4f}] -> {file}")
+
+    def cmd_fluxprint(self, args, lines):
+        from .analysis.flux import fluxprint
+
+        sy = self.need_system()
+        x = np.array([[float(v) for v in args[:3]]])
+        file = args[3] if len(args) > 3 else "flux.obj"
+        fluxprint(sy, sy.crystal.x2c(x), file=file)
+        self.write(f"+ FLUXPRINT -> {file}")
+
+    def cmd_molcalc_expr(self, args, lines):
+        return self.cmd_molcalc(args, lines)
+
     def cmd_pointprop(self, args, lines):
         sy = self.need_system()
         if args and args[0].lower() == "clear":

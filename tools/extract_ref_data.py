@@ -113,6 +113,35 @@ def main():
                         cscatt=cscatt, c2scatt=c2scatt)
     print(f"scatt.npz: cscatt {cscatt.shape}, c2scatt {c2scatt.shape}")
 
+    # --- XDM free-atom data: polarizabilities (param.F90 alpha_free) and
+    # HF free-atom volumes (xdm@proc.f90 frevol0) - published atomic
+    # constants vendored by the reference ---
+    def parse_flat_src(src, name, expect):
+        m = re.search(rf"{name}\([0-9:a-zA-Z,]+\)\s*=\s*\(/", src)
+        if not m:
+            raise RuntimeError(f"{name} not found")
+        tail = src[m.end():]
+        body = tail[:tail.index("/)")]
+        vals = []
+        for ln in body.splitlines():
+            ln = ln.split("!")[0].replace("&", " ")
+            for tok in ln.replace(",", " ").split():
+                try:
+                    vals.append(float(tok.replace("d", "e").replace("D", "E")))
+                except ValueError:
+                    pass
+        if len(vals) < expect:
+            raise RuntimeError(f"{name}: {len(vals)} values, want >= {expect}")
+        return np.asarray(vals[:expect])
+
+    alpha_free = parse_flat_src(psrc, "alpha_free", 103)
+    xsrc = open(os.path.join(REF, "src", "xdm@proc.f90")).read()
+    frevol0 = parse_flat_src(xsrc, "frevol0", 104)   # index 0..maxzat0
+    np.savez_compressed(os.path.join(OUT, "xdm.npz"),
+                        alpha_free=alpha_free, frevol0=frevol0)
+    print(f"xdm.npz: alpha_free {alpha_free.shape} [H:{alpha_free[0]}], "
+          f"frevol0 {frevol0.shape} [H:{frevol0[1]}]")
+
     # --- atomic radial density tables ---
     # store per-element: r grid params + per-orbital occupations and
     # occ*wfc^2 radial profiles (the only combination the runtime needs).
