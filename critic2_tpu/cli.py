@@ -340,6 +340,15 @@ class Repl:
         self._gridred("count", args)
 
     # ------------------------------------------------------------------
+    def cmd_qtree(self, args, lines):
+        from .analysis.qtree import qtree_integrate
+
+        sy = self.need_system()
+        maxl = int(args[0]) if args else 3
+        res = qtree_integrate(sy, maxl=maxl)
+        self.write(f"+ QTREE (maxl={maxl}): {res.ntraced} paths traced")
+        self.write(res.table())
+
     def cmd_hirshfeld(self, args, lines):
         from .analysis.hirshfeld import hirshfeld_charges
 

@@ -1,0 +1,36 @@
+"""QTREE adaptive tetrahedral basin integration."""
+import numpy as np
+import pytest
+
+from critic2_tpu import System
+from critic2_tpu.crystal.cell import m_x2c_from_cellpar
+from critic2_tpu.crystal.crystal import Crystal, Species
+from critic2_tpu.analysis.qtree import qtree_integrate, _ws_tetrahedra, \
+    _subdivide, _tet_volume
+
+
+def test_ws_tetrahedra_fill_cell():
+    c = Crystal(m_x2c=m_x2c_from_cellpar([6.0, 7.0, 8.0], [90, 90, 90]),
+                x_frac=np.zeros((1, 3)), species_of=np.array([0]),
+                species=[Species("C", 6)])
+    tets = _ws_tetrahedra(c)
+    assert abs(_tet_volume(tets).sum() - c.volume) < 1e-8
+    # subdivision preserves volume
+    sub = _subdivide(tets)
+    assert abs(_tet_volume(sub).sum() - c.volume) < 1e-8
+
+
+def test_qtree_cscl():
+    c = Crystal(m_x2c=m_x2c_from_cellpar([7.0, 7.0, 7.0], [90, 90, 90]),
+                x_frac=np.array([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]]),
+                species_of=np.array([0, 1]),
+                species=[Species("Na", 11), Species("Cl", 17)])
+    s = System.from_structure(c)
+    res = qtree_integrate(s, maxl=3)
+    # volumes tile the cell (a few deepest-level saddle corners may stay
+    # uncolored; the reference spends beta spheres on the same corners)
+    assert abs(res.volumes.sum() - c.volume) < 1e-3 * c.volume
+    assert (res.volumes > 0).all()
+    # both basins hold charge; the heavier atom holds more
+    assert res.pops[1] > res.pops[0] > 0
+    assert res.ntraced > 500
