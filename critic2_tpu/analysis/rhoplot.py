@@ -18,7 +18,7 @@ import numpy as np
 
 from ..ops.eig3 import eigvalsh3
 
-__all__ = ["point", "line", "plane", "cube"]
+__all__ = ["point", "line", "plane", "cube", "grdvec"]
 
 _DERIV_SELECT = ("f", "gx", "gy", "gz", "gmod", "xx", "xy", "xz", "yy",
                  "yz", "zz", "lap")
@@ -132,6 +132,78 @@ def plane(system, x0, x1, x2, nx: int = 101, ny: int = 101, field=None,
                              f"{vals[i, j]:18.10e}\n")
                 fh.write("\n")
     return u, v, vals
+
+
+def grdvec(system, x0, x1, x2, cpl=None, nseed: int = 8,
+           nx: int = 51, ny: int = 51, file: str | None = None,
+           nrec: int = 250):
+    """GRDVEC: 2D gradient-path map on a plane patch with a contour
+    backdrop (reference rhoplot grdvec machinery, src/rhoplot@proc.f90).
+
+    Traces uphill and downhill paths from in-plane CPs (or a uniform seed
+    grid when no CP list is given), projects them onto the plane, and
+    returns (contour (nx, ny), paths [list of (L, 2) plane coords]).
+    Writes a gnuplot-ready .dat when `file` is given.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.ode import trace_paths_recorded
+
+    c = system.crystal
+    x0, x1, x2 = (np.asarray(v, dtype=float) for v in (x0, x1, x2))
+    u_vec = (x1 - x0) @ np.asarray(c.m_x2c).T
+    v_vec = (x2 - x0) @ np.asarray(c.m_x2c).T
+    o_cart = x0 @ np.asarray(c.m_x2c).T
+    # orthonormal plane basis
+    eu = u_vec / np.linalg.norm(u_vec)
+    ev = v_vec - (v_vec @ eu) * eu
+    ev /= np.linalg.norm(ev)
+
+    _, _, vals = plane(system, x0, x1, x2, nx=nx, ny=ny)
+
+    # seeds: in-plane CPs (within 0.2 bohr of the plane), else a grid
+    seeds = []
+    if cpl is not None:
+        for cp in cpl.cps:
+            if cp.isnuc:
+                continue
+            d = cp.r - o_cart
+            off = d - (d @ eu) * eu - (d @ ev) * ev
+            if np.linalg.norm(off) < 0.2:
+                seeds.append(cp.r)
+    if not seeds:
+        uu, vv = np.meshgrid(np.linspace(0.1, 0.9, nseed),
+                             np.linspace(0.1, 0.9, nseed))
+        seeds = [o_cart + a * u_vec + b * v_vec
+                 for a, b in zip(uu.ravel(), vv.ravel())]
+    seeds = np.asarray(seeds)
+
+    fn = system.ref.eval_fn(nder=2)
+    paths2d = []
+    for iup in (1, -1):
+        paths, _, _ = trace_paths_recorded(fn, jnp.asarray(seeds),
+                                           nrec=nrec, iup=iup)
+        for p in paths:
+            d = p - o_cart[None, :]
+            paths2d.append(np.stack([d @ eu, d @ ev], axis=1))
+
+    if file:
+        with open(file, "w") as fh:
+            fh.write("# GRDVEC contour block (u v f), then paths\n")
+            for i in range(nx):
+                for j in range(ny):
+                    du = (i / (nx - 1)) * (u_vec @ eu)
+                    dv = (j / (ny - 1)) * np.linalg.norm(
+                        v_vec - (v_vec @ eu) * eu)
+                    fh.write(f"{du:14.8f} {dv:14.8f} "
+                             f"{vals[i, j]:18.10e}\n")
+                fh.write("\n")
+            fh.write("\n\n# gradient paths\n")
+            for p in paths2d:
+                for row in p:
+                    fh.write(f"{row[0]:14.8f} {row[1]:14.8f}\n")
+                fh.write("\n")
+    return vals, paths2d
 
 
 def cube(system, n=(64, 64, 64), origin=(0.0, 0.0, 0.0), lengths=None,

@@ -116,7 +116,8 @@ class Field:
                 fmt = detect_grid_format(path)
             except ValueError:
                 fmt = None
-        if fmt in ("cube", "vasp", "xsf", "qub", "elk"):
+        if fmt in ("cube", "bincube", "vasp", "xsf", "qub", "elk",
+                   "siesta"):
             omega = crystal.volume if fmt == "vasp" else None
             g = Grid3.from_file(path, fmt=fmt, omega=omega)
             return cls.from_grid(crystal, g, name=name or path, **kw)

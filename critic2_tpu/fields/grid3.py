@@ -92,6 +92,10 @@ class Grid3:
             return cls.read_elk(path)
         if fmt == "qub":
             return cls.read_qub(path)
+        if fmt == "bincube":
+            return cls.read_bincube(path)
+        if fmt == "siesta":
+            return cls.read_siesta(path)
         raise NotImplementedError(f"grid format {fmt}")
 
     @classmethod
@@ -108,6 +112,64 @@ class Grid3:
             data = np.array(fh.read().split(), dtype=np.float64)
         vals = data[: int(np.prod(n))].reshape(tuple(n))
         return cls(jnp.asarray(vals))
+
+    @classmethod
+    def read_bincube(cls, path: str) -> "Grid3":
+        """critic2 binary cube (reference read_bincube,
+        src/grid3mod@proc.f90:445-486): Fortran records
+        [nat, x0(3)], [n(3), xd(3,3)], nat x [iz, q, x(3)], [f]."""
+        fr = _FortranRecords(path)
+        rec = fr.record()
+        nat = abs(int(np.frombuffer(rec[:4], dtype=np.int32)[0]))
+        rec = fr.record()
+        n = np.frombuffer(rec[:12], dtype=np.int32)
+        for _ in range(nat):
+            fr.record()
+        data = fr.record(dtype=np.float64)
+        fr.close()
+        # stored in Fortran order f(n1,n2,n3)
+        f = data.reshape(tuple(n), order="F")
+        return cls(jnp.asarray(f))
+
+    @classmethod
+    def read_siesta(cls, path: str) -> "Grid3":
+        """siesta RHO/LDOS/VT (reference read_siesta,
+        src/grid3mod@proc.f90:489-533): records [cell 3x3 dp],
+        [n(3), nspin], then nspin*n3*n2 records of n1 float32 (spin
+        channels summed)."""
+        fr = _FortranRecords(path)
+        fr.record()                                  # cell (unused here)
+        rec = fr.record(dtype=np.int32)
+        n1, n2, n3, nspin = (int(v) for v in rec[:4])
+        f = np.zeros((n1, n2, n3))
+        for _ in range(nspin):
+            for iz in range(n3):
+                for iy in range(n2):
+                    f[:, iy, iz] += fr.record(dtype=np.float32)[:n1]
+        fr.close()
+        return cls(jnp.asarray(f))
+
+    def write_bincube(self, path: str, crystal=None):
+        """Write the critic2 binary cube format."""
+        n = self.f.shape
+        with open(path, "wb") as fh:
+            def rec(raw: bytes):
+                fh.write(np.int32(len(raw)).tobytes())
+                fh.write(raw)
+                fh.write(np.int32(len(raw)).tobytes())
+
+            nat = crystal.ncel if crystal is not None else 0
+            rec(np.int32(nat).tobytes() + np.zeros(3).tobytes())
+            xd = (np.asarray(crystal.m_x2c) / np.asarray(n)[None, :]
+                  if crystal is not None else np.eye(3))
+            rec(np.asarray(n, np.int32).tobytes() + xd.tobytes())
+            if crystal is not None:
+                for i in range(nat):
+                    z = crystal.species[crystal.species_of[i]].z
+                    rec(np.int32(z).tobytes() + np.float64(z).tobytes()
+                        + np.asarray(crystal.x_cart[i]).tobytes())
+            rec(np.asarray(self.f, dtype=np.float64)
+                .reshape(-1, order="F").tobytes())
 
     @classmethod
     def read_vasp(cls, path: str, omega: float | None = None) -> "Grid3":
@@ -184,12 +246,39 @@ def detect_grid_format(path: str) -> str:
     ext = os.path.splitext(base)[1].lstrip(".")
     if ext == "cube":
         return "cube"
+    if ext == "bincube":
+        return "bincube"
     if base.startswith(("chgcar", "chg", "elfcar", "aeccar")) or ext == "vasp":
         return "vasp"
     if ext in ("xsf", "axsf"):
         return "xsf"
     if ext == "qub":
         return "qub"
+    if ext in ("rho", "ldos", "vt", "vh", "drho", "bader"):
+        return "siesta"
     if base.endswith(("rho3d.out", "elf3d.out", ".out")) and "3d" in base:
         return "elk"
     raise ValueError(f"cannot detect grid format of {path}")
+
+
+class _FortranRecords:
+    """Sequential Fortran unformatted records (4-byte markers)."""
+
+    def __init__(self, path):
+        self.fh = open(path, "rb")
+
+    def record(self, dtype=None, count=-1):
+        head = np.fromfile(self.fh, dtype=np.int32, count=1)
+        if len(head) == 0:
+            raise EOFError("no more records")
+        nbytes = int(head[0])
+        raw = self.fh.read(nbytes)
+        tail = np.fromfile(self.fh, dtype=np.int32, count=1)
+        if len(tail) == 0 or int(tail[0]) != nbytes:
+            raise ValueError("corrupt Fortran record")
+        if dtype is None:
+            return raw
+        return np.frombuffer(raw, dtype=dtype, count=count)
+
+    def close(self):
+        self.fh.close()

@@ -62,3 +62,16 @@ def test_cube_lap_matches_grd(s):
     direct = float(np.asarray(s.ref.grd(x @ np.asarray(
         s.crystal.m_x2c).T).del2f)[0])
     assert abs(data[3, 5, 7] - direct) < 1e-10
+
+
+def test_grdvec(s, tmp_path):
+    from critic2_tpu.analysis.rhoplot import grdvec
+    from critic2_tpu.analysis.autocp import autocp
+
+    cpl = autocp(s)
+    f = tmp_path / "grdvec.dat"
+    vals, paths = grdvec(s, [0, 0, 0], [1, 0, 0], [0, 1, 0],
+                         cpl=cpl, nx=21, ny=21, file=str(f), nrec=80)
+    assert vals.shape == (21, 21)
+    assert len(paths) >= 2
+    assert f.exists() and f.stat().st_size > 1000

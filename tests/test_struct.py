@@ -127,3 +127,31 @@ def test_hirshfeld_nacl():
     np.testing.assert_allclose(res.pops[:4], res.pops[0], rtol=1e-6)
     np.testing.assert_allclose(res.pops[4:], res.pops[4], rtol=1e-6)
     assert res.pops[4] > res.pops[0] > 0
+
+
+def test_bincube_siesta_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from critic2_tpu.fields.grid3 import Grid3
+
+    c = _nacl()
+    g = Grid3(jnp.asarray(np.random.default_rng(0).random((6, 5, 4))))
+    p = tmp_path / "f.bincube"
+    g.write_bincube(str(p), crystal=c)
+    g2 = Grid3.read_bincube(str(p))
+    np.testing.assert_array_equal(np.asarray(g2.f), np.asarray(g.f))
+
+    ps = tmp_path / "f.RHO"
+    with open(ps, "wb") as fh:
+        def rec(raw):
+            fh.write(np.int32(len(raw)).tobytes())
+            fh.write(raw)
+            fh.write(np.int32(len(raw)).tobytes())
+        rec(np.eye(3).tobytes())
+        rec(np.asarray([6, 5, 4, 1], np.int32).tobytes())
+        f = np.asarray(g.f)
+        for iz in range(4):
+            for iy in range(5):
+                rec(f[:, iy, iz].astype(np.float32).tobytes())
+    g3 = Grid3.read_siesta(str(ps))
+    np.testing.assert_allclose(np.asarray(g3.f), np.asarray(g.f),
+                               atol=1e-6)
