@@ -54,13 +54,19 @@ class IntegrationResult:
         return np.array([r.volume for r in self.rows])
 
     def table(self) -> str:
-        lines = ["# id  name  atom        volume            pop        "
-                 "position (frac)"]
+        extras = list(self.rows[0].extra) if self.rows else []
+        hdr = ("# id  name  atom        volume            pop        "
+               "position (frac)")
+        for name in extras:
+            hdr += f"  {name:>16s}"
+        lines = [hdr]
         for r in self.rows:
-            lines.append(
-                f"{r.idx:4d}  {r.name:>4s}  {r.atom:4d}  {r.volume:14.8f}  "
-                f"{r.pop:14.8f}   {r.xfrac[0]:.6f} {r.xfrac[1]:.6f} "
-                f"{r.xfrac[2]:.6f}")
+            ln = (f"{r.idx:4d}  {r.name:>4s}  {r.atom:4d}  "
+                  f"{r.volume:14.8f}  {r.pop:14.8f}   {r.xfrac[0]:.6f} "
+                  f"{r.xfrac[1]:.6f} {r.xfrac[2]:.6f}")
+            for name in extras:
+                ln += f"  {r.extra[name]:16.8f}"
+            lines.append(ln)
         tot_v = sum(r.volume for r in self.rows)
         tot_q = sum(r.pop for r in self.rows)
         lines.append(f"# sum             {tot_v:14.8f}  {tot_q:14.8f}")
@@ -114,6 +120,25 @@ def intgrid(system, method: str = "yt", ratom: float = 1.0,
         res = bader_integrate(c, rho, block=max(block, 1 << 16))
     else:
         raise ValueError(f"unknown integration method {method}")
+
+    # registered INTEGRABLE expressions evaluate on the basin grid nodes
+    # (reference intgrid_fields, src/integration@proc.f90:949-1178)
+    if getattr(system, "integrables", None):
+        fields = dict(fields or {})
+        n1, n2, n3 = shape
+        i, j, k = np.meshgrid(np.arange(n1), np.arange(n2), np.arange(n3),
+                              indexing="ij")
+        xf = np.stack([i.ravel() / n1, j.ravel() / n2, k.ravel() / n3])
+        xc = np.asarray(c.m_x2c) @ xf
+        from ..arithmetic import compile_expr
+
+        for expr in system.integrables:
+            fn = compile_expr(expr, system)
+            out = np.empty(xc.shape[1])
+            for lo in range(0, xc.shape[1], block):
+                chunk = jnp.asarray(xc[:, lo:lo + block])
+                out[lo:lo + chunk.shape[1]] = np.asarray(fn(chunk))
+            fields[expr] = out.reshape(shape)
 
     omega = c.volume
     npts = float(np.prod(shape))

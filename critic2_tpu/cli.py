@@ -161,6 +161,15 @@ class Repl:
         x = [float(v) for v in args[:3]]
         rep = rhoplot.point(sy, x)
         self.write(str(rep))
+        if sy.pointprops:
+            cart = np.asarray(x) @ np.asarray(sy.crystal.m_x2c).T
+            for expr in sy.pointprops:
+                try:
+                    v = float(np.asarray(sy.eval_expr(expr,
+                                                      cart[None, :]))[0])
+                    self.write(f"  {expr}: {v:.8e}")
+                except Exception as exc:  # noqa: BLE001
+                    self.warn(f"pointprop {expr!r}: {exc}")
 
     def cmd_line(self, args, lines):
         from .analysis import rhoplot

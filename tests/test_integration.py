@@ -73,3 +73,12 @@ def test_bader_attractor_positions():
     # symmetric problem: near-equal volumes (exact midplane plateau points
     # tie-break by neighbor order, as in the reference ongrid walk)
     assert abs(vol[0] - vol[1]) / vol.sum() < 0.03
+
+
+def test_integrable_expressions():
+    s = _nacl_system(shape=(16, 16, 16))
+    s.integrables.append("$1 * 2")
+    res = intgrid(s, method="yt")
+    for r in res.rows:
+        assert abs(r.extra["$1 * 2"] - 2 * r.pop) < 1e-8
+    assert "$1 * 2" in res.table()
