@@ -33,3 +33,16 @@ def molcalc_nelec(system, lvl: str = "good") -> float:
     """Integrated number of electrons of the reference field."""
     ref = system.iref if system.iref is not None else 0
     return molcalc_integral(system, f"${ref}", lvl=lvl)
+
+
+def molcalc_hf(system, block: int = 96) -> dict:
+    """Hartree-Fock total energy of the reference wavefunction
+    (reference molcalc_hfenergy via libCINT,
+    src/molcalc@proc.F90:238-404; here via ops/mdint McMurchie-Davidson
+    integrals, validated against tests_cint/ref.txt to ~5e-8 Ha)."""
+    from ..ops.mdint import rhf_energy
+
+    f = system.ref
+    if f.type != "wfn":
+        raise ValueError("MOLCALC HF needs a wavefunction reference field")
+    return rhf_energy(f.wfn, block=block)

@@ -289,12 +289,18 @@ class Repl:
                    + " ".join(res.files))
 
     def cmd_molcalc(self, args, lines):
-        from .analysis.molcalc import molcalc_integral, molcalc_nelec
+        from .analysis.molcalc import (molcalc_hf, molcalc_integral,
+                                       molcalc_nelec)
 
         sy = self.need_system()
         if not args or args[0].lower() == "nelec":
             v = molcalc_nelec(sy)
             self.write(f"+ MOLCALC NELEC = {v:.8f}")
+        elif args[0].lower() == "hf":
+            res = molcalc_hf(sy)
+            self.write(f"+ MOLCALC HF: E = {res['E_total']:.9f} Ha "
+                       f"(E1 {res['E1']:.6f}, J {res['E_J']:.6f}, "
+                       f"K {res['E_K']:.6f}, NN {res['E_nn']:.6f})")
         else:
             v = molcalc_integral(sy, " ".join(args))
             self.write(f"+ MOLCALC integral = {v:.10e}")

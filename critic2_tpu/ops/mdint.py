@@ -1,0 +1,410 @@
+"""Molecular integrals over primitive Cartesian Gaussians
+(McMurchie-Davidson) and the RHF energy.
+
+Role of the reference's optional libCINT hookup (molcalc HF,
+src/molcalc@proc.F90:238-404; cint setup src/wfn_private@proc.F90:
+1290-1356): overlap/kinetic/nuclear-attraction/ERI integrals over the
+wavefunction's primitive basis and the Hartree-Fock total energy, pinned
+by tests_cint/ref.txt to 1e-9 Ha.
+
+Implementation: McMurchie-Davidson Hermite expansion, batched over ALL
+primitive pairs at once (JAX device arrays; the E/R recursions unroll at
+trace time over the small static angular-momentum ranges). The ERI pair
+matrix over symmetry-reduced primitive pairs is materialized block by
+block and consumed as matrix contractions against MO pair vectors -
+MXU-friendly and O(P^2) memory. Supported angular momentum: l <= 2
+(s, p, d); f-basis sets raise.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["boys", "rhf_energy", "overlap_kinetic_nuclear", "eri_matrix"]
+
+_LI = None  # imported lazily from fields.wfn
+
+
+def _li():
+    global _LI
+    if _LI is None:
+        from ..fields.wfn import _LI as table
+
+        _LI = table
+    return _LI
+
+
+# ---------------------------------------------------------------------------
+# Boys function F_n(T), vectorized and stable
+# ---------------------------------------------------------------------------
+def boys(nmax: int, T):
+    """F_n(T) for n = 0..nmax; T (...,) >= 0. Returns (nmax+1, ...).
+
+    T < 30: downward recursion from a 30-term series at n = nmax + 12;
+    T >= 30: F_0 = sqrt(pi/4T) and upward recursion (exp(-T) negligible
+    but kept).
+    """
+    from jax.scipy.special import erf
+
+    T = jnp.asarray(T)
+    Tsafe = jnp.maximum(T, 1e-30)
+    expT = jnp.exp(-T)
+
+    # series at high order: F_m(T) = exp(-T) sum_k (2T)^k / (2m+1)(2m+3)...(2m+2k+1)
+    mtop = nmax + 12
+    term = 1.0 / (2.0 * mtop + 1.0)
+    acc = term
+    for k in range(1, 70):
+        term = term * 2.0 * jnp.minimum(Tsafe, 18.0) \
+            / (2.0 * mtop + 2.0 * k + 1.0)
+        acc = acc + term
+    Ftop = expT * acc
+
+    # downward: F_m = (2T F_{m+1} + exp(-T)) / (2m+1)
+    Fs_down = [None] * (mtop + 1)
+    Fs_down[mtop] = Ftop
+    for m in range(mtop - 1, -1, -1):
+        Fs_down[m] = (2.0 * Tsafe * Fs_down[m + 1] + expT) / (2.0 * m + 1.0)
+
+    # upward from the exact F_0 (stable for 2T > 2n-1; used for T >= 18)
+    F0_big = 0.5 * jnp.sqrt(jnp.pi / Tsafe) * erf(jnp.sqrt(Tsafe))
+    Fs_up = [F0_big]
+    for m in range(nmax):
+        Fs_up.append(((2.0 * m + 1.0) * Fs_up[m] - expT) / (2.0 * Tsafe))
+
+    big = T >= 18.0
+    out = [jnp.where(big, Fs_up[m], Fs_down[m]) for m in range(nmax + 1)]
+    return jnp.stack(out)
+
+
+# ---------------------------------------------------------------------------
+# Hermite expansion coefficients
+# ---------------------------------------------------------------------------
+def _E_tables(imax, jmax, a, b, A, B):
+    """E_t^{ij} per direction for ALL pairs: returns array
+    (3, imax+1, jmax+1, imax+jmax+1, npair). a, b (npair,); A, B
+    (npair, 3) centers."""
+    p = a + b
+    mu = a * b / p
+    tmax = imax + jmax
+    E = {}
+    for d in range(3):
+        AB = A[:, d] - B[:, d]
+        PA = -(b / p) * AB
+        PB = (a / p) * AB
+        K = jnp.exp(-mu * AB * AB)
+        tab = {(0, 0, 0): K}
+
+        def get(i, j, t):
+            if t < 0 or t > i + j:
+                return 0.0
+            return tab[(i, j, t)]
+
+        for i in range(imax + 1):
+            for j in range(jmax + 1):
+                if i == 0 and j == 0:
+                    continue
+                for t in range(i + j + 1):
+                    if j == 0:
+                        val = (get(i - 1, j, t - 1) / (2.0 * p)
+                               + PA * get(i - 1, j, t)
+                               + (t + 1) * get(i - 1, j, t + 1))
+                    else:
+                        val = (get(i, j - 1, t - 1) / (2.0 * p)
+                               + PB * get(i, j - 1, t)
+                               + (t + 1) * get(i, j - 1, t + 1))
+                    tab[(i, j, t)] = val
+        E[d] = tab
+    return E
+
+
+def _select_E(E, li_a, li_b, imax, jmax, tmax):
+    """Per-pair E arrays selected at the pair's angular momenta:
+    returns (3, tmax+1, npair) with zeros past t > i+j."""
+    npair = li_a.shape[0]
+    out = []
+    for d in range(3):
+        # full table (imax+1, jmax+1, tmax+1, npair)
+        full = jnp.zeros((imax + 1, jmax + 1, tmax + 1, npair))
+        for (i, j, t), v in E[d].items():
+            full = full.at[i, j, t].set(v if not np.isscalar(v) else
+                                        jnp.full((npair,), float(v)))
+        sel = full[li_a[:, d], li_b[:, d], :,
+                   jnp.arange(npair)]              # (npair, tmax+1)
+        out.append(sel.T)
+    return jnp.stack(out)                          # (3, tmax+1, npair)
+
+
+def _hermite_components(L):
+    """All (t, u, v) with t+u+v <= L, ordered; returns list of tuples."""
+    return [(t, u, v) for t in range(L + 1) for u in range(L + 1 - t)
+            for v in range(L + 1 - t - u)]
+
+
+def _R_tensor(L, p, PC, Fns):
+    """Hermite Coulomb integrals R_{tuv} for all t+u+v <= L.
+
+    p (...,); PC (..., 3); Fns (L+1, ...) Boys values of argument p|PC|^2.
+    Returns dict (t,u,v) -> (...,). Recursion via auxiliary R^n.
+    """
+    # R^n_{000} = (-2p)^n F_n
+    Rn = {}
+    for n in range(L + 1):
+        Rn[(n, 0, 0, 0)] = (-2.0 * p) ** n * Fns[n]
+
+    def build(n, t, u, v):
+        key = (n, t, u, v)
+        if key in Rn:
+            return Rn[key]
+        if t > 0:
+            val = (t - 1) * build(n + 1, t - 2, u, v) if t > 1 else 0.0
+            val = val + PC[..., 0] * build(n + 1, t - 1, u, v)
+        elif u > 0:
+            val = (u - 1) * build(n + 1, t, u - 2, v) if u > 1 else 0.0
+            val = val + PC[..., 1] * build(n + 1, t, u - 1, v)
+        else:
+            val = (v - 1) * build(n + 1, t, u, v - 2) if v > 1 else 0.0
+            val = val + PC[..., 2] * build(n + 1, t, u, v - 1)
+        Rn[key] = val
+        return val
+
+    return {c: build(0, *c) for c in _hermite_components(L)}
+
+
+# ---------------------------------------------------------------------------
+# 1-electron integrals (full P x P)
+# ---------------------------------------------------------------------------
+def overlap_kinetic_nuclear(wfn):
+    """S, T, V matrices over the primitives of a Wavefunction (P, P)."""
+    li = _li()[wfn.itype - 1]                     # (P, 3) powers
+    lmax = int(li.max())
+    if lmax > 2:
+        raise NotImplementedError("molecular integrals support l <= 2 "
+                                  "(s, p, d) for now")
+    P = wfn.npri
+    ctr = jnp.asarray(wfn.atpos[wfn.icenter])     # (P, 3)
+    al = jnp.asarray(wfn.e)
+
+    ii, jj = np.meshgrid(np.arange(P), np.arange(P), indexing="ij")
+    ii = ii.ravel()
+    jj = jj.ravel()
+    a = al[ii]
+    b = al[jj]
+    A = ctr[ii]
+    B = ctr[jj]
+    la = jnp.asarray(li[ii], dtype=jnp.int32)
+    lb = jnp.asarray(li[jj], dtype=jnp.int32)
+    p = a + b
+
+    imax, jmax = lmax, lmax + 2                    # kinetic needs j+2
+    E = _E_tables(imax, jmax, a, b, A, B)
+
+    # 1-D overlaps S1[d] at (i, j + shift)
+    root = jnp.sqrt(jnp.pi / p)
+
+    def S1(d, shift):
+        npair = la.shape[0]
+        full = jnp.zeros((imax + 1, jmax + 1, npair))
+        for (i, j, t), v in E[d].items():
+            if t == 0:
+                full = full.at[i, j].set(v)
+        jsel = jnp.clip(lb[:, d] + shift, 0, jmax)
+        valid = (lb[:, d] + shift >= 0) & (lb[:, d] + shift <= jmax)
+        out = full[la[:, d], jsel, jnp.arange(npair)] * root
+        return jnp.where(valid, out, 0.0)
+
+    Sx, Sy, Sz = S1(0, 0), S1(1, 0), S1(2, 0)
+    S = (Sx * Sy * Sz).reshape(P, P)
+
+    # 1-D kinetic: T_x = b(2j+1) S(i,j) - 2b^2 S(i,j+2) - j(j-1)/2 S(i,j-2)
+    def T1(d):
+        j = lb[:, d].astype(jnp.float64)
+        return (b * (2.0 * j + 1.0) * S1(d, 0)
+                - 2.0 * b * b * S1(d, 2)
+                - 0.5 * j * (j - 1.0) * S1(d, -2))
+
+    T = (T1(0) * Sy * Sz + Sx * T1(1) * Sz + Sx * Sy * T1(2)).reshape(P, P)
+
+    # nuclear attraction
+    Ppos = (a[:, None] * A + b[:, None] * B) / p[:, None]
+    comps = _hermite_components(2 * lmax)
+    Esel = _select_E(E, np.asarray(li[ii]), np.asarray(li[jj]),
+                     imax, jmax, imax + jmax)      # (3, tmax+1, npair)
+    V = jnp.zeros(la.shape[0])
+    for z, xc in zip(wfn.atz, wfn.atpos):
+        PC = Ppos - jnp.asarray(xc)[None, :]
+        T_arg = p * (PC * PC).sum(1)
+        Fns = boys(2 * lmax, T_arg)
+        R = _R_tensor(2 * lmax, p, PC, Fns)
+        acc = 0.0
+        for (t, u, v) in comps:
+            acc = acc + Esel[0, t] * Esel[1, u] * Esel[2, v] * R[(t, u, v)]
+        V = V - float(z) * (2.0 * jnp.pi / p) * acc
+    return S, T, np.asarray(V).reshape(P, P)
+
+
+# ---------------------------------------------------------------------------
+# 2-electron integrals and the RHF energy
+# ---------------------------------------------------------------------------
+def _pair_data(wfn):
+    li = _li()[wfn.itype - 1]
+    lmax = int(li.max())
+    if lmax > 2:
+        raise NotImplementedError("molecular integrals support l <= 2")
+    P = wfn.npri
+    iu, ju = np.triu_indices(P)
+    ctr = jnp.asarray(wfn.atpos[wfn.icenter])
+    al = jnp.asarray(wfn.e)
+    a, b = al[iu], al[ju]
+    A, B = ctr[iu], ctr[ju]
+    p = a + b
+    Ppos = (a[:, None] * A + b[:, None] * B) / p[:, None]
+    E = _E_tables(lmax, lmax, a, b, A, B)
+    Esel = _select_E(E, np.asarray(li[iu]), np.asarray(li[ju]),
+                     lmax, lmax, 2 * lmax)
+    comps = _hermite_components(2 * lmax)
+    # Hermite charges (ncomp, npair)
+    om = jnp.stack([Esel[0, t] * Esel[1, u] * Esel[2, v]
+                    for (t, u, v) in comps])
+    return iu, ju, p, Ppos, om, comps, 2 * lmax
+
+
+def _make_eri_block(comps):
+    """Build a jitted ERI block function for the given Hermite component
+    list (closure keeps the component loops static; the R tensor builds
+    level by level with on-the-fly contraction so only two recursion
+    levels are ever alive)."""
+    L2 = 2 * max(sum(c) for c in comps)
+    # m+n component pairs grouped by combined component
+    grouped = {}
+    for m, cm in enumerate(comps):
+        for n, cn in enumerate(comps):
+            c = (cm[0] + cn[0], cm[1] + cn[1], cm[2] + cn[2])
+            sgn = (-1.0) ** sum(cn)
+            grouped.setdefault(c, []).append((m, n, sgn))
+
+    @jax.jit
+    def block_fn(pA, PA, omA, pB, PB, omB):
+        alpha = pA[:, None] * pB[None, :] / (pA[:, None] + pB[None, :])
+        PQ = PA[:, None, :] - PB[None, :, :]
+        T = alpha * (PQ * PQ).sum(-1)
+        Fns = boys(L2, T)
+        pref = 2.0 * jnp.pi ** 2.5 / (pA[:, None] * pB[None, :]
+                                      * jnp.sqrt(pA[:, None]
+                                                 + pB[None, :]))
+
+        # level n = L2 down to 1; keep only the current level
+        cur = {(0, 0, 0): (-2.0 * alpha) ** L2 * Fns[L2]}
+        for n in range(L2 - 1, 0, -1):
+            nxt = {}
+            for c in _hermite_components(L2 - n):
+                t, u, v = c
+                if t > 0:
+                    val = PQ[..., 0] * cur.get((t - 1, u, v), 0.0)
+                    if t > 1:
+                        val = val + (t - 1) * cur.get((t - 2, u, v), 0.0)
+                elif u > 0:
+                    val = PQ[..., 1] * cur.get((t, u - 1, v), 0.0)
+                    if u > 1:
+                        val = val + (u - 1) * cur.get((t, u - 2, v), 0.0)
+                elif v > 0:
+                    val = PQ[..., 2] * cur.get((t, u, v - 1), 0.0)
+                    if v > 1:
+                        val = val + (v - 1) * cur.get((t, u, v - 2), 0.0)
+                else:
+                    val = (-2.0 * alpha) ** n * Fns[n]
+                nxt[c] = val
+            cur = nxt
+
+        out = jnp.zeros(T.shape)
+        for c, terms in grouped.items():
+            t, u, v = c
+            if t > 0:
+                R0 = PQ[..., 0] * cur.get((t - 1, u, v), 0.0)
+                if t > 1:
+                    R0 = R0 + (t - 1) * cur.get((t - 2, u, v), 0.0)
+            elif u > 0:
+                R0 = PQ[..., 1] * cur.get((t, u - 1, v), 0.0)
+                if u > 1:
+                    R0 = R0 + (u - 1) * cur.get((t, u - 2, v), 0.0)
+            elif v > 0:
+                R0 = PQ[..., 2] * cur.get((t, u, v - 1), 0.0)
+                if v > 1:
+                    R0 = R0 + (v - 1) * cur.get((t, u, v - 2), 0.0)
+            else:
+                R0 = Fns[0]
+            W = 0.0
+            for (m, n, sgn) in terms:
+                W = W + sgn * omA[m][:, None] * omB[n][None, :]
+            out = out + W * R0
+        return pref * out
+
+    return block_fn
+
+
+def eri_matrix(wfn, block: int = 64):
+    """Symmetric-pair ERI matrix M[(p<=q),(r<=s)] = (pq|rs)."""
+    iu, ju, p, Ppos, om, comps, Lc2 = _pair_data(wfn)
+    npair = len(iu)
+    block_fn = _make_eri_block(comps)
+    M = np.zeros((npair, npair))
+    for lo in range(0, npair, block):
+        sl = slice(lo, min(lo + block, npair))
+        blk = block_fn(p[sl], Ppos[sl], om[:, sl], p, Ppos, om)
+        M[sl] = np.asarray(blk)
+    return M
+
+
+def rhf_energy(wfn, block: int = 256):
+    """RHF total energy from the wavefunction's MO coefficients
+    (no SCF: the fchk orbitals are already converged). Returns a dict
+    with E_total, E1, E_J, E_K, E_nn.
+    """
+    if wfn.wfntyp != "rhf":
+        raise NotImplementedError("HF energy: RHF wavefunctions only")
+    S, T, V = overlap_kinetic_nuclear(wfn)
+    C = jnp.asarray(wfn.cmo)                      # (M, P) occupied
+    occ = jnp.asarray(wfn.occ)
+    Pmat = jnp.einsum("m,mp,mq->pq", occ, C, C)   # total density matrix
+    E1 = float(jnp.sum(Pmat * (jnp.asarray(T) + jnp.asarray(V))))
+
+    M = eri_matrix(wfn, block=block)
+    iu, ju = np.triu_indices(wfn.npri)
+    w = np.where(iu == ju, 1.0, 2.0)
+    Mj = jnp.asarray(M)
+
+    # Coulomb: 1/2 sum P_pq P_rs (pq|rs)
+    u = jnp.asarray(np.asarray(Pmat)[iu, ju] * w)
+    E_J = 0.5 * float(u @ (Mj @ u))
+
+    # Exchange: -1/4 sum P_pr P_qs (pq|rs), via occupied MO pairs:
+    # E_K = -1/2 sum_ij occ_i occ_j / 2 (ij|ij)  [RHF: occ = 2]
+    nmo = wfn.nmo
+    Brows = []
+    factors = []
+    Cn = np.asarray(wfn.cmo)
+    for i in range(nmo):
+        for j in range(i, nmo):
+            d = Cn[i][iu] * Cn[j][ju] + Cn[i][ju] * Cn[j][iu]
+            d = np.where(iu == ju, 0.5 * d, d)
+            Brows.append(d)
+            factors.append((1.0 if i == j else 2.0)
+                           * float(wfn.occ[i]) * float(wfn.occ[j]) / 4.0)
+    B = jnp.asarray(np.stack(Brows))
+    K_ij = jnp.einsum("np,pq,nq->n", B, Mj, B)
+    # E_x = -1/4 sum_pqrs P_pr P_qs (pq|rs) = -sum_{ordered ij} occ_i
+    # occ_j / 4 (ij|ij)
+    E_K = -float(jnp.asarray(factors) @ K_ij)
+
+    # nuclear repulsion
+    E_nn = 0.0
+    for i in range(len(wfn.atz)):
+        for j in range(i + 1, len(wfn.atz)):
+            E_nn += float(wfn.atz[i]) * float(wfn.atz[j]) / float(
+                np.linalg.norm(wfn.atpos[i] - wfn.atpos[j]))
+
+    E = E1 + E_J + E_K + E_nn
+    return {"E_total": E, "E1": E1, "E_J": E_J, "E_K": E_K, "E_nn": E_nn}
