@@ -45,3 +45,16 @@ def test_rhf_benzene_sto3g(benzene):
     # 8-significant-digit MO coefficients in the fchk
     assert abs(res["E_total"] - (-227.890996173)) < 1e-6
     assert abs(res["E_nn"] - 203.616859780) < 1e-8
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="~15 min on CPU; set RUN_SLOW=1")
+def test_rhf_benzene_631gs():
+    from critic2_tpu.fields.wfn import Wavefunction
+
+    w = Wavefunction.read_fchk(
+        "/root/reference/tests_cint/benzene-631gs.fchk")
+    res = rhf_energy(w, block=96)
+    # d functions exercise typtrans/gnorm/cartesian-normalization paths;
+    # measured: -230.7023957194 (2.1e-8 Ha from the pinned reference)
+    assert abs(res["E_total"] - (-230.702395698)) < 1e-6
