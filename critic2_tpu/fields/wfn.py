@@ -130,6 +130,72 @@ def _sph_to_car(l: int) -> np.ndarray:
     raise ValueError(f"no spherical transform for l={l}")
 
 
+def _shells_to_primitives(sh_l, sh_at, sh_exp, sh_cc, mo_sph):
+    """Expand contracted shells to normalized primitives and per-primitive
+    MO coefficients (the tail of reference read_fchk/read_molden,
+    src/wfn_private@proc.F90:1230-1300 and :1400-1425).
+
+    sh_l: signed shell l (negative = spherical, except -1 which the
+    caller unfolds to s+p); sh_at: 1-based atom; sh_exp/sh_cc: primitive
+    exponents/contraction coefficients per shell; mo_sph: (M, nbas) MO
+    coefficients over the shells' basis functions in shell order (both
+    fchk and molden use the same in-shell cartesian component orders for
+    d/f, the matrices _sph_to_car rows).
+    Returns (icenter, itype, e, cmo).
+    """
+    icenter, itype, e, cmo_cols = [], [], [], []
+    ns = 0
+    for s in range(len(sh_l)):
+        lsig = sh_l[s]
+        l = abs(lsig)
+        ee = np.asarray(sh_exp[s])
+        cc = np.asarray(sh_cc[s])
+        npr = len(ee)
+        ncar = _NSHLT_CAR[l]
+        nsph = _NSHLT_SPH[l] if lsig < -1 else ncar
+        mo_blk = mo_sph[:, ns:ns + nsph]            # (M, nsph)
+        if lsig < -1:
+            mo_car = mo_blk @ _sph_to_car(l)        # (M, ncar)
+        else:
+            mo_car = mo_blk
+        ns += nsph
+
+        for jj, j in enumerate(range(_JSHL0[l], _JSHL1[l] + 1)):
+            ityp = int(_TYPTRANS[j - 1])
+            cn = np.array([cc[k] * _gnorm(ityp, ee[k])
+                           for k in range(npr)])
+            # basis-function normalization (reference :1247-1258)
+            norm = 0.0
+            for k1 in range(npr):
+                for k2 in range(npr):
+                    norm += cn[k1] * cn[k2] / \
+                        (ee[k1] + ee[k2]) ** (l + 1.5)
+            cons = np.pi ** 1.5 * _DFACM1[2 * l] / 2 ** l
+            norm = 1.0 / np.sqrt(norm * cons)
+            if lsig >= 0:
+                if 8 <= ityp <= 10:
+                    norm *= np.sqrt(3.0)
+                elif 14 <= ityp <= 19:
+                    norm *= np.sqrt(5.0)
+                elif ityp == 20:
+                    norm *= np.sqrt(15.0)
+                elif 24 <= ityp <= 29:
+                    norm *= np.sqrt(7.0)
+                elif 30 <= ityp <= 32:
+                    norm *= np.sqrt(35.0 / 3.0)
+                elif 33 <= ityp <= 35:
+                    norm *= np.sqrt(35.0)
+            for k in range(npr):
+                icenter.append(sh_at[s] - 1)
+                itype.append(ityp)
+                e.append(ee[k])
+                cmo_cols.append(cn[k] * norm * mo_car[:, jj])
+
+    return (np.asarray(icenter, dtype=np.int32),
+            np.asarray(itype, dtype=np.int32),
+            np.asarray(e), np.stack(cmo_cols, axis=1))
+
+
 @dataclass
 class Wavefunction:
     """Primitive-expanded molecular wavefunction (GTO)."""
@@ -499,64 +565,133 @@ class Wavefunction:
                 sh_exp.append(ee); sh_cc.append(cc)
             ip += npr
 
-        icenter, itype, e, cmo_cols = [], [], [], []
-        ns = 0  # position in the spherical basis-function list
-        for s in range(len(sh_l)):
-            lsig = sh_l[s]
-            l = abs(lsig)
-            ee = sh_exp[s]
-            cc = sh_cc[s]
-            npr = len(ee)
-            ncar = _NSHLT_CAR[l]
-            nsph = _NSHLT_SPH[l] if lsig < -1 else ncar
-            # MO coefficients per cartesian component
-            mo_blk = mo_sph[:, ns:ns + nsph]            # (M, nsph)
-            if lsig < -1:
-                mo_car = mo_blk @ _sph_to_car(l)        # (M, ncar)
-            else:
-                mo_car = mo_blk
-            ns += nsph
-
-            for jj, j in enumerate(range(_JSHL0[l], _JSHL1[l] + 1)):
-                ityp = int(_TYPTRANS[j - 1])
-                cn = np.array([cc[k] * _gnorm(ityp, ee[k])
-                               for k in range(npr)])
-                # basis-function normalization (reference :1247-1258)
-                norm = 0.0
-                for k1 in range(npr):
-                    for k2 in range(npr):
-                        norm += cn[k1] * cn[k2] / \
-                            (ee[k1] + ee[k2]) ** (l + 1.5)
-                cons = np.pi ** 1.5 * _DFACM1[2 * l] / 2 ** l
-                norm = 1.0 / np.sqrt(norm * cons)
-                if lsig >= 0:
-                    if 8 <= ityp <= 10:
-                        norm *= np.sqrt(3.0)
-                    elif 14 <= ityp <= 19:
-                        norm *= np.sqrt(5.0)
-                    elif ityp == 20:
-                        norm *= np.sqrt(15.0)
-                    elif 24 <= ityp <= 29:
-                        norm *= np.sqrt(7.0)
-                    elif 30 <= ityp <= 32:
-                        norm *= np.sqrt(35.0 / 3.0)
-                    elif 33 <= ityp <= 35:
-                        norm *= np.sqrt(35.0)
-                for k in range(npr):
-                    icenter.append(sh_at[s] - 1)
-                    itype.append(ityp)
-                    e.append(ee[k])
-                    cmo_cols.append(cn[k] * norm * mo_car[:, jj])
-
-        cmo = np.stack(cmo_cols, axis=1)
-        return cls(atpos=atpos, atz=atz,
-                   icenter=np.asarray(icenter, dtype=np.int32),
-                   itype=np.asarray(itype, dtype=np.int32),
-                   e=np.asarray(e), cmo=cmo, occ=occ,
+        icenter, itype, e, cmo = _shells_to_primitives(
+            sh_l, sh_at, sh_exp, sh_cc, mo_sph)
+        return cls(atpos=atpos, atz=atz, icenter=icenter, itype=itype,
+                   e=e, cmo=cmo, occ=occ,
                    wfntyp="uhf" if uhf else "rhf", nalpha=nalpha,
                    source=path)
 
     @classmethod
     def read_molden(cls, path: str) -> "Wavefunction":
-        raise NotImplementedError("molden reader arrives with a later "
-                                  "milestone")
+        """Molden file reader (reference read_molden,
+        src/wfn_private@proc.F90:1438-1870): [Atoms], [GTO] with s/p/sp/
+        d/f shells, [MO] blocks; [5D]/[7F]/[5D10F]/[5D7F] spherical flags
+        (molden's cartesian d/f component orders match the fchk orders
+        used by _shells_to_primitives)."""
+        import re
+
+        text = open(path, errors="replace").read()
+        low = text.lower()
+
+        # spherical flags
+        d_sph = "[5d" in low or "[5d]" in low
+        f_sph = ("[7f]" in low or "[5d7f]" in low
+                 or ("[5d]" in low and "[5d10f]" not in low))
+
+        def section(name):
+            m = re.search(rf"\[{name}\][^\n]*\n(.*?)(?=\n\s*\[|\Z)", text,
+                          re.S | re.I)
+            return m.group(1) if m else None
+
+        # atoms
+        m = re.search(r"\[Atoms\]\s*(\S*)", text, re.I)
+        unit = (m.group(1) or "").lower() if m else ""
+        toang = unit.startswith("angs")
+        atoms = section("Atoms")
+        if atoms is None:
+            raise ValueError("no [Atoms] section in molden file")
+        atz, atpos = [], []
+        for ln in atoms.splitlines():
+            t = ln.split()
+            if len(t) < 6:
+                continue
+            atz.append(int(t[2]))
+            xyz = np.array([float(v) for v in t[3:6]])
+            if toang:
+                from .. import param
+
+                xyz = xyz * param.ANGSTROM_TO_BOHR
+            atpos.append(xyz)
+        atz = np.asarray(atz, dtype=int)
+        atpos = np.asarray(atpos)
+
+        # GTO shells
+        gto = section("GTO")
+        if gto is None:
+            raise ValueError("no [GTO] section in molden file")
+        sh_l, sh_at, sh_exp, sh_cc = [], [], [], []
+        lmap = {"s": 0, "p": 1, "d": 2, "f": 3, "g": 4}
+        lines = iter(gto.splitlines())
+        cur_atom = None
+        for ln in lines:
+            t = ln.split()
+            if not t:
+                cur_atom = None
+                continue
+            if cur_atom is None:
+                cur_atom = int(t[0])
+                continue
+            typ = t[0].lower()
+            if typ in lmap or typ == "sp":
+                npr = int(t[1])
+                ee, cc, pc = [], [], []
+                for _ in range(npr):
+                    row = next(lines).replace("D", "E").replace(
+                        "d", "e").split()
+                    ee.append(float(row[0]))
+                    cc.append(float(row[1]))
+                    if typ == "sp":
+                        pc.append(float(row[2]))
+                if typ == "sp":
+                    sh_l.append(0); sh_at.append(cur_atom)
+                    sh_exp.append(np.asarray(ee)); sh_cc.append(np.asarray(cc))
+                    sh_l.append(1); sh_at.append(cur_atom)
+                    sh_exp.append(np.asarray(ee)); sh_cc.append(np.asarray(pc))
+                else:
+                    l = lmap[typ]
+                    if l == 4:
+                        raise NotImplementedError("molden g shells")
+                    sph = (d_sph if l == 2 else f_sph if l == 3 else False)
+                    sh_l.append(-l if (sph and l >= 2) else l)
+                    sh_at.append(cur_atom)
+                    sh_exp.append(np.asarray(ee))
+                    sh_cc.append(np.asarray(cc))
+
+        nbas = sum(_NSHLT_SPH[abs(l)] if l < -1 else _NSHLT_CAR[abs(l)]
+                   for l in sh_l)
+
+        # MOs
+        mo = section("MO")
+        if mo is None:
+            raise ValueError("no [MO] section in molden file")
+        occs, coefs, spins = [], [], []
+        cur = None
+        for ln in mo.splitlines():
+            st = ln.strip()
+            lowln = st.lower()
+            if lowln.startswith(("sym=", "ene=")):
+                continue
+            if lowln.startswith("spin="):
+                spins.append(lowln.split("=")[1].strip())
+                continue
+            if lowln.startswith("occup="):
+                occs.append(float(st.split("=")[1]))
+                cur = np.zeros(nbas)
+                coefs.append(cur)
+                continue
+            t = st.split()
+            if len(t) >= 2 and cur is not None:
+                cur[int(t[0]) - 1] = float(t[1].replace("D", "E"))
+
+        occs = np.asarray(occs)
+        keep = occs > 1e-12
+        mo_sph = np.stack([c for c, k in zip(coefs, keep) if k])
+        occ = occs[keep]
+        uhf = any(s.startswith("beta") for s in spins)
+
+        icenter, itype, e, cmo = _shells_to_primitives(
+            sh_l, sh_at, sh_exp, sh_cc, mo_sph)
+        return cls(atpos=atpos, atz=atz, icenter=icenter, itype=itype,
+                   e=e, cmo=cmo, occ=occ,
+                   wfntyp="uhf" if uhf else "rhf", source=path)
