@@ -23,7 +23,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["Mesh", "becke_mesh", "z2nr", "z2nang", "product_sphere"]
+__all__ = ["Mesh", "becke_mesh", "franchini_mesh", "z2nr", "z2nang",
+           "product_sphere"]
+
+# Franchini zeta per element (J. Comput. Chem. 34 (2013) 1819 SI),
+# as used by the reference rmesh_franchini
+_FR_ZETA = np.array([
+    0.8, 0.9, 1.8, 1.4, 1.3, 1.1, 0.9, 0.9, 0.9, 0.9,
+    1.4, 1.3, 1.3, 1.2, 1.1, 1.0, 1.0, 1.0, 1.5, 1.4,
+    1.3, 1.2, 1.2, 1.2, 1.2, 1.2, 1.2, 1.1, 1.1, 1.1,
+    1.1, 1.0, 0.9, 0.9, 0.9, 0.9, 1.4, 1.4, 1.1, 1.3,
+    1.0, 1.2, 0.9, 0.9, 0.9, 1.0, 0.9, 1.0, 1.0, 1.3,
+    1.2, 1.2, 0.9, 1.0, 1.7, 1.5, 1.5, 1.3, 1.3, 1.4,
+    1.8, 1.4, 1.2, 1.3, 1.3, 1.4, 1.1, 1.1, 1.2, 1.6,
+    1.4, 1.3, 1.2, 1.0, 1.0, 0.9, 1.3, 1.2, 1.2, 1.0,
+    1.2, 1.2, 1.1, 1.2, 1.1, 2.1, 2.2, 1.8, 1.7, 1.3,
+    1.4, 1.2, 1.2, 1.3, 1.4, 1.4, 1.7, 1.9, 1.9, 2.0,
+    2.0, 1.6, 2.0])
 
 _LVL = {"small": 1, "normal": 2, "good": 3, "vgood": 4, "amazing": 5}
 
@@ -105,6 +121,67 @@ def _becke_weights(points, atpos):
     s = jnp.where(jnp.eye(nat, dtype=bool)[None, :, :], 1.0, s)
     P = jnp.prod(s, axis=2)                    # (N, nat) cell products
     return P / P.sum(axis=1, keepdims=True)
+
+
+def rmesh_franchini(n: int, z: int):
+    """Franchini radial map (reference rmesh_franchini):
+    r = zeta/ln2 (1+q) ln(2/(1-q)) on Gauss-Legendre q in (-1,1)."""
+    zeta = _FR_ZETA[min(max(z, 1), len(_FR_ZETA)) - 1]
+    q, w = np.polynomial.legendre.leggauss(n)
+    log2 = np.log(2.0)
+    r = zeta / log2 * (1.0 + q) * np.log(2.0 / (1.0 - q))
+    wr = (4.0 * np.pi * r ** 2 * w * zeta / log2
+          * (np.log(2.0 / (1.0 - q)) + (1.0 + q) / (1.0 - q)))
+    return r, wr
+
+
+def franchini_mesh(crystal, lvl="good", rthres: float = 12.0) -> Mesh:
+    """Periodic molecular-style mesh with Franchini weights (reference
+    genmesh_franchini, src/meshmod@proc.f90:231-370): per-atom radial x
+    angular nodes, cell weight vp = fscal exp(-2r)/r^3 normalized by the
+    max over the promolecular-style sum within rthres; fscal = 0.3 for H.
+    Works for crystals (the Becke weights need a double atom sum)."""
+    if isinstance(lvl, str):
+        lvl = _LVL[lvl]
+    c = crystal
+    zs = np.asarray(c.zatoms)
+    # atom images within rthres of the cell for the weight denominators
+    pos_env, spc_env, _ = c.atomic_environment(rthres) \
+        if not c.ismolecule else (np.asarray(c.x_cart),
+                                  np.asarray(c.species_of),
+                                  np.arange(c.ncel))
+    z_env = np.array([c.species[s].z for s in spc_env], dtype=float)
+    fscal_env = np.where(z_env == 1, 0.3, 1.0)
+    pos_env_j = jnp.asarray(pos_env)
+    fscal_j = jnp.asarray(fscal_env)
+
+    @jax.jit
+    def weights(x, vp0):
+        d = jnp.linalg.norm(x[:, None, :] - pos_env_j[None, :, :], axis=-1)
+        vp = fscal_j[None, :] * jnp.exp(-2.0 * d) \
+            / jnp.maximum(d, 1e-10) ** 3
+        vpsum = jnp.maximum(vp.sum(1), vp0)
+        return vp0 / jnp.maximum(vpsum, 1e-40)
+
+    xs, ws = [], []
+    atpos = np.asarray(c.x_cart)
+    for i, z in enumerate(zs):
+        if z < 1:
+            continue
+        nr = z2nr(int(z), lvl)
+        deg = _lebedev_degree(z2nang(int(z), lvl))
+        sph, wang = product_sphere(deg)
+        r, wr = rmesh_franchini(nr, int(z))
+        fscal = 0.3 if z == 1 else 1.0
+        pts = atpos[i][None, None, :] + r[:, None, None] * sph[None, :, :]
+        pts = pts.reshape(-1, 3)
+        vp0 = fscal * np.exp(-2.0 * r) / np.maximum(r, 1e-10) ** 3
+        vp0 = np.repeat(vp0, len(sph))
+        wgt = np.asarray(weights(jnp.asarray(pts), jnp.asarray(vp0)))
+        wtot = (wr[:, None] * wang[None, :]).ravel() * wgt
+        xs.append(pts)
+        ws.append(wtot)
+    return Mesh(x=np.concatenate(xs), w=np.concatenate(ws))
 
 
 def becke_mesh(crystal, lvl="good") -> Mesh:

@@ -181,9 +181,9 @@ def overlap_kinetic_nuclear(wfn):
     """S, T, V matrices over the primitives of a Wavefunction (P, P)."""
     li = _li()[wfn.itype - 1]                     # (P, 3) powers
     lmax = int(li.max())
-    if lmax > 2:
-        raise NotImplementedError("molecular integrals support l <= 2 "
-                                  "(s, p, d) for now")
+    if lmax > 3:
+        raise NotImplementedError("molecular integrals support l <= 3 "
+                                  "(s, p, d, f) for now")
     P = wfn.npri
     ctr = jnp.asarray(wfn.atpos[wfn.icenter])     # (P, 3)
     al = jnp.asarray(wfn.e)
@@ -252,8 +252,8 @@ def overlap_kinetic_nuclear(wfn):
 def _pair_data(wfn):
     li = _li()[wfn.itype - 1]
     lmax = int(li.max())
-    if lmax > 2:
-        raise NotImplementedError("molecular integrals support l <= 2")
+    if lmax > 3:
+        raise NotImplementedError("molecular integrals support l <= 3")
     P = wfn.npri
     iu, ju = np.triu_indices(P)
     ctr = jnp.asarray(wfn.atpos[wfn.icenter])

@@ -96,3 +96,26 @@ def test_gkin_positive_and_virial_negative(h2o):
     # integral of gkin = kinetic energy ~ 76 Ha for water (virial: E ~ -T)
     T = float(gk @ m.w)
     assert 74.0 < T < 78.0
+
+
+def test_franchini_periodic_mesh():
+    # periodic NaCl cell: the promolecular density integrates to sum(Z)
+    import jax.numpy as jnp
+    from critic2_tpu.crystal.cell import m_x2c_from_cellpar
+    from critic2_tpu.crystal.crystal import Crystal, Species
+    from critic2_tpu.analysis.mesh import franchini_mesh
+    from critic2_tpu.fields.promol import promolecular_soa
+
+    c = Crystal(m_x2c=m_x2c_from_cellpar([10.66] * 3, [90] * 3),
+                x_frac=np.array([[0, 0, 0], [0.5, 0.5, 0.5]]),
+                species_of=np.array([0, 1]),
+                species=[Species("Na", 11), Species("Cl", 17)])
+    s = System.from_structure(c)
+    m = franchini_mesh(c, "normal")
+    env = s.fields[0].promol
+    out = np.empty(m.n)
+    for lo in range(0, m.n, 1 << 14):
+        xT = jnp.asarray(m.x[lo:lo + (1 << 14)].T)
+        out[lo:lo + xT.shape[1]] = np.asarray(promolecular_soa(
+            xT, env.atpos, env.atspc, env.tab, nder=0)[0])
+    assert abs(m.integrate(out) - 28.0) < 2e-3
