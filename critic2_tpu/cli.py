@@ -224,9 +224,32 @@ class Repl:
             makegraph(sy, self.cpl)
             self.write("+ AUTO: bond-path graph built")
 
+    def cmd_auto_chk(self, args, lines):
+        from .utils.chk import load_cplist, save_cplist
+
+        sy = self.need_system()
+        if args and args[0].lower() == "save":
+            save_cplist(self.cpl, args[1])
+            self.write(f"+ CP checkpoint -> {args[1]}")
+        elif args and args[0].lower() == "load":
+            self.cpl = load_cplist(sy, args[1])
+            self.write(f"+ CP checkpoint <- {args[1]} "
+                       f"({len(self.cpl.cps)} CPs)")
+        else:
+            raise CliError("AUTO_CHK SAVE/LOAD file")
+
     def cmd_cpreport(self, args, lines):
         if self.cpl is None:
             raise CliError("no CP list (run AUTO)")
+        # file output: obj/ply/off scenes (reference CPREPORT writers)
+        if args and args[0].lower().endswith((".obj", ".ply", ".off")):
+            from .analysis.flux import cpreport_scene
+
+            graph = "graph" in [a.lower() for a in args[1:]]
+            cpreport_scene(self.need_system(), self.cpl, args[0],
+                           graph=graph)
+            self.write(f"+ CPREPORT scene -> {args[0]}")
+            return
         self.write("# name  type      f            |grad f|      del2 f"
                    "        position (frac)")
         for cp in self.cpl.cps:

@@ -104,3 +104,19 @@ molcalc nelec
     assert "NELEC" in text
     v = float(text.split("NELEC =")[1].split()[0])
     assert abs(v - 10.0) < 1e-3
+
+
+def test_checkpoints_and_scene(poscar, tmp_path):
+    import os
+    chk = tmp_path / "cps.npz"
+    obj = tmp_path / "cps.obj"
+    text, r = run(f"""
+crystal {poscar}
+auto
+auto_chk save {chk}
+auto_chk load {chk}
+cpreport {obj}
+""")
+    assert r.nwarns == 0
+    assert chk.exists() and obj.exists()
+    assert "28 CPs" in text or "CPs" in text
