@@ -1,0 +1,107 @@
+"""Pallas fused tricubic sweep: all ten derivative grids in one pass.
+
+The XLA separable path (ops/interp.interp_grid_soa) runs ~25x off the
+HBM roof because every 1-D pass materializes intermediates in HBM. For
+the uniform-shift case (output grid congruent with the input grid -
+the bench and same-grid NCI workloads) the Catmull-Rom weights are the
+SAME for every voxel, so the evaluation is a constant-coefficient
+separable 4^3 stencil: this kernel streams the grid through VMEM plane
+by plane and emits value, 3 gradient and 6 Hessian grids in a single
+read of the input - minimum HBM traffic 11 x grid bytes.
+
+Layout: grid (n1, n2, n3) with the last two axes VMEM-resident planes;
+axis-0 stencil via four plane inputs (index_map with periodic wrap),
+axis-1/2 stencils via pltpu.roll (cyclic, so periodicity is free).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["sweep_shifted"]
+
+
+def _cr_weights(t: float):
+    """Catmull-Rom value/derivative/second weights at offset t (floats)."""
+    t2, t3 = t * t, t * t * t
+    w = [0.5 * (-t3 + 2 * t2 - t), 0.5 * (3 * t3 - 5 * t2 + 2),
+         0.5 * (-3 * t3 + 4 * t2 + t), 0.5 * (t3 - t2)]
+    d = [0.5 * (-3 * t2 + 4 * t - 1), 0.5 * (9 * t2 - 10 * t),
+         0.5 * (-9 * t2 + 8 * t + 1), 0.5 * (3 * t2 - 2 * t)]
+    s = [0.5 * (-6 * t + 4), 0.5 * (18 * t - 10),
+         0.5 * (-18 * t + 8), 0.5 * (6 * t - 2)]
+    return w, d, s
+
+
+@partial(jax.jit, static_argnames=("shift", "nder", "interpret"))
+def sweep_shifted(f, shift: float = 0.5, nder: int = 2,
+                  interpret: bool = False):
+    """Tricubic value/gradient/Hessian on the same grid shifted by
+    `shift` voxels along each axis. Returns (y, yp (3,...), ypp6 (6,...))
+    in the interp_grid_soa conventions (fractional derivatives scaled by
+    n per axis)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n1, n2, n3 = f.shape
+    w, d, s = _cr_weights(float(shift))
+    # derivative scale factors (d/dfrac = n * d/dvoxel)
+    sc = (float(n1), float(n2), float(n3))
+
+    def kernel(p0, p1, p2, p3, y, gx, gy, gz, hxx, hyy, hzz, hxy, hxz,
+               hyz):
+        planes = [p0[0], p1[0], p2[0], p3[0]]
+        # axis-0 contraction
+        aw = sum(w[t] * planes[t] for t in range(4))
+        ad = sum(d[t] * planes[t] for t in range(4)) * sc[0]
+        as_ = sum(s[t] * planes[t] for t in range(4)) * (sc[0] * sc[0])
+
+        def ax1(plane, wt, scale):
+            return sum(wt[t] * pltpu.roll(plane, (1 - t) % n2, 0)
+                       for t in range(4)) * scale
+
+        ww = ax1(aw, w, 1.0)
+        wd = ax1(aw, d, sc[1])
+        ws = ax1(aw, s, sc[1] * sc[1])
+        dw = ax1(ad, w, 1.0)
+        dd = ax1(ad, d, sc[1])
+        sw = ax1(as_, w, 1.0)
+
+        def ax2(plane, wt, scale):
+            return sum(wt[t] * pltpu.roll(plane, (1 - t) % n3, 1)
+                       for t in range(4)) * scale
+
+        y[0] = ax2(ww, w, 1.0)
+        gx[0] = ax2(dw, w, 1.0)
+        gy[0] = ax2(wd, w, 1.0)
+        gz[0] = ax2(ww, d, sc[2])
+        hxx[0] = ax2(sw, w, 1.0)
+        hyy[0] = ax2(ws, w, 1.0)
+        hzz[0] = ax2(ww, s, sc[2] * sc[2])
+        hxy[0] = ax2(dd, w, 1.0)
+        hxz[0] = ax2(dw, d, sc[2])
+        hyz[0] = ax2(wd, d, sc[2])
+
+    # four input planes: i-1, i, i+1, i+2 (periodic)
+    in_specs = [pl.BlockSpec((1, n2, n3),
+                             lambda i, t=t: ((i + t - 1) % n1, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for t in range(4)]
+    out_spec = pl.BlockSpec((1, n2, n3), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((n1, n2, n3), f.dtype)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n1,),
+        in_specs=in_specs,
+        out_specs=tuple([out_spec] * 10),
+        out_shape=tuple([shape] * 10),
+        interpret=interpret,
+    )(f, f, f, f)
+    y = outs[0]
+    yp = jnp.stack(outs[1:4])
+    ypp6 = jnp.stack(outs[4:10])
+    return y, yp, ypp6
