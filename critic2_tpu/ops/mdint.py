@@ -345,11 +345,55 @@ def _make_eri_block(comps):
     return block_fn
 
 
-def eri_matrix(wfn, block: int = 64):
+def _make_eri_block_gather(comps):
+    """Gather/einsum ERI block for high angular momentum (f): the
+    unrolled term loop has ~7000 outer products and compiles slowly;
+    here all combined R components stack into one array and each bra
+    component contracts against a gathered slice - a small graph of big
+    ops."""
+    L2 = 2 * max(sum(c) for c in comps)
+    all_c = _hermite_components(L2)
+    cindex = {c: i for i, c in enumerate(all_c)}
+    nm = len(comps)
+    G = np.zeros((nm, nm), dtype=np.int32)
+    for m, cm in enumerate(comps):
+        for n, cn in enumerate(comps):
+            G[m, n] = cindex[(cm[0] + cn[0], cm[1] + cn[1],
+                              cm[2] + cn[2])]
+    signs = np.array([(-1.0) ** sum(c) for c in comps])
+
+    @jax.jit
+    def block_fn(pA, PA, omA, pB, PB, omB):
+        alpha = pA[:, None] * pB[None, :] / (pA[:, None] + pB[None, :])
+        PQ = PA[:, None, :] - PB[None, :, :]
+        T = alpha * (PQ * PQ).sum(-1)
+        Fns = boys(L2, T)
+        pref = 2.0 * jnp.pi ** 2.5 / (pA[:, None] * pB[None, :]
+                                      * jnp.sqrt(pA[:, None]
+                                                 + pB[None, :]))
+        R = _R_tensor(L2, alpha, PQ, Fns)
+        R_all = jnp.stack([R[c] for c in all_c])     # (NCC, nA, nB)
+        omBs = omB * jnp.asarray(signs)[:, None]      # (nm, nB)
+        out = jnp.zeros(T.shape)
+        for m in range(nm):
+            Rsel = R_all[jnp.asarray(G[m])]           # (nm, nA, nB)
+            part = jnp.einsum("nab,nb->ab", Rsel, omBs)
+            out = out + omA[m][:, None] * part
+        return pref * out
+
+    return block_fn
+
+
+def eri_matrix(wfn, block: int | None = None):
     """Symmetric-pair ERI matrix M[(p<=q),(r<=s)] = (pq|rs)."""
     iu, ju, p, Ppos, om, comps, Lc2 = _pair_data(wfn)
     npair = len(iu)
-    block_fn = _make_eri_block(comps)
+    if Lc2 > 8:
+        block = block or 16
+        block_fn = _make_eri_block_gather(comps)
+    else:
+        block = block or 64
+        block_fn = _make_eri_block(comps)
     M = np.zeros((npair, npair))
     for lo in range(0, npair, block):
         sl = slice(lo, min(lo + block, npair))

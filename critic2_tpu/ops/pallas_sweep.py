@@ -36,31 +36,36 @@ def _cr_weights(t: float):
     return w, d, s
 
 
-@partial(jax.jit, static_argnames=("shift", "nder", "interpret"))
+@partial(jax.jit, static_argnames=("shift", "nder", "interpret", "rows"))
 def sweep_shifted(f, shift: float = 0.5, nder: int = 2,
-                  interpret: bool = False):
+                  interpret: bool = False, rows: int = 1):
     """Tricubic value/gradient/Hessian on the same grid shifted by
     `shift` voxels along each axis. Returns (y, yp (3,...), ypp6 (6,...))
     in the interp_grid_soa conventions (fractional derivatives scaled by
-    n per axis)."""
+    n per axis). `rows` = planes per block; rows = 1 is the
+    validated configuration on v5e (larger blocks exceed VMEM with the
+    ~23 live plane buffers)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n1, n2, n3 = f.shape
+    while n1 % rows:
+        rows //= 2
+    rows = max(rows, 1)
     w, d, s = _cr_weights(float(shift))
     # derivative scale factors (d/dfrac = n * d/dvoxel)
     sc = (float(n1), float(n2), float(n3))
 
     def kernel(p0, p1, p2, p3, y, gx, gy, gz, hxx, hyy, hzz, hxy, hxz,
                hyz):
-        planes = [p0[0], p1[0], p2[0], p3[0]]
+        planes = [p0[:], p1[:], p2[:], p3[:]]
         # axis-0 contraction
         aw = sum(w[t] * planes[t] for t in range(4))
         ad = sum(d[t] * planes[t] for t in range(4)) * sc[0]
         as_ = sum(s[t] * planes[t] for t in range(4)) * (sc[0] * sc[0])
 
         def ax1(plane, wt, scale):
-            return sum(wt[t] * pltpu.roll(plane, (1 - t) % n2, 0)
+            return sum(wt[t] * pltpu.roll(plane, np.int32((1 - t) % n2), 1)
                        for t in range(4)) * scale
 
         ww = ax1(aw, w, 1.0)
@@ -71,36 +76,39 @@ def sweep_shifted(f, shift: float = 0.5, nder: int = 2,
         sw = ax1(as_, w, 1.0)
 
         def ax2(plane, wt, scale):
-            return sum(wt[t] * pltpu.roll(plane, (1 - t) % n3, 1)
+            return sum(wt[t] * pltpu.roll(plane, np.int32((1 - t) % n3), 2)
                        for t in range(4)) * scale
 
-        y[0] = ax2(ww, w, 1.0)
-        gx[0] = ax2(dw, w, 1.0)
-        gy[0] = ax2(wd, w, 1.0)
-        gz[0] = ax2(ww, d, sc[2])
-        hxx[0] = ax2(sw, w, 1.0)
-        hyy[0] = ax2(ws, w, 1.0)
-        hzz[0] = ax2(ww, s, sc[2] * sc[2])
-        hxy[0] = ax2(dd, w, 1.0)
-        hxz[0] = ax2(dw, d, sc[2])
-        hyz[0] = ax2(wd, d, sc[2])
+        y[:] = ax2(ww, w, 1.0)
+        gx[:] = ax2(dw, w, 1.0)
+        gy[:] = ax2(wd, w, 1.0)
+        gz[:] = ax2(ww, d, sc[2])
+        hxx[:] = ax2(sw, w, 1.0)
+        hyy[:] = ax2(ws, w, 1.0)
+        hzz[:] = ax2(ww, s, sc[2] * sc[2])
+        hxy[:] = ax2(dd, w, 1.0)
+        hxz[:] = ax2(dw, d, sc[2])
+        hyz[:] = ax2(wd, d, sc[2])
 
-    # four input planes: i-1, i, i+1, i+2 (periodic)
-    in_specs = [pl.BlockSpec((1, n2, n3),
-                             lambda i, t=t: ((i + t - 1) % n1, 0, 0),
+    # four input plane-blocks at offsets -1, 0, +1, +2 (periodic):
+    # pre-rolled copies with identity index maps (modular index_maps
+    # break Mosaic's i32 lowering under x64)
+    rolled = [jnp.roll(f, 1 - t, axis=0) for t in range(4)]
+    in_specs = [pl.BlockSpec((rows, n2, n3),
+                             lambda i: (i, i * 0, i * 0),
                              memory_space=pltpu.VMEM)
-                for t in range(4)]
-    out_spec = pl.BlockSpec((1, n2, n3), lambda i: (i, 0, 0),
+                for _ in range(4)]
+    out_spec = pl.BlockSpec((rows, n2, n3), lambda i: (i, i * 0, i * 0),
                             memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((n1, n2, n3), f.dtype)
     outs = pl.pallas_call(
         kernel,
-        grid=(n1,),
+        grid=(n1 // rows,),
         in_specs=in_specs,
         out_specs=tuple([out_spec] * 10),
         out_shape=tuple([shape] * 10),
         interpret=interpret,
-    )(f, f, f, f)
+    )(*rolled)
     y = outs[0]
     yp = jnp.stack(outs[1:4])
     ypp6 = jnp.stack(outs[4:10])
