@@ -58,3 +58,14 @@ def test_rhf_benzene_631gs():
     # d functions exercise typtrans/gnorm/cartesian-normalization paths;
     # measured: -230.7023957194 (2.1e-8 Ha from the pinned reference)
     assert abs(res["E_total"] - (-230.702395698)) < 1e-6
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="~20 min on CPU; set RUN_SLOW=1")
+def test_rhf_h2o_atz():
+    from critic2_tpu.fields.wfn import Wavefunction
+
+    w = Wavefunction.read_fchk("/root/reference/tests_cint/h2o-atz.fchk")
+    res = rhf_energy(w, block=32)
+    # f shells + spherical transforms; measured -76.06017687 (3.2e-8 Ha)
+    assert abs(res["E_total"] - (-76.060176840)) < 1e-6
