@@ -254,8 +254,8 @@ class Field:
         ftype = self.type
         grid_f = self.grid.f if ftype == "grid" else None
         grid_mode = self.grid.mode if ftype == "grid" else None
-        if grid_mode == "trispline":
-            grid_mode = "tricubic"
+        spl = self.grid.spline_coeffs if (
+            ftype == "grid" and grid_mode == "trispline") else None
         promol = self.promol
         wfn = self.wfn
         expr_fn = self.expr
@@ -269,7 +269,13 @@ class Field:
             wx = wx - jnp.floor(wx)
             wc = linmap(m_x2c_np, wx)
             if ftype == "grid":
-                y, yp, ypp6 = interp_soa(grid_f, wx, mode=grid_mode, nder=nder)
+                if spl is not None:
+                    from ..ops.trispline import trispline_soa
+
+                    y, yp, ypp6 = trispline_soa(spl, wx, nder=nder)
+                else:
+                    y, yp, ypp6 = interp_soa(grid_f, wx, mode=grid_mode,
+                                             nder=nder)
                 gf = linmap(m_c2x_np.T, yp)
                 h6 = linmap(r6_np, ypp6)
                 f = y

@@ -45,19 +45,31 @@ class Grid3:
             raise ValueError(f"unknown interpolation mode {mode}")
         self.mode = mode
 
+    @property
+    def spline_coeffs(self):
+        """Lazy tensor-product spline coefficient grids (trispline)."""
+        if getattr(self, "_spl", None) is None:
+            from ..ops.trispline import spline_coeffs
+
+            self._spl = spline_coeffs(self.f)
+        return self._spl
+
     def interp(self, xfrac, nder: int = 2):
         """Batched interpolation at fractional points (N,3).
 
         Returns (y, yp, ypp) with derivatives w.r.t. fractional coords
         (scaled by n), reference convention (src/grid3mod@proc.f90:1043).
         """
-        mode = self.mode
-        if mode == "trispline":
-            # trispline arrives with its own module; tricubic is the
-            # default and matches the reference's CP-search usage.
-            mode = "tricubic"
-        return interp_batch(self.f, jnp.atleast_2d(jnp.asarray(xfrac)), mode=mode,
-                            nder=nder)
+        if self.mode == "trispline":
+            from ..ops.interp import sym6_to_mat
+            from ..ops.trispline import trispline_soa
+
+            y, ypT, ypp6 = trispline_soa(
+                self.spline_coeffs,
+                jnp.atleast_2d(jnp.asarray(xfrac)).T, nder=nder)
+            return y, ypT.T, sym6_to_mat(ypp6)
+        return interp_batch(self.f, jnp.atleast_2d(jnp.asarray(xfrac)),
+                            mode=self.mode, nder=nder)
 
     # ------------------------------------------------------------------
     # FFT-derived grids (reference ifformat_as_* computed fields)
