@@ -86,7 +86,17 @@ def bader_integrate(crystal, rho, block: int = 1 << 18,
         kbest = jnp.argmax(grad, axis=0)
         best = jnp.max(grad, axis=0)
         s = nbr[kbest, jnp.arange(idx.shape[0])]
-        return jnp.where(best > 0.0, s, idx)              # maxima self-map
+        # exact plateaus (best == 0, e.g. zero-clamped vacuum): route to
+        # the lowest-flat-index equal-rho neighbor below idx so a plateau
+        # collapses to one representative instead of N self-mapped
+        # attractors (reference walks plateaus to a single maximum,
+        # src/bader@proc.f90)
+        plat = jnp.where((grad == 0.0) & (nbr < idx[None, :]),
+                         nbr, jnp.int32(N))
+        pmin = jnp.min(plat, axis=0)
+        s_plat = jnp.where(pmin < N, pmin, idx)
+        return jnp.where(best > 0.0, s,
+                         jnp.where(best == 0.0, s_plat, idx))
 
     all_idx = jnp.arange(N, dtype=jnp.int32)
     succ = jnp.concatenate(

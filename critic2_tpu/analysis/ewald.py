@@ -109,7 +109,7 @@ def ewald_potential(crystal, points_cart, charges=None):
         rij = pts[:, None, :] - pos[None, :, :]
         d = jnp.linalg.norm(rij[None, :, :, :] + lat[:, None, None, :],
                             axis=-1)                       # (R, N, n)
-        mask = d > 1e-10
+        mask = d > 1e-7   # same threshold as the isnuc detection below
         vreal = jnp.einsum("j,rnj->n", q, jnp.where(
             mask, erfc(eta * d) / jnp.where(mask, d, 1.0), 0.0))
         phase_p = gv @ pts.T                                # (G, N)
@@ -119,6 +119,13 @@ def ewald_potential(crystal, points_cart, charges=None):
             (jnp.exp(-g2j / (4 * eta ** 2)) / g2j)[:, None]
             * sk[:, None] * jnp.exp(1j * phase_p)).sum(0)
         vbg = -jnp.pi / (vol * eta ** 2) * jnp.sum(q)
-        return vreal + vrec + vbg
+        # nuclear self-term: at an atomic site the reciprocal sum still
+        # contains that site's own Gaussian (potential 2*eta*q/sqrt(pi) at
+        # its center) while the masked real-space term dropped the
+        # compensating -q/d singularity; subtract it, matching the
+        # reference's isnuc branch (crystalmod@proc.f90:2145-2150)
+        onsite = (d.min(0) < 1e-7).astype(vreal.dtype)      # (N, n)
+        vself = -(2.0 * eta / jnp.sqrt(jnp.pi)) * (onsite @ q)
+        return vreal + vrec + vbg + vself
 
     return np.asarray(pot(pts))

@@ -23,7 +23,7 @@ import re
 import jax
 import jax.numpy as jnp
 
-__all__ = ["compile_expr", "eval_expr", "ExprError"]
+__all__ = ["compile_expr", "eval_expr", "eval_const", "ExprError"]
 
 CTF = (3.0 / 10.0) * (3.0 * jnp.pi ** 2) ** (2.0 / 3.0)
 
@@ -178,7 +178,7 @@ class _Validator(ast.NodeVisitor):
                ast.Constant, ast.Name, ast.Load, ast.Add, ast.Sub,
                ast.Mult, ast.Div, ast.Pow, ast.Mod, ast.USub, ast.UAdd,
                ast.Compare, ast.Lt, ast.Gt, ast.LtE, ast.GtE, ast.Eq,
-               ast.NotEq, ast.keyword)
+               ast.NotEq)
 
     def __init__(self, varnames):
         self.varnames = varnames
@@ -195,6 +195,10 @@ class _Validator(ast.NodeVisitor):
         if name not in _MATH and name.lower() not in _CHEM and \
                 name.lower() != "xc" and name not in ("__field__",):
             raise ExprError(f"unknown function {name}")
+        # the reference grammar has no keyword arguments; rejecting them
+        # also closes an eval() escape through unvisited keyword values
+        if node.keywords:
+            raise ExprError("keyword arguments not allowed")
         for a in node.args:
             self.visit(a)
 
@@ -270,6 +274,31 @@ def compile_expr(expr: str, system, periodic: bool | None = None):
                                 (xT.shape[1],))
 
     return fn
+
+
+def eval_const(expr: str, uservars=None) -> float:
+    """Validated scalar evaluation with no system/fields (CLI variables).
+
+    Same whitelist as compile_expr; field references and chemical
+    functions are rejected since there is nothing to evaluate them on.
+    """
+    uservars = dict(uservars or {})
+    src = _desugar(expr)
+    try:
+        tree = ast.parse(src, mode="eval")
+    except SyntaxError as exc:
+        raise ExprError(f"cannot parse expression: {expr!r} ({exc})") from exc
+    _Validator(set(uservars)).visit(tree)
+
+    def _no_field(*_a):
+        raise ExprError("field references need a loaded system")
+
+    glb = {"__builtins__": {}, "pi": float(jnp.pi), "e": float(jnp.e)}
+    glb.update(_MATH)
+    glb.update({name: _no_field for name in _CHEM})
+    glb.update({"xc": _no_field, "__field__": _no_field})
+    glb.update({k: float(v) for k, v in uservars.items()})
+    return float(eval(compile(tree, "<critic2-expr>", "eval"), glb))  # noqa: S307
 
 
 def eval_expr(expr: str, system, points_cart, periodic=None):

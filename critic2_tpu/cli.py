@@ -31,6 +31,9 @@ class Repl:
         self.quiet = quiet
         self.cpl = None
         self.nwarns = 0
+        # variables assigned before any CRYSTAL/MOLECULE line; folded into
+        # system.vars when a system appears
+        self.pending_vars: dict[str, float] = {}
 
     # ------------------------------------------------------------------
     def write(self, *args):
@@ -76,11 +79,14 @@ class Repl:
             name = name.strip()
             if name.isidentifier():
                 sy = self.sy
-                val = float(np.asarray(
-                    sy.eval_expr(expr.strip(), np.zeros((1, 3)))[0])) \
-                    if sy else float(eval(expr, {"__builtins__": {}}, {}))
                 if sy is not None:
+                    val = float(np.asarray(
+                        sy.eval_expr(expr.strip(), np.zeros((1, 3)))[0]))
                     sy.vars[name] = val
+                else:
+                    from .arithmetic import eval_const
+                    val = eval_const(expr.strip(), self.pending_vars)
+                    self.pending_vars[name] = val
                 self.write(f"{name} = {val}")
                 return
         raise CliError(f"unknown keyword: {toks[0]}")
@@ -92,6 +98,7 @@ class Repl:
         if not args:
             raise CliError("CRYSTAL needs a file")
         self.sy = System.from_structure(args[0])
+        self.sy.vars.update(self.pending_vars)
         c = self.sy.crystal
         self.write(f"+ crystal: {args[0]} | {c.ncel} atoms | "
                    f"volume {c.volume:.4f} bohr^3")
@@ -101,6 +108,7 @@ class Repl:
             raise CliError("MOLECULE needs a file")
         self.sy = System.from_structure(args[0], mol=True) \
             if args[0].endswith(".xyz") else System.from_structure(args[0])
+        self.sy.vars.update(self.pending_vars)
         self.write(f"+ molecule: {args[0]} | {self.sy.crystal.ncel} atoms")
 
     # ------------------------------------------------------------------

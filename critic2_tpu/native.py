@@ -20,35 +20,46 @@ import numpy as np
 __all__ = ["available", "hull", "ws_cell", "yt_labels", "build"]
 
 _LIB = None
+_TRIED_BUILD = False
 _HERE = os.path.dirname(__file__)
-_PATHS = [
-    os.path.join(_HERE, "data", "libcritic2_native.so"),
-    os.path.join(_HERE, "..", "native", "build", "libcritic2_native.so"),
-]
+_SRC = os.path.join(_HERE, "..", "native", "critic2_native.cpp")
+_OUT = os.path.join(_HERE, "..", "native", "build", "libcritic2_native.so")
 
 
 def _load():
-    global _LIB
+    """Load the native library, building from source on first use.
+
+    No binary is shipped in the repo (unreviewable, platform-specific,
+    goes stale silently); the single-file g++ build takes ~1 s and is
+    retried at most once per process. A stale .so (older than the .cpp)
+    is rebuilt.
+    """
+    global _LIB, _TRIED_BUILD
     if _LIB is not None:
         return _LIB
-    for p in _PATHS:
-        if os.path.exists(p):
-            lib = ctypes.CDLL(p)
-            lib.c2n_hull.restype = ctypes.c_int
-            lib.c2n_ws_cell.restype = ctypes.c_int
-            lib.c2n_yt_labels.restype = ctypes.c_int
-            _LIB = lib
-            return lib
+    stale = (os.path.exists(_OUT) and os.path.exists(_SRC)
+             and os.path.getmtime(_OUT) < os.path.getmtime(_SRC))
+    if (not os.path.exists(_OUT) or stale) and not _TRIED_BUILD:
+        _TRIED_BUILD = True
+        try:
+            build()
+        except Exception:
+            return None
+    if os.path.exists(_OUT):
+        lib = ctypes.CDLL(_OUT)
+        lib.c2n_hull.restype = ctypes.c_int
+        lib.c2n_ws_cell.restype = ctypes.c_int
+        lib.c2n_yt_labels.restype = ctypes.c_int
+        _LIB = lib
+        return lib
     return None
 
 
 def build():
-    """Compile the native library in place with g++."""
-    src = os.path.join(_HERE, "..", "native", "critic2_native.cpp")
-    out = _PATHS[0]
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    """Compile the native library from native/critic2_native.cpp."""
+    os.makedirs(os.path.dirname(_OUT), exist_ok=True)
     subprocess.run(["g++", "-O2", "-fPIC", "-shared", "-std=c++17",
-                    src, "-o", out], check=True)
+                    _SRC, "-o", _OUT], check=True)
     global _LIB
     _LIB = None
     return _load() is not None

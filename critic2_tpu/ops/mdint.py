@@ -12,8 +12,8 @@ primitive pairs at once (JAX device arrays; the E/R recursions unroll at
 trace time over the small static angular-momentum ranges). The ERI pair
 matrix over symmetry-reduced primitive pairs is materialized block by
 block and consumed as matrix contractions against MO pair vectors -
-MXU-friendly and O(P^2) memory. Supported angular momentum: l <= 2
-(s, p, d); f-basis sets raise.
+MXU-friendly and O(P^2) memory. Supported angular momentum: l <= 3
+(s, p, d, f); higher shells raise.
 """
 from __future__ import annotations
 

@@ -112,3 +112,14 @@ def test_rejects_malicious(s, pts):
         eval_expr("__import__('os').system('id')", s, pts)
     with pytest.raises(ExprError):
         eval_expr("[1 for _ in range(3)]", s, pts)
+
+
+def test_expr_rejects_keyword_arguments():
+    import pytest
+    from critic2_tpu.arithmetic import ExprError, eval_const
+    with pytest.raises(ExprError):
+        eval_const("abs(x=().__class__.__mro__[1].__subclasses__())")
+    with pytest.raises(ExprError):
+        eval_const("__import__('os')")
+    assert abs(eval_const("2^3 + sqrt(4)") - 10.0) < 1e-12
+    assert abs(eval_const("a*2", {"a": 3.5}) - 7.0) < 1e-12

@@ -48,13 +48,20 @@ def test_potential_vs_energy():
     c = _nacl()
     q = np.array([1.0] * 4 + [-1.0] * 4)
     e = ewald_energy(c, q)
-    # potential at atom sites includes the self-interaction erfc(0)/0 term
-    # excluded by the mask; remove the remaining self image contribution:
-    # V_i as computed excludes only the exact self point, so E =
-    # 1/2 sum q_i (V_i - q_i * lim) with lim = 2 eta/sqrt(pi) self term
+    # ewald_potential now removes the on-site Gaussian self-term itself
+    # (reference isnuc semantics), so V at atom sites is directly the
+    # potential of all *other* charges
     v = ewald_potential(c, np.asarray(c.x_cart), q)
-    from critic2_tpu.analysis.ewald import _setup
-    eta = _setup(c, q)[0]
-    vcorr = v - q * 2.0 * eta / np.sqrt(np.pi)
-    e2 = 0.5 * float(q @ vcorr)
+    e2 = 0.5 * float(q @ v)
     assert abs(e - e2) < 1e-8
+
+
+def test_potential_self_term_autodetect():
+    # a point 1e-8 bohr from a nucleus must match the on-site value, not
+    # diverge by 2*eta*q/sqrt(pi)
+    c = _nacl()
+    q = np.array([1.0] * 4 + [-1.0] * 4)
+    at = np.asarray(c.x_cart)[0]
+    v_on = ewald_potential(c, at[None, :], q)[0]
+    v_off = ewald_potential(c, at[None, :] + 1e-8, q)[0]
+    assert abs(v_on - v_off) < 1e-5

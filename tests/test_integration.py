@@ -82,3 +82,22 @@ def test_integrable_expressions():
     for r in res.rows:
         assert abs(r.extra["$1 * 2"] - 2 * r.pop) < 1e-8
     assert "$1 * 2" in res.table()
+
+
+def test_bader_plateau_single_attractor():
+    # a zero-clamped vacuum plateau must not explode into per-point
+    # attractors: two Gaussian blobs + exact-zero background
+    c = Crystal(m_x2c=np.eye(3) * 12.0,
+                x_frac=np.array([[0.25, 0.5, 0.5], [0.75, 0.5, 0.5]]),
+                species_of=np.array([0, 0]), species=[Species("X", 1)])
+    n = 16
+    ii, jj, kk = np.meshgrid(*[np.arange(n)] * 3, indexing="ij")
+    x = np.stack([ii, jj, kk], -1) / n * 12.0
+    rho = np.zeros((n, n, n))
+    for ctr in ([3.0, 6.0, 6.0], [9.0, 6.0, 6.0]):
+        d2 = ((x - np.asarray(ctr)) ** 2).sum(-1)
+        rho += np.exp(-d2)
+    rho[rho < 1e-4] = 0.0            # exact plateau
+    res = bader_integrate(c, jnp.asarray(rho))
+    # 2 blobs + a handful of plateau representatives at most
+    assert res.nattr <= 8, res.nattr
