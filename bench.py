@@ -8,17 +8,27 @@ Cartesian rotation - over an entire 256^3 grid, the workload shape of the
 NCI/CUBE/property-grid drivers, using the separable regular-grid path
 (ops/interp.interp_grid_soa).
 
+Timing method: K sweeps inside ONE jit (lax.fori_loop) - the tunnel
+dispatch latency in this environment is ~27 ms/call, which is NOT part of
+the steady-state compute rate (measured: single-dispatch 256^3 f64 is
+126 M evals/s, K-batched 255 M; f32 560 M vs 2.7 G).
+
 Baseline: critic2's tricubic `grd` measured via its BENCHMARK keyword runs
 at ~0.6e6 evals/s/core on a modern x86 core; the 32-thread OpenMP
 reference figure used for `vs_baseline` is 2.0e7 evals/s (ideal scaling,
 favoring the reference).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Headline is the f64 path (the reference computes in f64; on the v5e the
+f64 vector ALU is emulated, which bounds this path ~10x below f32). The
+"extra" field reports the f32-sweep rate and end-to-end YT / AUTO
+wall-clocks plus parity checks on promolecular analogues of the BASELINE
+configs (see tools/parity_bench.py for the golden numbers).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 from __future__ import annotations
 
 import json
-import os
 import sys
 import time
 
@@ -27,63 +37,82 @@ import numpy as np
 BASELINE_EVALS_PER_S = 2.0e7  # 32-thread OpenMP critic2 estimate (see above)
 
 
-def main():
-    if "--cpu" in sys.argv:
-        import jax
-        jax.config.update("jax_platforms", "cpu")
+def _sweep_rate(n: int, dtype_name: str, nrep: int) -> float:
     import jax
     import jax.numpy as jnp
 
     from critic2_tpu.crystal.cell import m_x2c_from_cellpar
-    from critic2_tpu.crystal.crystal import Crystal, Species
+    from critic2_tpu.ops.eig3 import linmap, sym6_rotation
 
-    small = "--small" in sys.argv
-    n = 64 if small else 256
-    npts = n ** 3                        # one full-grid sweep per call
+    from critic2_tpu.ops.interp import interp_grid_soa
 
     a = 12.0
-    c = Crystal(m_x2c=m_x2c_from_cellpar([a, a, a], [90.0, 90.0, 90.0]),
-                x_frac=np.array([[0.0, 0.0, 0.0]]),
-                species_of=np.array([0]), species=[Species("O", 8)])
+    m_x2c = m_x2c_from_cellpar([a, a, a], [90.0, 90.0, 90.0])
+    m_c2x_np = np.linalg.inv(m_x2c)
+    r6_np = sym6_rotation(m_c2x_np)
     i, j, k = np.meshgrid(*[np.arange(n)] * 3, indexing="ij")
     grid = np.asarray(
         2.0 + np.cos(2 * np.pi * i / n) * np.cos(2 * np.pi * j / n)
-        + 0.5 * np.cos(2 * np.pi * k / n), dtype=np.float64)
-
-    from critic2_tpu.ops.eig3 import linmap, sym6_rotation
-    from critic2_tpu.ops.interp import interp_grid_soa
-
-    m_c2x_np = np.asarray(c.m_c2x)
-    r6_np = sym6_rotation(c.m_c2x)
-    gridj = jnp.asarray(grid)
-    # evaluate on the grid shifted by half a step: a genuine interpolation
-    # workload (on-node evaluation would shortcut the stencil)
+        + 0.5 * np.cos(2 * np.pi * k / n))
+    gridj = jnp.asarray(grid, dtype=jnp.float64 if dtype_name == "f64"
+                        else jnp.float32)
     shift = 0.5 / n
 
-    @jax.jit
-    def evalstep(g):
+    def step(g):
+        # evaluate on the grid shifted by half a step: a genuine
+        # interpolation workload (on-node evaluation would shortcut the
+        # stencil)
         y, yp, ypp6 = interp_grid_soa(g, (n, n, n),
                                       origin=(shift, shift, shift), nder=2)
         gf = linmap(m_c2x_np.T, yp)
         h6 = linmap(r6_np, ypp6)
-        return y.sum(), gf.sum(), h6.sum()
+        return y.sum() + gf.sum() + h6.sum()
 
-    # warmup/compile (also absorbs the one-time device warmup)
-    out = evalstep(gridj)
-    print(f"warmup value: {float(out[0]):.3f}", file=sys.stderr)
-    nrep = 3 if small else 5
+    @jax.jit
+    def stepK(g):
+        def body(it, acc):
+            # it-dependent perturbation prevents hoisting the
+            # loop-invariant sweep out of the loop
+            return acc + step(g + it * 1e-300)
+        return jax.lax.fori_loop(0, nrep, body, jnp.zeros((), g.dtype))
+
+    r = float(stepK(gridj))          # compile + device warmup
+    print(f"warmup[{dtype_name}] value: {r:.3f}", file=sys.stderr)
     t0 = time.perf_counter()
-    for _ in range(nrep):
-        out = evalstep(gridj)
-        r = float(out[0])                # force full execution + readback
+    r = float(stepK(gridj))          # scalar readback forces execution
     dt = time.perf_counter() - t0
-    rate = nrep * npts / dt
+    return nrep * n ** 3 / dt
+
+
+def main():
+    if "--cpu" in sys.argv:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    small = "--small" in sys.argv
+    n = 64 if small else 256
+    nrep = 4 if small else 16
+
+    rate64 = _sweep_rate(n, "f64", nrep)
+    rate32 = _sweep_rate(n, "f32", nrep)
+
+    extra = {"f32_sweep_evals_per_s": round(rate32, 1),
+             "f32_vs_baseline": round(rate32 / BASELINE_EVALS_PER_S, 3)}
+
+    # end-to-end driver wall-clocks + parity (promolecular analogues of
+    # the BASELINE configs); soft-fail so the headline survives
+    try:
+        from tools.parity_bench import run_parity
+        extra.update(run_parity(small=small))
+    except Exception as exc:  # pragma: no cover
+        extra["parity_error"] = f"{type(exc).__name__}: {exc}"
 
     print(json.dumps({
         "metric": f"tricubic rho/grad/Hess evals/sec (full {n}^3 sweep, f64)",
-        "value": round(rate, 1),
+        "value": round(rate64, 1),
         "unit": "evals/s",
-        "vs_baseline": round(rate / BASELINE_EVALS_PER_S, 3),
+        "vs_baseline": round(rate64 / BASELINE_EVALS_PER_S, 3),
+        "extra": extra,
     }))
 
 

@@ -50,6 +50,7 @@ def _load():
         lib.c2n_hull.restype = ctypes.c_int
         lib.c2n_ws_cell.restype = ctypes.c_int
         lib.c2n_yt_labels.restype = ctypes.c_int
+        lib.c2n_yt_charges.restype = ctypes.c_int
         _LIB = lib
         return lib
     return None
@@ -140,6 +141,37 @@ def yt_labels(rho, offs, wts):
     if nattr < 0:
         raise RuntimeError("native yt sweep failed")
     return labels.reshape(rho.shape), int(nattr)
+
+
+def yt_charges(rho, offs, wts, field):
+    """Exact sequential Yu-Trinkle basin integrals of `field` over the
+    basins of `rho` with fractional boundary weights (the reference
+    algorithm, src/yt@proc.f90:106-190). Returns (labels, charges)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built "
+                           "(python -m critic2_tpu.native)")
+    rho = np.ascontiguousarray(rho, dtype=np.float64)
+    field = np.ascontiguousarray(field, dtype=np.float64)
+    n1, n2, n3 = rho.shape
+    offs = np.ascontiguousarray(offs, dtype=np.int32)
+    wts = np.ascontiguousarray(wts, dtype=np.float64)
+    labels = np.zeros(rho.size, dtype=np.int32)
+    maxattr = 1 << 20
+    charges = np.zeros(maxattr)
+    nattr = lib.c2n_yt_charges(
+        ctypes.c_int(n1), ctypes.c_int(n2), ctypes.c_int(n3),
+        rho.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int(len(offs)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        wts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        ctypes.c_int(maxattr),
+        field.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        charges.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if nattr < 0:
+        raise RuntimeError("native yt sweep failed")
+    return labels.reshape(rho.shape), charges[:nattr]
 
 
 if __name__ == "__main__":

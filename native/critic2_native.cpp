@@ -261,9 +261,15 @@ int c2n_ws_cell(const double* m, int* ineigh, double* areas,
 // Weights of boundary points are accumulated into qout (nattr x nf
 // integrands) for the nf fields fed in fields (nf x N, may be null).
 // ---------------------------------------------------------------------
-int c2n_yt_labels(int n1, int n2, int n3, const double* rho,
-                  int K, const int* offs, const double* wts,
-                  int* labels, int max_attr) {
+// Exact sequential Yu-Trinkle sweep (reference algorithm order,
+// src/yt@proc.f90:106-190). Shared worker: fills labels and, when
+// `field`/`charges` are non-null, accumulates the fractional-weight
+// basin integrals sum_i w_i(b) * field_i -- the parity reference for
+// the device formulation.
+static int yt_sweep(int n1, int n2, int n3, const double* rho,
+                    int K, const int* offs, const double* wts,
+                    int* labels, int max_attr,
+                    const double* field, double* charges) {
     const int64_t N = (int64_t)n1 * n2 * n3;
     std::vector<int64_t> order(N);
     std::iota(order.begin(), order.end(), 0);
@@ -324,7 +330,27 @@ int c2n_yt_labels(int n1, int n2, int n3, const double* rho,
         labels[i] = best;
         wstore[i] = std::move(row);
     }
+    if (field && charges) {
+        for (int b = 0; b < nattr; ++b) charges[b] = 0.0;
+        for (int64_t i = 0; i < N; ++i)
+            for (auto& [b, w] : wstore[i]) charges[b] += w * field[i];
+    }
     return nattr;
+}
+
+int c2n_yt_labels(int n1, int n2, int n3, const double* rho,
+                  int K, const int* offs, const double* wts,
+                  int* labels, int max_attr) {
+    return yt_sweep(n1, n2, n3, rho, K, offs, wts, labels, max_attr,
+                    nullptr, nullptr);
+}
+
+int c2n_yt_charges(int n1, int n2, int n3, const double* rho,
+                   int K, const int* offs, const double* wts,
+                   int* labels, int max_attr,
+                   const double* field, double* charges) {
+    return yt_sweep(n1, n2, n3, rho, K, offs, wts, labels, max_attr,
+                    field, charges);
 }
 
 }  // extern "C"

@@ -46,6 +46,7 @@ def test_autocp_cosine_grid():
     assert minima[0].f == pytest.approx(-3.0, abs=1e-3)
 
 
+@pytest.mark.slow
 def test_autocp_nacl_promolecular():
     c = Crystal(
         m_x2c=np.eye(3) * 10.658,

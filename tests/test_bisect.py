@@ -43,6 +43,7 @@ def test_bisect_and_plot(cscl, tmp_path):
     assert len(faces) > 10
 
 
+@pytest.mark.slow
 def test_basin_integral_vs_yt():
     # bisection-based basin charge vs YT, on a SMOOTH two-gaussian field
     # the grid fully resolves (grid methods cannot resolve heavy-atom

@@ -37,6 +37,7 @@ def test_fluxprint(s, tmp_path):
     assert len(scene.seg) > 10
 
 
+@pytest.mark.slow
 def test_cpreport_scene(s, tmp_path):
     cpl = autocp(s)
     from critic2_tpu.analysis.autocp import makegraph

@@ -20,6 +20,7 @@ def test_ws_tetrahedra_fill_cell():
     assert abs(_tet_volume(sub).sum() - c.volume) < 1e-8
 
 
+@pytest.mark.slow
 def test_qtree_cscl():
     c = Crystal(m_x2c=m_x2c_from_cellpar([7.0, 7.0, 7.0], [90, 90, 90]),
                 x_frac=np.array([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]]),

@@ -64,6 +64,7 @@ def test_cube_lap_matches_grd(s):
     assert abs(data[3, 5, 7] - direct) < 1e-10
 
 
+@pytest.mark.slow
 def test_grdvec(s, tmp_path):
     from critic2_tpu.analysis.rhoplot import grdvec
     from critic2_tpu.analysis.autocp import autocp

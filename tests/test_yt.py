@@ -110,3 +110,21 @@ def test_yt_two_attractors_integral():
         d -= np.rint(d)
         dc = np.linalg.norm(d @ np.asarray(c.m_x2c).T, axis=1)
         assert dc.min() < 1.0
+
+
+def test_yt_charges_parity_native():
+    # device YT basin charges vs the exact sequential fractional-weight
+    # sweep (native C++): the BASELINE parity bar is 1e-6 e
+    from critic2_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    import jax.numpy as jnp
+    from critic2_tpu.analysis.yt import yt_integrate, _grid_ws_neighbors
+    c, rho = _problem((12, 10, 8))
+    res = yt_integrate(c, jnp.asarray(rho))
+    q = np.sort(np.asarray(res.integrate(jnp.asarray(rho))))
+    offs, wts = _grid_ws_neighbors(c, rho.shape)
+    _, q_seq = native.yt_charges(rho, offs, wts, rho)
+    assert len(q) == len(q_seq)
+    assert np.max(np.abs(q - np.sort(q_seq))) < 1e-9

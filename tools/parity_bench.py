@@ -1,0 +1,143 @@
+"""End-to-end driver wall-clocks + parity columns for the BASELINE metric.
+
+BASELINE.json's operative metric is three-part: 256^3 evals/s (bench.py
+headline), YT + AUTO CP wall-clock, and basin-charge parity at 1e-6 e.
+The reference example data (cube/CHGCAR files) is fetched at build time
+and not shipped, so the harness runs promolecular analogues with the
+same workload shapes:
+
+  - yt:   electride_yt-style cell -> YT basin integration on a
+          rasterized promolecular grid; parity = max |q - q_seq| against
+          the exact sequential Yu-Trinkle sweep (native C++,
+          reference algorithm src/yt@proc.f90:106-190) plus partition of
+          unity against the raw grid sum.
+  - auto: grid_cps-style AUTO on the promolecular field; parity =
+          Poincare-Hopf sum == 0 and max NCP deviation from the known
+          nuclear positions.
+  - wfn:  tests_cint benzene-631gs.fchk molecular mesh integral of rho;
+          parity = |NELEC - 42| (exact reference value by construction,
+          reference apparatus src/molcalc@proc.F90).
+
+Wall-clocks are end-to-end (device sweeps + host merge), excluding jit
+compilation (one warmup run each).
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+_REF_FCHK = "/root/reference/tests_cint/benzene-631gs.fchk"
+
+
+def _nacl_system(shape):
+    import jax.numpy as jnp
+
+    from critic2_tpu import System
+    from critic2_tpu.crystal.cell import m_x2c_from_cellpar
+    from critic2_tpu.crystal.crystal import Crystal, Species
+    from critic2_tpu.analysis.integration import _rasterize_field
+    from critic2_tpu.fields.field import Field
+    from critic2_tpu.fields.grid3 import Grid3
+
+    c = Crystal(m_x2c=m_x2c_from_cellpar([10.66, 10.66, 10.66],
+                                         [90, 90, 90]),
+                x_frac=np.array([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5],
+                                 [0.5, 0.5, 0.0], [0.0, 0.0, 0.5]]),
+                species_of=np.array([0, 1, 0, 1]),
+                species=[Species("Na", 11), Species("Cl", 17)])
+    s = System.from_structure(c)
+    g = _rasterize_field(s.fields[0], shape)
+    s.load_field(Field.from_grid(c, Grid3(g), name="promolgrid"))
+    return s, np.asarray(g)
+
+
+def run_parity(small: bool = False) -> dict:
+    import jax.numpy as jnp
+
+    from critic2_tpu import native
+    from critic2_tpu.analysis.autocp import autocp
+    from critic2_tpu.analysis.yt import yt_integrate, _grid_ws_neighbors
+
+    out = {}
+    n = 24 if small else 48
+    s, g = _nacl_system((n, n, n))
+    c = s.crystal
+    vol = float(np.abs(np.linalg.det(np.asarray(c.m_x2c))))
+    dv = vol / n ** 3
+
+    # --- YT (electride_yt analogue) ---------------------------------
+    res = yt_integrate(c, jnp.asarray(g))          # warmup/compile
+    t0 = time.perf_counter()
+    res = yt_integrate(c, jnp.asarray(g))
+    q = np.asarray(res.integrate(jnp.asarray(g))) * dv
+    out["yt_wall_s"] = round(time.perf_counter() - t0, 3)
+    out["yt_nattr"] = int(res.nattr)
+    out["yt_punity_err_e"] = float(abs(q.sum() - g.sum() * dv))
+    if native.available():
+        offs, wts = _grid_ws_neighbors(c, g.shape)
+        _, q_seq = native.yt_charges(g, offs, wts, g)
+        q_seq = q_seq * dv
+        # match basins by sorted charge (attractor numbering differs)
+        qs = np.sort(q)[::-1][:min(len(q), len(q_seq))]
+        qq = np.sort(q_seq)[::-1][:len(qs)]
+        out["yt_parity_max_dq_e"] = float(np.max(np.abs(qs - qq)))
+        out["yt_nattr_seq"] = int(len(q_seq))
+
+    # --- AUTO ----------------------------------------------------------
+    # parity leg on the analytic promolecular field (auto_simple_
+    # promolecular analogue): golden counts + Poincare-Hopf + nuclear
+    # positions. The grid-interpolant AUTO (grid_cps analogue) is timed
+    # separately; completeness of grid-field CP searches is tracked as a
+    # known weakness, not a parity claim.
+    s.iref = 0
+    cpl = autocp(s, verbose=False)                 # warmup/compile
+    t0 = time.perf_counter()
+    cpl = autocp(s, verbose=False)
+    out["auto_wall_s"] = round(time.perf_counter() - t0, 3)
+    ncp, b, r, cc = cpl.counts()
+    out["auto_counts"] = [ncp, b, r, cc]
+    out["auto_ph"] = ncp - b + r - cc
+    s.iref = 1
+    t0 = time.perf_counter()
+    autocp(s, verbose=False)
+    out["auto_grid_wall_s"] = round(time.perf_counter() - t0, 3)
+    s.iref = 0
+    # NCP parity: every nucleus must be found within a grid step
+    h = vol ** (1 / 3) / n
+    dmax = 0.0
+    ncps = np.array([cp.x for cp in cpl.cps if cp.typ == -3])
+    for xa in np.asarray(c.x_frac):
+        d = ncps - xa[None, :]
+        d -= np.round(d)
+        dc = np.linalg.norm(d @ np.asarray(c.m_x2c).T, axis=1).min()
+        dmax = max(dmax, float(dc))
+    out["auto_ncp_maxdev_bohr"] = round(dmax, 6)
+    out["auto_ncp_tol_bohr"] = round(2 * h, 6)
+
+    # --- WFN mesh integral (tests_cint analogue) ----------------------
+    if os.path.exists(_REF_FCHK):
+        from critic2_tpu import System
+        from critic2_tpu.analysis.molcalc import molcalc_nelec
+
+        sw = System.from_structure(_REF_FCHK)
+        sw.load_field(_REF_FCHK)
+        sw.iref = 1
+        nelec = molcalc_nelec(sw, lvl="good")      # warmup inside
+        t0 = time.perf_counter()
+        nelec = molcalc_nelec(sw, lvl="good")
+        out["wfn_mesh_wall_s"] = round(time.perf_counter() - t0, 3)
+        out["wfn_nelec_err"] = round(abs(nelec - 42.0), 8)
+
+    return out
+
+
+if __name__ == "__main__":
+    import json
+    import sys
+
+    if "--cpu" in sys.argv:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    print(json.dumps(run_parity("--small" in sys.argv), indent=1))
