@@ -134,7 +134,12 @@ class Repl:
             for mode in ("trilinear", "tricubic", "trispline", "nearest"):
                 if mode in [a.lower() for a in args[1:]]:
                     interp = mode
-            fid = sy.load_field(args[0], name=name)
+            kw = {}
+            # LAPW fields take two files: LOAD x.clmsum x.struct
+            if len(args) > 1 and args[1].lower().endswith((".struct",
+                                                           ".out")):
+                kw["file2"] = args[1]
+            fid = sy.load_field(args[0], name=name, **kw)
             if interp:
                 sy.field(fid).set_options(interp=interp)
         f = sy.field(fid)

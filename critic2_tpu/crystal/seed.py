@@ -117,7 +117,48 @@ def read_structure(path: str, mol: bool | None = None) -> Crystal:
         return read_xsf_structure(path).to_crystal()
     if fmt == "wfn":
         return read_wfn_structure(path).to_crystal()
+    if fmt == "wien":
+        return read_wien_structure(path).to_crystal()
     raise NotImplementedError(f"structure format {fmt} not implemented yet")
+
+
+def read_wien_structure(path: str) -> CrystalSeed:
+    """WIEN2k .struct reader (reference read_wien,
+    src/crystalseedmod@proc.f90:1313-1510). The cell frame is br1^T so
+    Cartesian coordinates agree with the WienField evaluator; centering
+    copies (F/B/C lattices) are expanded into the conventional cell."""
+    from ..fields.wien import read_struct
+
+    st = read_struct(path)
+    lattic = st["lattic"]
+    cen = [np.zeros(3)]
+    if lattic[0] == "F":
+        cen += [np.array([0.5, 0.5, 0.0]), np.array([0.0, 0.5, 0.5]),
+                np.array([0.5, 0.0, 0.5])]
+    elif lattic[0] == "B":
+        cen += [np.array([0.5, 0.5, 0.5])]
+    elif lattic[:3] == "CXY":
+        cen += [np.array([0.5, 0.5, 0.0])]
+    elif lattic[:3] == "CYZ":
+        cen += [np.array([0.0, 0.5, 0.5])]
+    elif lattic[:3] == "CXZ":
+        cen += [np.array([0.5, 0.0, 0.5])]
+
+    jatom_of = np.concatenate(
+        [np.full(st["multw"][j], j) for j in range(st["nat"])])
+    spmap, species, spof, xf = {}, [], [], []
+    for iat, x in enumerate(st["pos_frac"]):
+        z = int(round(st["znuc"][jatom_of[iat]]))
+        name = st["names"][jatom_of[iat]] or param.z_to_symbol(z)
+        if z not in spmap:
+            spmap[z] = len(species)
+            species.append(Species(param.z_to_symbol(z) or name, z))
+        for cv in cen:
+            xf.append(np.mod(x + cv, 1.0))
+            spof.append(spmap[z])
+    return CrystalSeed(m_x2c=st["br1"].T, x_frac=np.asarray(xf),
+                       species_of=np.asarray(spof), species=species,
+                       name=path)
 
 
 def read_wfn_structure(path: str, border: float = 10.0) -> CrystalSeed:

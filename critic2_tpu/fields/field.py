@@ -75,10 +75,11 @@ def _ghost_derivs(expr_fn, xT, nder):
 @dataclass
 class Field:
     crystal: object
-    type: str                       # 'grid' | 'promol' | 'wfn' | 'ghost'
+    type: str       # 'grid' | 'promol' | 'wfn' | 'ghost' | 'wien' | 'elk'
     grid: Grid3 | None = None
     promol: PromolEnv | None = None
     wfn: object | None = None
+    mt: object = None               # muffin-tin evaluator (wien/elk)
     expr: object = None             # compiled ghost expression
     name: str = ""
     usecore: bool = False
@@ -121,6 +122,22 @@ class Field:
             omega = crystal.volume if fmt == "vasp" else None
             g = Grid3.from_file(path, fmt=fmt, omega=omega)
             return cls.from_grid(crystal, g, name=name or path, **kw)
+        low = path.lower()
+        if low.endswith((".clmsum", ".clmup", ".clmdn")) or fmt == "wien":
+            from .wien import WienField
+
+            struct = kw.pop("file2", None)
+            if struct is None:
+                import os
+                base = os.path.splitext(path)[0]
+                struct = base + ".struct"
+                if not os.path.exists(struct):
+                    raise FileNotFoundError(
+                        f"wien field {path} needs a .struct file "
+                        f"(tried {struct}; pass file2=)")
+            return cls(crystal=crystal, type="wien",
+                       mt=WienField.from_files(path, struct),
+                       name=name or path, **kw)
         from .wfn import Wavefunction
 
         wfn = Wavefunction.from_file(path)
@@ -175,6 +192,15 @@ class Field:
             f, gf, hf = self.promol.eval(wc, nder=nder)
         elif self.type == "wfn":
             f, gf, hf = self.wfn.rho_eval(v, nder=nder)  # molecules: no wrap
+        elif self.type in ("wien", "elk"):
+            from ..ops.interp import sym6_to_mat
+
+            f, gfT, h6 = self.mt.grd(wc, nder=nder)
+            if nder < 1:
+                gfT = jnp.zeros((3, wc.shape[0]))
+                h6 = jnp.zeros((6, wc.shape[0]))
+            gf = gfT.T
+            hf = sym6_to_mat(h6)
         elif self.type == "ghost":
             from ..ops.interp import sym6_to_mat
 
@@ -258,6 +284,7 @@ class Field:
             ftype == "grid" and grid_mode == "trispline") else None
         promol = self.promol
         wfn = self.wfn
+        mtfield = self.mt
         expr_fn = self.expr
         env = self.coreenv
 
@@ -286,6 +313,11 @@ class Field:
                 f, gf, h6 = wfn.rho_eval_soa(xT, nder=nder)
             elif ftype == "ghost":
                 f, gf, h6 = _ghost_derivs(expr_fn, xT, nder)
+            elif ftype in ("wien", "elk"):
+                f, gf, h6 = mtfield.grd(wc.T, nder=nder)
+                if nder < 1:
+                    gf = jnp.zeros((3, wc.shape[1]))
+                    h6 = jnp.zeros((6, wc.shape[1]))
             else:
                 raise ValueError(f"eval_fn unsupported for type {ftype}")
             if env is not None:
