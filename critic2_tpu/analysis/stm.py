@@ -105,7 +105,13 @@ def stm(system, mode: str = "current", level: float | None = None,
             hi = jnp.where(above, hi, mid)
             return lo, hi
 
-        lo, hi = jax.lax.fori_loop(0, 40, body, (lo, hi))
+        # unrolled (40 halvings): lax loops with gather indices that
+        # evolve with the carried state miscompile on the v5e backend
+        # here (see ops/newton.py docstring)
+        st = (lo, hi)
+        for _ in range(40):
+            st = body(None, st)
+        lo, hi = st
         return 0.5 * (lo + hi)
 
     out = np.empty(fx.size)

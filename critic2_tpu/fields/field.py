@@ -86,6 +86,7 @@ class Field:
     zpsp: dict = dfield(default_factory=dict)
     typnuc: int = -3
     _coreenv: PromolEnv | None = None
+    _evalfns: dict = dfield(default_factory=dict)
 
     # ------------------------------------------------------------------
     # constructors
@@ -157,6 +158,8 @@ class Field:
             self.zpsp = dict(zpsp)
         if core is not None:
             self.usecore = core
+        self._evalfns.clear()       # captured constants changed
+        self._coreenv = None
         return self
 
     @property
@@ -255,7 +258,21 @@ class Field:
         Batch-last layout keeps every intermediate lane-dense on TPU (see
         ops/interp.py docstring); the Hessian rotation to Cartesian is one
         (6, 6) matmul against the components (sym6_rotation of m_c2x).
+
+        The closure is CACHED per (nder, clamp_nuclei): jit caches key on
+        the function object, so handing out a fresh closure per driver
+        call would force a full recompile every call (seconds each
+        through the remote-compile tunnel).
         """
+        key = (nder, clamp_nuclei)
+        cached = self._evalfns.get(key)
+        if cached is not None:
+            return cached
+        fn = self._build_eval_fn(nder, clamp_nuclei)
+        self._evalfns[key] = fn
+        return fn
+
+    def _build_eval_fn(self, nder: int, clamp_nuclei: bool):
         c = self.crystal
         m_c2x = jnp.asarray(c.m_c2x)
         m_x2c = jnp.asarray(c.m_x2c)

@@ -247,10 +247,22 @@ class Wavefunction:
         d = self._device()
         ctrT, lx, al, C, occ = d["ctr"].T, d["lx"], d["al"], d["C"], d["occ"]
 
+        nmax = int(np.max(np.asarray(lx))) + 2
+
         def pw(X, n):
-            # X^n for per-primitive int exponents n (P,), guarded at n<0
-            return jnp.where(n[:, None] < 0, 0.0,
-                             X ** jnp.maximum(n, 0)[:, None])
+            # X^n for per-primitive int exponents n (P,), 0 for n < 0.
+            # Exact repeated multiplication: the XLA pow lowering on the
+            # v5e returns NaN for subnormal bases with zero exponents
+            # (pow(1e-320, 0) = NaN), which poisons near-nucleus mesh
+            # points; integer-select powers avoid pow entirely and are
+            # exact in f64.
+            nb = n[:, None]
+            out = jnp.where(nb == 0, 1.0, 0.0)
+            Xk = X
+            for k in range(1, nmax + 1):
+                out = jnp.where(nb == k, Xk, out)
+                Xk = Xk * X
+            return out
 
         def fn(xT):
             # per-primitive displacements (3, P, N)
@@ -319,9 +331,20 @@ class Wavefunction:
 
         return fn
 
+    def _jitted(self, nder: int, extras: bool = False):
+        """Cached jitted closure (a fresh closure per call would force a
+        recompile every driver call)."""
+        if not hasattr(self, "_jit_cache"):
+            self._jit_cache = {}
+        key = (nder, extras)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                self.eval_closure(nder=nder, extras=extras))
+        return self._jit_cache[key]
+
     def rho_eval_soa(self, xT, nder: int = 2, block: int = 4096):
         """(f, gf (3,N), h6 (6,N)) with internal chunking."""
-        fn = jax.jit(self.eval_closure(nder=nder))
+        fn = self._jitted(nder)
         N = xT.shape[1]
         if N <= block:
             return fn(xT)
@@ -330,7 +353,7 @@ class Wavefunction:
                      for i in range(3))
 
     def extras_soa(self, xT, block: int = 4096):
-        fn = jax.jit(self.eval_closure(nder=2, extras=True))
+        fn = self._jitted(2, extras=True)
         N = xT.shape[1]
         if N <= block:
             return fn(xT)
@@ -353,9 +376,18 @@ class Wavefunction:
         r2 = (dx * dx).sum(0)
         ex = jnp.exp(-d["al"][:, None] * r2)
         a, b, c = d["lx"]
-        chi = (dx[0] ** jnp.maximum(a, 0)[:, None]
-               * dx[1] ** jnp.maximum(b, 0)[:, None]
-               * dx[2] ** jnp.maximum(c, 0)[:, None] * ex)
+        nmax = int(np.max(np.asarray(d["lx"])))
+
+        def pw(X, n):
+            nb = n[:, None]
+            out = jnp.where(nb == 0, 1.0, 0.0)
+            Xk = X
+            for k in range(1, nmax + 1):
+                out = jnp.where(nb == k, Xk, out)
+                Xk = Xk * X
+            return out
+
+        chi = pw(dx[0], a) * pw(dx[1], b) * pw(dx[2], c) * ex
         return d["C"] @ chi
 
     # ------------------------------------------------------------------

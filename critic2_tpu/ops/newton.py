@@ -2,13 +2,23 @@
 
 TPU-native replacement for the reference's per-seed Newton loop
 (src/fieldmod@proc.f90:1832-1868 `newton`): all seeds advance in lockstep
-under jax.lax.while_loop with per-seed convergence/failure masks; the
-LINPACK dgeco/dgedi 3x3 Hessian solve becomes the closed-form adjugate
-solve on symmetric components (critic2_tpu/ops/eig3.py solve3s).
+with per-seed convergence/failure masks; the LINPACK dgeco/dgedi 3x3
+Hessian solve becomes the closed-form adjugate solve on symmetric
+components (critic2_tpu/ops/eig3.py solve3s).
 
 Layout: batch-last SoA throughout the loop - positions (3, N), gradients
 (3, N), Hessians (6, N) - so every loop-carried array is lane-dense on
 TPU (see ops/interp.py docstring). The public interface stays (N, 3).
+
+Loop structure: Python-UNROLLED fixed-size chunks inside one jit with a
+host-side convergence check between chunks. lax.while_loop/fori_loop
+are deliberately NOT used here: the v5e backend in this environment
+miscompiles loop bodies whose gather indices evolve with the carried
+state (the field evaluator inside the loop returns values inconsistent
+with the same graph outside; post-hoc |grad| up to 3e-2 at points the
+in-loop check claimed converged to 1e-12 - reproduced and bisected
+2026-08-16, unrolled bodies are correct). The chunked form also
+amortizes the tunnel dispatch latency.
 
 Semantics mirror the reference exactly: stop when |grad f| < gfnormeps
 (success), when |det H| < 1e-30 (singular failure), or after maxit
@@ -26,30 +36,19 @@ from .eig3 import solve3s
 __all__ = ["newton_batch"]
 
 
-@partial(jax.jit, static_argnames=("eval_fn", "maxit"))
-def newton_batch(eval_fn, x0, gfnormeps: float = 1e-12, maxit: int = 200):
-    """Run Newton iterations from a batch of Cartesian seeds.
-
-    eval_fn: SoA evaluator (3, N) -> (f (N,), gf (3, N), h6 (6, N));
-    must be jittable. x0: (N, 3) Cartesian seeds.
-    Returns (x (N, 3) final positions, conv (N,) success mask, nit).
-    """
-    xT0 = jnp.asarray(x0).T
-    N = xT0.shape[1]
+@partial(jax.jit, static_argnames=("eval_fn", "nsteps"))
+def _newton_chunk(eval_fn, xT, conv, failed, gfnormeps, nsteps: int):
+    """Advance all active seeds nsteps Newton iterations (masked,
+    Python-unrolled - see module docstring)."""
 
     def check(xT):
         f, gf, h6 = eval_fn(xT)
         gfmod2 = (gf * gf).sum(0)
-        conv = gfmod2 < gfnormeps * gfnormeps
+        cnow = gfmod2 < gfnormeps * gfnormeps
         nan = ~jnp.isfinite(xT).all(0) | ~jnp.isfinite(gf).all(0)
-        return gf, h6, conv, nan
+        return gf, h6, cnow, nan
 
-    def cond(state):
-        it, xT, conv, failed = state
-        return (it < maxit) & ~(conv | failed).all()
-
-    def body(state):
-        it, xT, conv, failed = state
+    for _ in range(nsteps):
         gf, h6, cnow, nan = check(xT)
         step_num, det = solve3s(h6, gf)
         sing = jnp.abs(det) < 1e-30
@@ -58,13 +57,31 @@ def newton_batch(eval_fn, x0, gfnormeps: float = 1e-12, maxit: int = 200):
         active = ~(conv | failed)
         step = step_num / jnp.where(sing, 1.0, det)[None, :]
         xT = jnp.where(active[None, :], xT - step, xT)
-        return it + 1, xT, conv, failed
 
-    state = (jnp.zeros((), jnp.int32), xT0, jnp.zeros(N, bool),
-             jnp.zeros(N, bool))
-    it, xT, conv, failed = jax.lax.while_loop(cond, body, state)
-    # final convergence check for points that reached the answer on the
-    # last allowed step
+    # convergence state of the final positions
     _, _, cfin, _ = check(xT)
     conv = conv | (cfin & ~failed)
+    return xT, conv, failed
+
+
+def newton_batch(eval_fn, x0, gfnormeps: float = 1e-12, maxit: int = 200,
+                 chunk: int = 10):
+    """Run Newton iterations from a batch of Cartesian seeds.
+
+    eval_fn: SoA evaluator (3, N) -> (f (N,), gf (3, N), h6 (6, N));
+    must be jittable. x0: (N, 3) Cartesian seeds.
+    Returns (x (N, 3) final positions, conv (N,) success mask, nit).
+    """
+    xT = jnp.asarray(x0).T
+    N = xT.shape[1]
+    conv = jnp.zeros(N, bool)
+    failed = jnp.zeros(N, bool)
+    it = 0
+    while it < maxit:
+        n = min(chunk, maxit - it)
+        xT, conv, failed = _newton_chunk(eval_fn, xT, conv, failed,
+                                         gfnormeps, n)
+        it += n
+        if bool((conv | failed).all()):
+            break
     return xT.T, conv, it

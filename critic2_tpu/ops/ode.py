@@ -9,10 +9,14 @@ min(0.1, h/2)), at new CPs (|grad| < gradeps), on step collapse, or on
 leaving the molecular cell.
 
 TPU decomposition: the reference traces one path at a time inside OpenMP
-loops; here ALL paths advance in lockstep under one jax.lax.while_loop
-with per-trajectory step sizes, accept/reject masks and termination
-states - each iteration is one BS23 attempt costing three batched field
-evaluations for every live trajectory.
+loops; here ALL paths advance in lockstep with per-trajectory step
+sizes, accept/reject masks and termination states - each iteration is
+one BS23 attempt costing three batched field evaluations for every live
+trajectory. Iterations run as Python-UNROLLED chunks inside one jit
+with a host-side all-done check between chunks: lax.while_loop/
+fori_loop are avoided because the v5e backend in this environment
+miscompiles loop bodies whose gather indices evolve with the carried
+state (see ops/newton.py docstring for the bisection record).
 
 Status codes: 0 = reached attractor (termid >= 0), 1 = converged to a
 gradient zero away from the list, 2 = step collapse/bounce, 3 = left the
@@ -34,31 +38,13 @@ STAT_ESCAPED = 3
 STAT_MAXSTEP = 4
 
 
-@partial(jax.jit, static_argnames=("eval_fn", "iup", "mstep"))
-def trace_paths(eval_fn, x0, iup: int = 1, targets=None, rterm=None,
-                hini: float = 0.3, maxerr: float = 1e-4,
-                gradeps: float = 1e-7, mstep: int = 4000,
-                m_c2x=None, molborder=None, h0=None):
-    """Trace gradient paths from Cartesian seeds x0 (N, 3).
-
-    eval_fn: SoA evaluator (3, N) -> (f, gf (3, N), h6).
-    iup: +1 uphill (to maxima), -1 downhill.
-    targets: (K, 3) Cartesian attractor points incl. periodic images, or
-    None; rterm: (K,) termination radius per target (reference
-    min(rbetadef, h/2) when no beta sphere is set).
-    m_c2x/molborder: enable molecular-cell escape detection (iup == -1).
-
-    h0: optional per-trajectory initial step (resume support).
-    Returns (x (N, 3), status (N,), termid (N,), plen (N,), h (N,)).
-    """
-    xT0 = jnp.asarray(x0).T
-    N = xT0.shape[1]
+@partial(jax.jit,
+         static_argnames=("eval_fn", "iup", "nsteps", "have_t", "havemol"))
+def _ode_chunk(eval_fn, st, tT, rt, m_c2x, molborder, hini, maxerr,
+               gradeps, iup, have_t, havemol, nsteps):
+    """Advance all trajectories nsteps BS23 attempts (Python-unrolled)."""
     sgn = float(iup)
-
-    have_t = targets is not None and targets.shape[0] > 0
-    if have_t:
-        tT = jnp.asarray(targets).T                      # (3, K)
-        rt = jnp.asarray(rterm)
+    N = st[0].shape[1]
 
     def direction(xT):
         _, gf, _ = eval_fn(xT)
@@ -70,12 +56,8 @@ def trace_paths(eval_fn, x0, iup: int = 1, targets=None, rterm=None,
         k = jnp.argmin(d2, axis=1).astype(jnp.int32)
         return k, jnp.sqrt(d2[jnp.arange(N), k])
 
-    def cond(st):
-        it, xT, h, done, status, termid, plen, d1, gmod = st
-        return (it < mstep) & ~done.all()
-
     def body(st):
-        it, xT, h, done, status, termid, plen, d1, gmod = st
+        xT, h, done, status, termid, plen, d1, gmod = st
 
         # termination: gradient zero (new CP)
         cp_now = (gmod < gradeps) & ~done
@@ -93,7 +75,7 @@ def trace_paths(eval_fn, x0, iup: int = 1, targets=None, rterm=None,
             done = done | hit
 
         # termination: left the molecular cell (downhill only)
-        if m_c2x is not None and iup == -1:
+        if havemol and iup == -1:
             wx = m_c2x @ xT
             out = ((wx < molborder[:, None]) |
                    (wx > 1.0 - molborder[:, None])).any(0) & ~done
@@ -126,15 +108,54 @@ def trace_paths(eval_fn, x0, iup: int = 1, targets=None, rterm=None,
         status = jnp.where(stuck, STAT_STUCK, status)
         done = done | stuck
 
-        return it + 1, xT, h, done, status, termid, plen, d1, gmod
+        return xT, h, done, status, termid, plen, d1, gmod
 
-    d1_0, gmod0 = direction(xT0)
+    for _ in range(nsteps):
+        st = body(st)
+    return st
+
+
+def trace_paths(eval_fn, x0, iup: int = 1, targets=None, rterm=None,
+                hini: float = 0.3, maxerr: float = 1e-4,
+                gradeps: float = 1e-7, mstep: int = 4000,
+                m_c2x=None, molborder=None, h0=None, chunk: int = 16):
+    """Trace gradient paths from Cartesian seeds x0 (N, 3).
+
+    eval_fn: SoA evaluator (3, N) -> (f, gf (3, N), h6).
+    iup: +1 uphill (to maxima), -1 downhill.
+    targets: (K, 3) Cartesian attractor points incl. periodic images, or
+    None; rterm: (K,) termination radius per target (reference
+    min(rbetadef, h/2) when no beta sphere is set).
+    m_c2x/molborder: enable molecular-cell escape detection (iup == -1).
+
+    h0: optional per-trajectory initial step (resume support).
+    Returns (x (N, 3), status (N,), termid (N,), plen (N,), h (N,)).
+    """
+    xT0 = jnp.asarray(x0).T
+    N = xT0.shape[1]
+    have_t = targets is not None and targets.shape[0] > 0
+    tT = jnp.asarray(targets).T if have_t else jnp.zeros((3, 1))
+    rt = jnp.asarray(rterm) if have_t else jnp.zeros((1,))
+    havemol = m_c2x is not None
+    m_c2x_j = jnp.asarray(m_c2x) if havemol else jnp.zeros((3, 3))
+    molb_j = jnp.asarray(molborder) if havemol else jnp.zeros((3,))
+
+    _, gf0, _ = eval_fn(xT0)
+    gmod0 = jnp.sqrt((gf0 * gf0).sum(0))
+    d1_0 = float(iup) * gf0 / (gmod0 + 1e-80)[None, :]
     hstart = jnp.full((N,), hini) if h0 is None else jnp.asarray(h0)
-    st0 = (jnp.zeros((), jnp.int32), xT0, hstart,
-           jnp.zeros(N, bool), jnp.full((N,), STAT_MAXSTEP, jnp.int32),
-           jnp.full((N,), -1, jnp.int32), jnp.zeros(N), d1_0, gmod0)
-    it, xT, h, done, status, termid, plen, _, _ = \
-        jax.lax.while_loop(cond, body, st0)
+    st = (xT0, hstart,
+          jnp.zeros(N, bool), jnp.full((N,), STAT_MAXSTEP, jnp.int32),
+          jnp.full((N,), -1, jnp.int32), jnp.zeros(N), d1_0, gmod0)
+    it = 0
+    while it < mstep:
+        n = min(chunk, mstep - it)
+        st = _ode_chunk(eval_fn, st, tT, rt, m_c2x_j, molb_j, hini,
+                        maxerr, gradeps, iup, have_t, havemol, n)
+        it += n
+        if bool(st[2].all()):
+            break
+    xT, h, done, status, termid, plen, _, _ = st
     return xT.T, status, termid, plen, h
 
 
