@@ -90,6 +90,8 @@ def detect_format(path: str) -> str:
         return "xsf"
     if ext in ("wfn", "wfx", "fchk", "fch", "fck", "molden"):
         return "wfn"
+    if lower in ("geometry.out",):
+        return "elk-geometry"
     if ext in ("in",):
         return "qe-in"
     if ext in ("out", "scf"):
@@ -119,7 +121,31 @@ def read_structure(path: str, mol: bool | None = None) -> Crystal:
         return read_wfn_structure(path).to_crystal()
     if fmt == "wien":
         return read_wien_structure(path).to_crystal()
+    if fmt == "elk-geometry":
+        return read_elk_geometry(path).to_crystal()
     raise NotImplementedError(f"structure format {fmt} not implemented yet")
+
+
+def read_elk_geometry(path: str) -> CrystalSeed:
+    """Crystal from an elk GEOMETRY.OUT (reference read_elk,
+    src/crystalseedmod@proc.f90 elk branch)."""
+    from ..fields.elk import read_geometry
+
+    geo = read_geometry(path)
+    spmap, species, spof, xf = {}, [], [], []
+    for isp, posl in enumerate(geo["pos_frac"]):
+        nm = geo["species"][isp]
+        sym = "".join(c for c in nm if c.isalpha())[:2].capitalize()
+        z = param.symbol_to_z(sym) or param.symbol_to_z(sym[:1]) or 0
+        if isp not in spmap:
+            spmap[isp] = len(species)
+            species.append(Species(sym, z))
+        for p in posl:
+            xf.append(np.mod(p, 1.0))
+            spof.append(spmap[isp])
+    return CrystalSeed(m_x2c=geo["x2c"], x_frac=np.asarray(xf),
+                       species_of=np.asarray(spof), species=species,
+                       name=path)
 
 
 def read_wien_structure(path: str) -> CrystalSeed:

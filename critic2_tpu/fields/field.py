@@ -123,6 +123,20 @@ class Field:
             omega = crystal.volume if fmt == "vasp" else None
             g = Grid3.from_file(path, fmt=fmt, omega=omega)
             return cls.from_grid(crystal, g, name=name or path, **kw)
+        import os as _os
+        base = _os.path.basename(path).upper()
+        if base.startswith("STATE") and base.endswith(".OUT"):
+            from .elk import ElkField
+
+            geom = kw.pop("file2", None)
+            if geom is None:
+                geom = _os.path.join(_os.path.dirname(path), "GEOMETRY.OUT")
+                if not _os.path.exists(geom):
+                    raise FileNotFoundError(
+                        f"elk field {path} needs GEOMETRY.OUT (pass file2=)")
+            return cls(crystal=crystal, type="elk",
+                       mt=ElkField.from_files(path, geom),
+                       name=name or path, **kw)
         low = path.lower()
         if low.endswith((".clmsum", ".clmup", ".clmdn")) or fmt == "wien":
             from .wien import WienField
