@@ -135,10 +135,13 @@ class Repl:
                 if mode in [a.lower() for a in args[1:]]:
                     interp = mode
             kw = {}
-            # LAPW fields take two files: LOAD x.clmsum x.struct
+            # LAPW fields take two files: LOAD x.clmsum x.struct;
+            # QE takes LOAD x.pwc [y.chk [z.chk]] (spin-down chk)
             if len(args) > 1 and args[1].lower().endswith((".struct",
-                                                           ".out")):
+                                                           ".out", ".chk")):
                 kw["file2"] = args[1]
+                if len(args) > 2 and args[2].lower().endswith(".chk"):
+                    kw["file3"] = args[2]
             fid = sy.load_field(args[0], name=name, **kw)
             if interp:
                 sy.field(fid).set_options(interp=interp)
@@ -284,6 +287,19 @@ class Repl:
         res = intgrid(sy, method=method)
         self.write(f"+ {method.upper()}: {res.nattr_raw} attractors")
         self.write(res.table())
+        for req in getattr(sy, "deloc_requests", []):
+            from .analysis.deloc import deloc_wannier
+
+            f = sy.field(req["fid"])
+            if f.type != "grid" or f.grid.qe is None:
+                self.write(f"! DELOC: field {req['fid']} has no QE data")
+                continue
+            d = deloc_wannier(sy.crystal, res.decomp, f.grid.qe,
+                              useu=req["useu"] and f.grid.qe.iswan,
+                              wancut=req["wancut"])
+            names = [r.name for r in res.rows]
+            agg = d.aggregate(res.attr_map, len(res.rows))
+            self.write(agg.table(names))
 
     def cmd_nciplot(self, args, lines):
         from .analysis.nci import nciplot
@@ -552,6 +568,20 @@ class Repl:
         sy = self.need_system()
         if args and args[0].lower() == "clear":
             sy.integrables.clear()
+            if hasattr(sy, "deloc_requests"):
+                sy.deloc_requests.clear()
+            return
+        low = [a.lower() for a in args]
+        if "deloc" in low:
+            # INTEGRABLE fid DELOC [WANCUT w] [NOU] (reference systemmod
+            # propty parser, src/systemmod@proc.f90:771-924)
+            fid = int(args[0]) if args[0].lstrip("-").isdigit() else args[0]
+            req = {"fid": fid, "useu": "nou" not in low, "wancut": None}
+            if "wancut" in low:
+                req["wancut"] = float(args[low.index("wancut") + 1])
+            if not hasattr(sy, "deloc_requests"):
+                sy.deloc_requests = []
+            sy.deloc_requests.append(req)
             return
         sy.integrables.append(" ".join(args))
 

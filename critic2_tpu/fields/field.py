@@ -119,9 +119,14 @@ class Field:
             except ValueError:
                 fmt = None
         if fmt in ("cube", "bincube", "vasp", "xsf", "qub", "elk",
-                   "siesta"):
+                   "siesta", "pwc"):
             omega = crystal.volume if fmt == "vasp" else None
             g = Grid3.from_file(path, fmt=fmt, omega=omega)
+            if fmt == "pwc":
+                chk = kw.pop("file2", None)
+                chkdn = kw.pop("file3", None)
+                if chk:
+                    g.read_wannier_chk(chk, chkdn)
             return cls.from_grid(crystal, g, name=name or path, **kw)
         import os as _os
         base = _os.path.basename(path).upper()

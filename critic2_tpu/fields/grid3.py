@@ -30,6 +30,7 @@ DEFAULT_MODE = "tricubic"  # reference mode_default (src/grid3mod.f90:88)
 class Grid3:
     f: jnp.ndarray                      # (n1,n2,n3) device array
     mode: str = DEFAULT_MODE
+    qe: object = None                   # QEData (pwc KS states + Wannier)
 
     @property
     def n(self):
@@ -108,7 +109,27 @@ class Grid3:
             return cls.read_bincube(path)
         if fmt == "siesta":
             return cls.read_siesta(path)
+        if fmt == "pwc":
+            return cls.read_pwc(path)
         raise NotImplementedError(f"grid format {fmt}")
+
+    @classmethod
+    def read_pwc(cls, path: str) -> "Grid3":
+        """QE pw2critic.x pwc file: electron density grid + KS states for
+        Wannier delocalization indices (reference read_pwc,
+        src/grid3mod@proc.f90:734-852)."""
+        from .qe import read_pwc as _read
+
+        qe, rho = _read(path)
+        return cls(jnp.asarray(rho), qe=qe)
+
+    def read_wannier_chk(self, fileup: str, filedn: str | None = None):
+        """Attach wannier90 chk data (src/grid3mod@proc.f90:899-1038)."""
+        from .qe import read_wannier_chk as _read
+
+        if self.qe is None:
+            raise ValueError("wannier chk requires a pwc-loaded grid")
+        _read(self.qe, fileup, filedn)
 
     @classmethod
     def read_cube(cls, path: str) -> "Grid3":
@@ -266,6 +287,8 @@ def detect_grid_format(path: str) -> str:
         return "xsf"
     if ext == "qub":
         return "qub"
+    if ext == "pwc":
+        return "pwc"
     if ext in ("rho", "ldos", "vt", "vh", "drho", "bader"):
         return "siesta"
     if base.endswith(("rho3d.out", "elf3d.out", ".out")) and "3d" in base:
