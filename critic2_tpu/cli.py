@@ -123,12 +123,48 @@ class Repl:
             i = [a.lower() for a in args].index("id")
             name = args[i + 1]
             args = args[:i] + args[i + 2:]
-        if args[0].lower() == "as":
-            expr = args[1]
-            shape = None
-            if len(args) >= 5 and all(a.isdigit() for a in args[2:5]):
-                shape = tuple(int(v) for v in args[2:5])
-            fid = sy.load_field_expr(expr, name=name, shape=shape)
+        def _fid(tok):
+            t = tok.lstrip("$")
+            return int(t) if t.lstrip("-").isdigit() else t
+
+        def _shape_of(toks):
+            low = [t.lower() for t in toks]
+            if "sizeof" in low:
+                i = low.index("sizeof")
+                g = sy.field(_fid(toks[i + 1]))
+                return tuple(g.grid.n)
+            for i in range(len(toks) - 2):
+                if all(t.isdigit() for t in toks[i:i + 3]):
+                    return tuple(int(v) for v in toks[i:i + 3])
+            return None
+
+        if args[0].lower() == "copy":
+            fid = sy.load_field_as("copy", src=_fid(args[1]), name=name)
+        elif args[0].lower() == "as":
+            sub = args[1].lower()
+            rest = args[2:]
+            low = [t.lower() for t in rest]
+            if sub in ("lap", "grad", "pot", "hxx1", "hxx2", "hxx3"):
+                fid = sy.load_field_as(sub, src=_fid(rest[0]), name=name,
+                                       isry="ry" in low)
+            elif sub == "clm":
+                fid = sy.load_field_as(f"clm {rest[0].lower()}",
+                                       src=_fid(rest[1]), src2=_fid(rest[2]),
+                                       name=name)
+            elif sub in ("core", "promolecular"):
+                frag = None
+                if "fragment" in low:
+                    frag = rest[low.index("fragment") + 1]
+                fid = sy.load_field_as(sub, shape=_shape_of(rest),
+                                       fragment=frag, name=name)
+            elif sub == "ghost":
+                fid = sy.load_field_expr(rest[0], name=name, ghost=True)
+            else:
+                expr = args[1]
+                fid = sy.load_field_expr(expr, name=name,
+                                         shape=_shape_of(args[2:]),
+                                         ghost="ghost" in
+                                         [a.lower() for a in args[2:]])
         else:
             interp = None
             for mode in ("trilinear", "tricubic", "trispline", "nearest"):
@@ -148,6 +184,50 @@ class Repl:
         f = sy.field(fid)
         self.write(f"+ field {fid} <- {f.name} (type {f.type})"
                    + (f" grid {tuple(f.grid.n)}" if f.type == "grid" else ""))
+
+    def cmd_zpsp(self, args, lines):
+        """ZPSP At1 q1 [At2 q2 ...]: pseudopotential charges for core
+        augmentation (reference Q/ZPSP keyword,
+        src/struct_drivers@proc.f90)."""
+        sy = self.need_system()
+        from .param import symbol_to_z
+
+        zp = getattr(sy, "zpsp", None) or {}
+        i = 0
+        while i + 1 < len(args):
+            sym = args[i]
+            z = int(sym) if sym.isdigit() else symbol_to_z(sym)
+            zp[z] = int(float(args[i + 1]))
+            i += 2
+        sy.zpsp = zp
+        for f in sy.fields.values():
+            f.zpsp = dict(zp)
+            f._coreenv = None
+        self.write("+ zpsp: " + " ".join(f"{z}:{q}" for z, q in zp.items()))
+
+    def cmd_q(self, args, lines):
+        """Q At1 q1 ...: point charges per species (Ewald)."""
+        sy = self.need_system()
+        from .param import symbol_to_z
+
+        qs = getattr(sy, "qat", None) or {}
+        i = 0
+        while i + 1 < len(args):
+            sym = args[i]
+            z = int(sym) if sym.isdigit() else symbol_to_z(sym)
+            qs[z] = float(args[i + 1])
+            i += 2
+        sy.qat = qs
+
+    cmd_qat = cmd_q
+
+    def cmd_nocore(self, args, lines):
+        sy = self.need_system()
+        sy.zpsp = {}
+        for f in sy.fields.values():
+            f.zpsp = {}
+            f.usecore = False
+            f._coreenv = None
 
     def cmd_unload(self, args, lines):
         self.need_system().unload_field(

@@ -10,6 +10,7 @@ their own modules as the I/O surface widens.
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass, field as dfield
 
 import numpy as np
@@ -100,6 +101,15 @@ def detect_format(path: str) -> str:
         return "wien"
     if ext == "gen":
         return "dftb-gen"
+    if ext in ("res", "ins", "16"):
+        return "shelx"
+    if ext == "pwc":
+        return "pwc"
+    up = base.upper()
+    if up.endswith(("_DEN", "_POT", "_ELF", "_VHA", "_VHXC", "_VXC",
+                    "_GDEN1", "_GDEN2", "_GDEN3", "_LDEN", "_KDEN",
+                    "_PAWDEN")) or ".DEN" in up:
+        return "abinit"
     raise ValueError(f"cannot detect structure format of {path}")
 
 
@@ -123,6 +133,16 @@ def read_structure(path: str, mol: bool | None = None) -> Crystal:
         return read_wien_structure(path).to_crystal()
     if fmt == "elk-geometry":
         return read_elk_geometry(path).to_crystal()
+    if fmt == "qe-in":
+        return read_qe_in(path).to_crystal()
+    if fmt == "qe-out":
+        return read_qe_out(path).to_crystal()
+    if fmt == "dftb-gen":
+        return read_dftb_gen(path).to_crystal()
+    if fmt == "shelx":
+        return read_shelx(path).to_crystal()
+    if fmt == "abinit":
+        return read_abinit_structure(path).to_crystal()
     raise NotImplementedError(f"structure format {fmt} not implemented yet")
 
 
@@ -379,3 +399,356 @@ def read_xsf_structure(path: str) -> CrystalSeed:
         species=species,
         name=os.path.basename(path),
     )
+
+
+# ---------------------------------------------------------------------------
+# SHELX .res/.ins (reference read_shelx, src/crystalseedmod@proc.f90:732-1112)
+# ---------------------------------------------------------------------------
+
+_SHELX_CEN = {
+    1: [(0, 0, 0)],
+    2: [(0, 0, 0), (0.5, 0.5, 0.5)],
+    3: [(0, 0, 0), (2 / 3, 1 / 3, 1 / 3), (1 / 3, 2 / 3, 2 / 3)],
+    4: [(0, 0, 0), (0.5, 0.5, 0), (0, 0.5, 0.5), (0.5, 0, 0.5)],
+    5: [(0, 0, 0), (0, 0.5, 0.5)],
+    6: [(0, 0, 0), (0.5, 0, 0.5)],
+    7: [(0, 0, 0), (0.5, 0.5, 0)],
+}
+
+_SHELX_IGNORE = {
+    "abin", "acta", "afix", "anis", "ansc", "ansr", "basf", "bind", "bloc",
+    "bond", "bump", "cgls", "chiv", "conf", "conn", "damp", "dang", "defs",
+    "delu", "dfix", "disp", "eadp", "eqiv", "exti", "exyz", "flat", "fmap",
+    "free", "fvar", "grid", "hfix", "hklf", "hope", "htab", "isor", "laue",
+    "list", "l.s.", "merg", "mole", "more", "move", "mpla", "ncsy", "neut",
+    "omit", "part", "plan", "prig", "rem", "resi", "rigu", "rtab", "sadi",
+    "same", "shel", "simu", "size", "spec", "stir", "sump", "swat", "temp",
+    "time", "twin", "twst", "wght", "wigl", "wpdb", "xnpd", "zerr",
+}
+
+
+def read_shelx(path: str) -> CrystalSeed:
+    """SHELX .res/.ins: CELL + LATT centerings + SYMM ops + SFAC species,
+    atoms expanded over the symmetry found in the file."""
+    from ..io.cif import parse_symop
+
+    cell = None
+    cen = list(_SHELX_CEN[1])
+    iscent = True                      # LATT default is 1 (P, centrosymmetric)
+    ops = [(np.eye(3), np.zeros(3))]
+    spc = []
+    atoms = []                         # (isp, x)
+    name = os.path.basename(path)
+
+    lines = open(path, errors="replace").read().splitlines()
+    # join continuation lines ending in '='
+    joined, buf = [], ""
+    for ln in lines:
+        s = buf + ln
+        if s.rstrip().endswith("="):
+            buf = s.rstrip()[:-1]
+            continue
+        buf = ""
+        joined.append(s)
+
+    for ln in joined:
+        t = ln.split("!")[0].split()
+        if not t:
+            continue
+        kw = t[0].lower()[:4]
+        if kw == "titl":
+            name = " ".join(t[1:]) or name
+        elif kw == "cell":
+            v = [float(x) for x in t[1:8]]
+            aa = np.array(v[1:4]) * param.ANGSTROM_TO_BOHR
+            cell = m_x2c_from_cellpar(aa, v[4:7])
+        elif kw == "latt":
+            ilat = int(t[1])
+            cen = list(_SHELX_CEN[abs(ilat)])
+            iscent = ilat > 0
+        elif kw == "symm":
+            rot, tr = parse_symop(" ".join(t[1:]).lower())
+            if np.allclose(rot, np.eye(3)):
+                if not np.allclose(tr, 0):
+                    cen.append(tuple(tr))           # pure translation
+            else:
+                ops.append((rot, tr))
+        elif kw == "sfac":
+            for w in t[1:]:
+                z = param.symbol_to_z(w)
+                if not z:
+                    break
+                spc.append(Species(w.capitalize(), z))
+        elif kw in ("unit", "frag", "fend") or kw in _SHELX_IGNORE:
+            continue
+        elif kw == "end":
+            break
+        elif param.symbol_to_z(''.join(c for c in t[0] if c.isalpha())):
+            if len(t) >= 5:
+                try:
+                    isp = int(t[1])
+                    x = np.array([float(v) for v in t[2:5]])
+                except ValueError:
+                    continue
+                if not (1 <= isp <= max(len(spc), 99)):
+                    raise ValueError("atom type not in SFAC list")
+                atoms.append((isp - 1, x))
+    if cell is None:
+        raise ValueError(f"no CELL card in {path}")
+    if not spc or not atoms:
+        raise ValueError(f"no SFAC/atoms in {path}")
+
+    if iscent:
+        ops = ops + [(-r, t) for (r, t) in ops]
+
+    frac, spof = [], []
+    for isp, x in atoms:
+        for rot, tr in ops:
+            for cv in cen:
+                xx = (rot @ x + tr + np.asarray(cv)) % 1.0
+                xx[xx > 1 - 1e-6] = 0.0
+                dup = any(np.linalg.norm(((xx - f0) - np.rint(xx - f0))
+                                         @ cell.T) < 1e-3 for f0 in frac)
+                if not dup:
+                    frac.append(xx)
+                    spof.append(isp)
+    return CrystalSeed(m_x2c=cell, x_frac=np.asarray(frac),
+                       species_of=np.asarray(spof, dtype=int),
+                       species=spc, name=name)
+
+
+# ---------------------------------------------------------------------------
+# Quantum ESPRESSO pw.x input/output (reference read_espresso,
+# src/crystalseedmod@proc.f90 qe branches)
+# ---------------------------------------------------------------------------
+
+def _qe_ibrav_cell(ibrav: int, celldm) -> np.ndarray:
+    """QE Bravais lattice vectors (rows) in bohr from celldm (QE
+    Doc/INPUT_PW ibrav conventions)."""
+    a = celldm[1]
+    b = celldm[2] * a
+    c = celldm[3] * a
+    if ibrav == 1:
+        v = np.eye(3) * a
+    elif ibrav == 2:
+        v = a / 2 * np.array([[-1, 0, 1], [0, 1, 1], [-1, 1, 0]], float)
+    elif ibrav == 3:
+        v = a / 2 * np.array([[1, 1, 1], [-1, 1, 1], [-1, -1, 1]], float)
+    elif ibrav == 4:
+        v = np.array([[a, 0, 0], [-a / 2, a * np.sqrt(3) / 2, 0], [0, 0, c]])
+    elif ibrav == 5:
+        cg = celldm[4]
+        tx = np.sqrt((1 - cg) / 2)
+        ty = np.sqrt((1 - cg) / 6)
+        tz = np.sqrt((1 + 2 * cg) / 3)
+        v = a * np.array([[tx, -ty, tz], [0, 2 * ty, tz], [-tx, -ty, tz]])
+    elif ibrav == 6:
+        v = np.diag([a, a, c])
+    elif ibrav == 7:
+        v = np.array([[a / 2, -a / 2, c / 2], [a / 2, a / 2, c / 2],
+                      [-a / 2, -a / 2, c / 2]])
+    elif ibrav == 8:
+        v = np.diag([a, b, c])
+    elif ibrav == 9:
+        v = np.array([[a / 2, b / 2, 0], [-a / 2, b / 2, 0], [0, 0, c]])
+    elif ibrav == 10:
+        v = np.array([[a / 2, 0, c / 2], [a / 2, b / 2, 0], [0, b / 2, c / 2]])
+    elif ibrav == 11:
+        v = np.array([[a / 2, b / 2, c / 2], [-a / 2, b / 2, c / 2],
+                      [-a / 2, -b / 2, c / 2]])
+    elif ibrav == 12:
+        cg = celldm[4]
+        sg = np.sqrt(1 - cg * cg)
+        v = np.array([[a, 0, 0], [b * cg, b * sg, 0], [0, 0, c]])
+    elif ibrav == 13:
+        cg = celldm[4]
+        sg = np.sqrt(1 - cg * cg)
+        v = np.array([[a / 2, 0, -c / 2], [b * cg, b * sg, 0],
+                      [a / 2, 0, c / 2]])
+    elif ibrav == 14:
+        ca, cb, cg = celldm[4], celldm[5], celldm[6]
+        sg = np.sqrt(1 - cg * cg)
+        v = np.array([
+            [a, 0, 0],
+            [b * cg, b * sg, 0],
+            [c * cb, c * (ca - cb * cg) / sg,
+             c * np.sqrt(1 + 2 * ca * cb * cg - ca**2 - cb**2 - cg**2) / sg]])
+    else:
+        raise NotImplementedError(f"QE ibrav {ibrav}")
+    return v
+
+
+def read_qe_in(path: str) -> CrystalSeed:
+    """pw.x input: &system namelist + CELL_PARAMETERS/ATOMIC_POSITIONS."""
+    text = open(path, errors="replace").read()
+    lines = text.splitlines()
+
+    def _nml(key, default=None):
+        m = re.search(rf"{key}\s*=\s*([^,\s/]+)", text, re.I)
+        return m.group(1) if m else default
+
+    ibrav = int(_nml("ibrav", "0"))
+    nat = int(_nml("nat", "0"))
+    celldm = np.zeros(7)
+    for i in range(1, 7):
+        m = re.search(rf"celldm\((\s*{i}\s*)\)\s*=\s*([-\d.eEdD+]+)", text)
+        if m:
+            celldm[i] = float(m.group(2).replace("d", "e").replace("D", "E"))
+    for key, i in (("A", 1), ("B", 2), ("C", 3)):
+        m = re.search(rf"(?<![\w]){key}\s*=\s*([-\d.eEdD+]+)", text)
+        if m and celldm[i] == 0:
+            celldm[i] = float(m.group(1).replace("d", "e")) \
+                * param.ANGSTROM_TO_BOHR
+    if celldm[1] and celldm[2] > 10:     # A,B,C given absolute
+        celldm[2] /= celldm[1]
+        celldm[3] /= celldm[1]
+    alat = celldm[1]
+
+    lat = None
+    atoms, aunits = [], "alat"
+    i = 0
+    while i < len(lines):
+        t = lines[i].split()
+        if not t:
+            i += 1
+            continue
+        kw = t[0].upper()
+        if kw.startswith("CELL_PARAMETERS"):
+            unit = (t[1] if len(t) > 1 else "bohr").strip("{}()").lower()
+            lat = np.array([[float(v) for v in lines[i + 1 + j].split()[:3]]
+                            for j in range(3)])
+            if unit.startswith("ang"):
+                lat *= param.ANGSTROM_TO_BOHR
+            elif unit.startswith("alat"):
+                lat *= alat
+            i += 4
+            continue
+        if kw.startswith("ATOMIC_POSITIONS"):
+            aunits = (t[1] if len(t) > 1 else "alat").strip("{}()").lower()
+            for j in range(nat):
+                w = lines[i + 1 + j].split()
+                atoms.append((w[0], [float(v) for v in w[1:4]]))
+            i += 1 + nat
+            continue
+        i += 1
+
+    if lat is None:
+        lat = _qe_ibrav_cell(ibrav, celldm)
+    if alat == 0:
+        alat = np.linalg.norm(lat[0])
+    return _qe_seed(path, lat, atoms, aunits, alat)
+
+
+def _qe_seed(path, lat, atoms, aunits, alat) -> CrystalSeed:
+    pos = np.array([p for _, p in atoms], dtype=float)
+    if aunits.startswith("crystal"):
+        frac = pos
+    else:
+        if aunits.startswith("ang"):
+            pos = pos * param.ANGSTROM_TO_BOHR
+        elif aunits.startswith("alat"):
+            pos = pos * alat
+        frac = pos @ np.linalg.inv(lat)
+    names = [n for n, _ in atoms]
+    uniq = list(dict.fromkeys(names))
+    species = [Species(s, param.symbol_to_z(
+        "".join(c for c in s if c.isalpha()))) for s in uniq]
+    spmap = {s: i for i, s in enumerate(uniq)}
+    return CrystalSeed(m_x2c=lat.T, x_frac=np.mod(frac, 1.0),
+                       species_of=np.array([spmap[n] for n in names]),
+                       species=species, name=os.path.basename(path))
+
+
+def read_qe_out(path: str) -> CrystalSeed:
+    """pw.x output: last structure printed (vc-relax aware)."""
+    lines = open(path, errors="replace").read().splitlines()
+    alat = None
+    lat = None
+    atoms, aunits = [], "alat"
+    i = 0
+    while i < len(lines):
+        ln = lines[i]
+        if "lattice parameter (alat)" in ln:
+            alat = float(ln.split("=")[1].split()[0])
+        elif "crystal axes:" in ln:
+            lat = np.array([[float(v) for v in
+                             lines[i + 1 + j].split("(")[-1].split(")")[0]
+                             .split()] for j in range(3)]) * alat
+        elif ln.strip().startswith("site n.") and "positions" in ln:
+            aunits = "crystal" if "cryst. coord" in ln else "alat"
+            atoms = []
+            j = i + 1
+            while j < len(lines) and "tau(" in lines[j]:
+                w = lines[j].split()
+                xyz = lines[j].split("(")[-1].split(")")[0].split()
+                atoms.append((w[1], [float(v) for v in xyz]))
+                j += 1
+            i = j
+            continue
+        elif ln.strip().startswith("CELL_PARAMETERS"):
+            unit = ln.split("(")[-1].split(")")[0].strip().lower()
+            scale = param.ANGSTROM_TO_BOHR if unit.startswith("ang") else (
+                float(unit.split("=")[1]) if "alat" in unit else 1.0)
+            lat = np.array([[float(v) for v in lines[i + 1 + j].split()[:3]]
+                            for j in range(3)]) * scale
+            i += 4
+            continue
+        elif ln.strip().startswith("ATOMIC_POSITIONS"):
+            aunits = ln.split("(")[-1].split(")")[0].strip().lower()
+            atoms = []
+            j = i + 1
+            while j < len(lines):
+                w = lines[j].split()
+                if len(w) < 4:
+                    break
+                try:
+                    atoms.append((w[0], [float(v) for v in w[1:4]]))
+                except ValueError:
+                    break
+                j += 1
+            i = j
+            continue
+        i += 1
+    if lat is None or not atoms:
+        raise ValueError(f"no structure found in QE output {path}")
+    return _qe_seed(path, lat, atoms, aunits, alat or 1.0)
+
+
+def read_dftb_gen(path: str) -> CrystalSeed:
+    """DFTB+ .gen: C (cluster), S (supercell cartesian), F (fractional);
+    coordinates in angstrom (reference read_dftbp, crystalseedmod)."""
+    lines = [ln for ln in open(path, errors="replace").read().splitlines()
+             if ln.split("#")[0].strip()]
+    t = lines[0].split()
+    nat, mode = int(t[0]), t[1].upper()
+    names = lines[1].split()
+    spof, pos = [], []
+    for j in range(nat):
+        w = lines[2 + j].split()
+        spof.append(int(w[1]) - 1)
+        pos.append([float(v) for v in w[2:5]])
+    pos = np.array(pos) * param.ANGSTROM_TO_BOHR
+    species = [Species(s, param.symbol_to_z(s)) for s in names]
+    if mode == "C":
+        seed = CrystalSeed(ismolecule=True, name=os.path.basename(path))
+        # reuse molecule embedding via read_xyz-style path
+        m = np.eye(3) * (pos.max() - pos.min() + 20.0)
+        frac = (pos - pos.min(0) + 10.0) @ np.linalg.inv(m)
+        return CrystalSeed(m_x2c=m, x_frac=frac,
+                           species_of=np.array(spof), species=species,
+                           ismolecule=True, name=os.path.basename(path))
+    lat = np.array([[float(v) for v in lines[3 + nat + j].split()[:3]]
+                    for j in range(3)]) * param.ANGSTROM_TO_BOHR
+    if mode == "F":
+        frac = pos / param.ANGSTROM_TO_BOHR     # F coords are fractional
+    else:
+        frac = pos @ np.linalg.inv(lat)
+    return CrystalSeed(m_x2c=lat.T, x_frac=np.mod(frac, 1.0),
+                       species_of=np.array(spof), species=species,
+                       name=os.path.basename(path))
+
+
+def read_abinit_structure(path: str) -> CrystalSeed:
+    from ..io.abinit import read_structure_seed
+
+    return read_structure_seed(path)

@@ -119,7 +119,7 @@ class Field:
             except ValueError:
                 fmt = None
         if fmt in ("cube", "bincube", "vasp", "xsf", "qub", "elk",
-                   "siesta", "pwc"):
+                   "siesta", "pwc", "abinit"):
             omega = crystal.volume if fmt == "vasp" else None
             g = Grid3.from_file(path, fmt=fmt, omega=omega)
             if fmt == "pwc":

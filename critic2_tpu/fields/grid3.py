@@ -111,7 +111,18 @@ class Grid3:
             return cls.read_siesta(path)
         if fmt == "pwc":
             return cls.read_pwc(path)
+        if fmt == "abinit":
+            return cls.read_abinit(path)
         raise NotImplementedError(f"grid format {fmt}")
+
+    @classmethod
+    def read_abinit(cls, path: str) -> "Grid3":
+        """Abinit binary _DEN/_POT/_ELF (reference read_abinit,
+        src/grid3mod@proc.f90:536-574, header via abinit_private)."""
+        from ..io.abinit import read_den
+
+        _, g = read_den(path)
+        return cls(jnp.asarray(g))
 
     @classmethod
     def read_pwc(cls, path: str) -> "Grid3":
@@ -289,6 +300,10 @@ def detect_grid_format(path: str) -> str:
         return "qub"
     if ext == "pwc":
         return "pwc"
+    up = os.path.basename(path).upper()
+    if up.endswith(("_DEN", "_POT", "_ELF", "_VHA", "_VHXC", "_VXC",
+                    "_LDEN", "_KDEN", "_PAWDEN")) or ".DEN" in up:
+        return "abinit"
     if ext in ("rho", "ldos", "vt", "vh", "drho", "bader"):
         return "siesta"
     if base.endswith(("rho3d.out", "elf3d.out", ".out")) and "3d" in base:

@@ -132,3 +132,115 @@ class System:
         f = Field.from_grid(self.crystal, Grid3(jnp.asarray(
             out.reshape(shape))), name=name or expr)
         return self.load_field(f, fid=fid, name=name)
+
+    def identify_fragment_from_xyz(self, path: str):
+        """Atom indices (0-based, cell list) matching the positions in an
+        xyz file (angstrom cartesian; reference
+        identify_fragment_from_xyz, src/fragmentmod@proc.f90)."""
+        from . import param
+
+        idx = []
+        with open(path) as fh:
+            nat = int(fh.readline().split()[0])
+            fh.readline()
+            for _ in range(nat):
+                t = fh.readline().split()
+                xc = np.array([float(v) for v in t[1:4]]) \
+                    * param.ANGSTROM_TO_BOHR
+                i, _ = self.crystal.identify_atom(
+                    xc, icrd=param.ICRD_CART, distmax=1e-2)
+                if i < 0:
+                    raise ValueError(f"fragment atom not in crystal: {t}")
+                idx.append(int(i))
+        return np.asarray(idx, dtype=int)
+
+    def load_field_as(self, kind: str, src=None, src2=None, fid=None,
+                      name=None, shape=None, isry: bool = False,
+                      fragment=None):
+        """Computed-field LOADs (reference ifformat_as_* formats,
+        src/param.F90:132-165; load_as_fftgrid
+        src/fieldmod@proc.f90:560-612):
+
+        kind: 'lap' | 'grad' | 'pot' | 'hxx1' | 'hxx2' | 'hxx3' (FFT
+        grids of grid field `src`), 'clm add' | 'clm sub' (grid sum /
+        difference of fields src, src2), 'core' (promolecular core
+        density grid using the system zpsp), 'promolecular' (promolecular
+        density grid, optionally of an xyz-defined fragment), 'copy'
+        (duplicate of field src)."""
+        import jax.numpy as jnp
+
+        from .fields.field import Field
+        from .fields.grid3 import Grid3
+
+        kind = kind.lower()
+        m = self.crystal.m_x2c
+
+        def grid_of(fidx):
+            f = self.field(fidx)
+            if f.type != "grid":
+                raise ValueError(f"LOAD AS {kind.upper()} needs a grid field")
+            return f.grid
+
+        if kind in ("lap", "grad", "pot", "hxx1", "hxx2", "hxx3"):
+            g = grid_of(src)
+            if kind == "lap":
+                out = g.laplacian(m)
+            elif kind == "grad":
+                out = g.gradrho(m)
+            elif kind == "pot":
+                out = g.pot(m, isry=isry)
+            else:
+                out = g.hxx(m, int(kind[3]) - 1)
+            f = Field.from_grid(self.crystal, out,
+                                name=name or f"<{kind}:{src}>")
+        elif kind in ("clm add", "clm sub"):
+            g1, g2 = grid_of(src), grid_of(src2)
+            if tuple(g1.n) != tuple(g2.n):
+                raise ValueError("CLM fields have different grid sizes")
+            sign = 1.0 if kind.endswith("add") else -1.0
+            f = Field.from_grid(self.crystal, Grid3(g1.f + sign * g2.f),
+                                name=name or f"<{kind}:{src},{src2}>")
+        elif kind == "core":
+            if not self.crystal_zpsp():
+                raise ValueError("LOAD AS CORE requires ZPSP settings")
+            f = self._promolecular_grid_field(
+                shape, zpsp=self.crystal_zpsp(), name=name or "<core>")
+        elif kind == "promolecular":
+            frag = None
+            if fragment is not None:
+                frag = self.identify_fragment_from_xyz(fragment) \
+                    if isinstance(fragment, str) else np.asarray(fragment)
+            f = self._promolecular_grid_field(
+                shape, fragment=frag, name=name or "<promolecular>")
+        elif kind == "copy":
+            srcf = self.field(src)
+            import copy as _copy
+
+            f = _copy.copy(srcf)
+            f.name = name or f"<copy:{src}>"
+        else:
+            raise ValueError(f"unknown LOAD AS kind {kind}")
+        return self.load_field(f, fid=fid, name=name)
+
+    def crystal_zpsp(self) -> dict:
+        """Active pseudopotential charges: system-level ZPSP settings."""
+        return getattr(self, "zpsp", None) or {}
+
+    def _promolecular_grid_field(self, shape, zpsp=None, fragment=None,
+                                 name=""):
+        import jax.numpy as jnp
+
+        from .fields.field import Field
+        from .fields.grid3 import Grid3
+        from .fields.promol import PromolEnv
+
+        if shape is None:
+            ref = self.fields.get(self.iref) if self.iref is not None else None
+            shape = tuple(ref.grid.n) if (ref is not None and
+                                          ref.type == "grid") else (64, 64, 64)
+        env = PromolEnv(self.crystal, zpsp=zpsp, fragment=fragment)
+        from .analysis.integration import _rasterize_env
+
+        arr = _rasterize_env(self.crystal, env, shape)
+        return Field.from_grid(self.crystal, Grid3(jnp.asarray(arr)),
+                               name=name)

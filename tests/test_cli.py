@@ -120,3 +120,36 @@ cpreport {obj}
     assert r.nwarns == 0
     assert chk.exists() and obj.exists()
     assert "28 CPs" in text or "CPs" in text
+
+
+def test_load_as_computed_fields(poscar):
+    """LOAD AS LAP/GRAD/HXX/CLM/PROMOLECULAR/COPY + ZPSP/AS CORE
+    (reference ifformat_as_* formats, src/param.F90:132-165)."""
+    text, r = run(f"""
+crystal {poscar}
+load as "$0" 12 12 12
+load as lap 1
+load as grad 1
+load as hxx1 1
+load as clm add 1 1
+load as clm sub 1 1
+load as promolecular 10 10 10
+load copy 1
+zpsp na 1 cl 7
+load as core sizeof 1
+""")
+    sy = r.sy
+    assert all(sy.field(i).type == "grid" for i in range(1, 9))
+    assert tuple(sy.field(7).grid.n) == (10, 10, 10)
+    assert tuple(sy.field(9).grid.n) == (12, 12, 12)
+    import numpy as np
+
+    # clm add = 2x, clm sub = 0
+    np.testing.assert_allclose(np.asarray(sy.field(5).grid.f),
+                               2 * np.asarray(sy.field(1).grid.f), rtol=1e-12)
+    assert float(np.abs(np.asarray(sy.field(6).grid.f)).max()) == 0.0
+    # core density present and positive somewhere
+    assert float(np.asarray(sy.field(9).grid.f).max()) > 0.1
+    # laplacian grid integrates to ~0 over the periodic cell
+    lap = np.asarray(sy.field(2).grid.f)
+    assert abs(lap.mean()) < 1e-8 * np.abs(lap).max()

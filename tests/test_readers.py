@@ -1,0 +1,208 @@
+"""Structure/grid reader breadth: SHELX, QE pw.x in/out, DFTB+ gen,
+abinit binary header + _DEN (reference crystalseedmod readers,
+src/crystalseedmod.f90:62-96, and abinit_private hdr_io)."""
+import numpy as np
+import pytest
+
+from critic2_tpu.crystal.seed import (read_shelx, read_qe_in, read_qe_out,
+                                      read_dftb_gen, read_structure,
+                                      detect_format)
+from critic2_tpu import param
+
+
+SHELX_NACL = """TITL NaCl
+CELL 0.71073 5.64 5.64 5.64 90 90 90
+ZERR 4 0.001 0.001 0.001 0 0 0
+LATT 4
+SFAC NA CL
+UNIT 4 4
+NA1 1 0.0 0.0 0.0
+CL1 2 0.5 0.5 0.5
+END
+"""
+
+QE_IN = """&control
+ calculation='scf'
+/
+&system
+ ibrav=0, nat=2, ntyp=2,
+/
+CELL_PARAMETERS bohr
+ 10.66 0.0 0.0
+ 0.0 10.66 0.0
+ 0.0 0.0 10.66
+ATOMIC_SPECIES
+ Na 22.99 Na.UPF
+ Cl 35.45 Cl.UPF
+ATOMIC_POSITIONS crystal
+ Na 0.0 0.0 0.0
+ Cl 0.5 0.5 0.5
+"""
+
+QE_OUT = """     Program PWSCF
+     lattice parameter (alat)  =      10.6600  a.u.
+     crystal axes: (cart. coord. in units of alat)
+               a(1) = (   1.000000   0.000000   0.000000 )
+               a(2) = (   0.000000   1.000000   0.000000 )
+               a(3) = (   0.000000   0.000000   1.000000 )
+
+     site n.     atom                  positions (alat units)
+         1        Na  tau(   1) = (   0.0000000   0.0000000   0.0000000  )
+         2        Cl  tau(   2) = (   0.5000000   0.5000000   0.5000000  )
+"""
+
+DFTB_GEN = """2 S
+Na Cl
+1 1 0.0 0.0 0.0
+2 2 2.82 2.82 2.82
+0.0 0.0 0.0
+5.64 0.0 0.0
+0.0 5.64 0.0
+0.0 0.0 5.64
+"""
+
+
+def test_shelx(tmp_path):
+    p = tmp_path / "nacl.res"
+    p.write_text(SHELX_NACL)
+    assert detect_format(str(p)) == "shelx"
+    c = read_structure(str(p))
+    # F-centering x 2 sites = 8 atoms; rock salt
+    assert c.ncel == 8
+    zs = sorted(c.zatoms)
+    assert zs == [11] * 4 + [17] * 4
+    a = 5.64 * param.ANGSTROM_TO_BOHR
+    assert c.volume == pytest.approx(a ** 3, rel=1e-10)
+    # nearest Na-Cl distance = a/2
+    d = c.distance([0, 0, 0], [0.5, 0.0, 0.0])
+    assert d == pytest.approx(a / 2, rel=1e-10)
+
+
+def test_qe_in(tmp_path):
+    p = tmp_path / "nacl.in"
+    p.write_text(QE_IN)
+    c = read_structure(str(p))
+    assert c.ncel == 2
+    assert c.volume == pytest.approx(10.66 ** 3, rel=1e-10)
+    assert sorted(c.zatoms) == [11, 17]
+
+
+def test_qe_in_ibrav2(tmp_path):
+    p = tmp_path / "si.in"
+    p.write_text("""&system
+ ibrav=2, celldm(1)=10.2, nat=2, ntyp=1
+/
+ATOMIC_POSITIONS crystal
+ Si 0.0 0.0 0.0
+ Si 0.25 0.25 0.25
+""")
+    c = read_structure(str(p))
+    assert c.volume == pytest.approx(10.2 ** 3 / 4, rel=1e-10)
+
+
+def test_qe_out(tmp_path):
+    p = tmp_path / "nacl.out"
+    p.write_text(QE_OUT)
+    c = read_structure(str(p))
+    assert c.ncel == 2
+    assert c.volume == pytest.approx(10.66 ** 3, rel=1e-6)
+    d = c.distance([0, 0, 0], [0.5, 0.5, 0.5])
+    assert d == pytest.approx(10.66 * np.sqrt(3) / 2, rel=1e-6)
+
+
+def test_dftb_gen(tmp_path):
+    p = tmp_path / "nacl.gen"
+    p.write_text(DFTB_GEN)
+    c = read_structure(str(p))
+    assert c.ncel == 2
+    a = 5.64 * param.ANGSTROM_TO_BOHR
+    assert c.volume == pytest.approx(a ** 3, rel=1e-9)
+    np.testing.assert_allclose(c.x_frac[1], [0.5, 0.5, 0.5], atol=1e-9)
+
+
+# ------------------------------------------------------------------- abinit
+
+def _write_abinit_den(path, rprimd, xred, znucl, typat, ngfft, grid,
+                      headform=80):
+    """Synthetic abinit _DEN with a modern (headform>=80) header."""
+    from critic2_tpu.fields.qe import FortranFile
+
+    natom = len(xred)
+    ntypat = len(znucl)
+    nkpt, nsym, npsp, nsppol, mband = 1, 1, ntypat, 1, 4
+    bantot = mband * nkpt * nsppol
+    with FortranFile(str(path), "wb") as fh:
+        fh.write_record(b"10.0.0  ", np.int32(headform), np.int32(52))
+        fh.write_record(
+            np.array([bantot, 20260101, 0, 1, natom] + list(ngfft)
+                     + [nkpt, 1, 1, nsppol, nsym, npsp, ntypat, 1, 0, 0],
+                     np.int32),
+            np.zeros(4), np.zeros(3),
+            np.asarray(rprimd, float).flatten(order="F"),
+            np.zeros(3), np.int32(0), np.array([1, 1, mband], np.int32))
+        fh.write_record(
+            np.ones(nkpt, np.int32),                    # istwfk
+            np.full(nkpt * nsppol, mband, np.int32),    # nband
+            np.full(nkpt, 100, np.int32),               # npwarr
+            np.ones(npsp, np.int32),                    # so_psp
+            np.ones(nsym, np.int32),                    # symafm
+            np.eye(3, dtype=np.int32).reshape(-1),      # symrel
+            np.asarray(typat, np.int32),
+            np.zeros(3 * nkpt),                         # kptns
+            np.zeros(mband * nkpt * nsppol),            # occ3d
+            np.zeros(3 * nsym),                         # tnons
+            np.asarray(znucl, float),
+            np.ones(nkpt))                              # wtk
+        fh.write_record(np.zeros(1),
+                        np.asarray(xred, float).reshape(-1),
+                        np.array([-10.0, -0.1]),        # etot, fermie
+                        np.ones(ntypat) * 20.0)         # amu
+        fh.write_record(np.zeros(5), np.zeros(9, np.int32),
+                        np.zeros(9, np.int32), np.zeros(3), np.zeros(3))
+        for _ in range(npsp):
+            fh.write_record(b" " * 132, np.zeros(2),
+                            np.zeros(5, np.int32), b"0" * 32)
+        fh.write_record(np.asarray(grid, float).flatten(order="F"))
+
+
+def test_abinit_den(tmp_path):
+    rng = np.random.default_rng(0)
+    ngfft = (6, 8, 10)
+    grid = rng.random(ngfft)
+    rprimd = np.diag([10.0, 11.0, 12.0])
+    xred = [[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]]
+    p = tmp_path / "nacl_DEN"
+    _write_abinit_den(p, rprimd, xred, [11.0, 17.0], [1, 2], ngfft, grid)
+
+    assert detect_format(str(p)) == "abinit"
+    c = read_structure(str(p))
+    assert c.ncel == 2
+    assert c.volume == pytest.approx(10.0 * 11.0 * 12.0)
+    assert sorted(c.zatoms) == [11, 17]
+
+    from critic2_tpu.fields.grid3 import Grid3, detect_grid_format
+
+    assert detect_grid_format(str(p)) == "abinit"
+    g = Grid3.from_file(str(p))
+    assert tuple(g.n) == ngfft
+    np.testing.assert_allclose(np.asarray(g.f), grid, atol=0)
+
+
+def test_abinit_cli_roundtrip(tmp_path):
+    """CRYSTAL + LOAD of an abinit _DEN through the REPL."""
+    import io
+    from critic2_tpu.cli import Repl
+
+    ngfft = (6, 6, 6)
+    i = np.arange(6) / 6
+    grid = (np.cos(2 * np.pi * i)[:, None, None]
+            + np.cos(2 * np.pi * i)[None, :, None]
+            + np.cos(2 * np.pi * i)[None, None, :] + 3.01)
+    p = tmp_path / "o_DEN"
+    _write_abinit_den(p, np.eye(3) * 8.0, [[0.0, 0.0, 0.0]], [8.0], [1],
+                      ngfft, grid)
+    out = io.StringIO()
+    r = Repl(out=out, quiet=True)
+    r.run_script(f"crystal {p}\nload {p}\n")
+    assert r.sy.field(1).type == "grid"
+    assert tuple(r.sy.field(1).grid.n) == ngfft
