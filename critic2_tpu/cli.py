@@ -138,7 +138,18 @@ class Repl:
                     return tuple(int(v) for v in toks[i:i + 3])
             return None
 
-        if args[0].lower() == "copy":
+        if args[0].lower() == "pi" or args[0].lower().endswith(".ion"):
+            toks = args[1:] if args[0].lower() == "pi" else args
+            ions = {}
+            i = 0
+            while i < len(toks):
+                if toks[i].lower().endswith(".ion") and i + 1 < len(toks):
+                    ions[toks[i + 1]] = toks[i]
+                    i += 2
+                else:
+                    i += 1
+            fid = sy.load_field_pi(ions, name=name)
+        elif args[0].lower() == "copy":
             fid = sy.load_field_as("copy", src=_fid(args[1]), name=name)
         elif args[0].lower() == "as":
             sub = args[1].lower()

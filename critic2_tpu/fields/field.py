@@ -80,6 +80,7 @@ class Field:
     promol: PromolEnv | None = None
     wfn: object | None = None
     mt: object = None               # muffin-tin evaluator (wien/elk)
+    pi: object = None               # aiPI STO evaluator
     expr: object = None             # compiled ghost expression
     name: str = ""
     usecore: bool = False
@@ -223,6 +224,8 @@ class Field:
                 h6 = jnp.zeros((6, wc.shape[0]))
             gf = gfT.T
             hf = sym6_to_mat(h6)
+        elif self.type == "pi":
+            f, gf, hf = self.pi.eval(wc, nder=nder)
         elif self.type == "ghost":
             from ..ops.interp import sym6_to_mat
 
@@ -321,6 +324,7 @@ class Field:
         promol = self.promol
         wfn = self.wfn
         mtfield = self.mt
+        pifield = self.pi
         expr_fn = self.expr
         env = self.coreenv
 
@@ -354,6 +358,11 @@ class Field:
                 if nder < 1:
                     gf = jnp.zeros((3, wc.shape[1]))
                     h6 = jnp.zeros((6, wc.shape[1]))
+            elif ftype == "pi":
+                f, g, h = pifield.eval(wc.T, nder=nder)
+                gf = g.T
+                h6 = jnp.stack([h[:, 0, 0], h[:, 1, 1], h[:, 2, 2],
+                                h[:, 0, 1], h[:, 0, 2], h[:, 1, 2]])
             else:
                 raise ValueError(f"eval_fn unsupported for type {ftype}")
             if env is not None:
