@@ -144,12 +144,18 @@ def basinplot(system, center_frac, level: int = 2, file: str | None = None,
 
 
 def basin_integral(system, center_frac, expr: str = None, level: int = 2,
-                   nr: int = 50, rmax: float | None = None):
-    """Basin integral by bisection + Gauss-Legendre radial quadrature
-    (reference INTEGRALS, src/integration@proc.f90 int_radialquad).
+                   nr: int = 50, rmax: float | None = None,
+                   radquad: str = "gauleg", rbeta: float = 0.0,
+                   abserr: float = 1e-10, relerr: float = 1e-7):
+    """Basin integral by bisection + radial quadrature (reference
+    INTEGRALS, src/integration@proc.f90 int_radialquad).
 
-    Integrates the reference field (or `expr`) over the basin:
-    int = sum_rays w_ray int_0^rIAS f(x0 + r u) r^2 dr.
+    radquad: "gauleg" (fixed-order, INT_gauleg) or "qags" (batched
+    adaptive Gauss-Kronrod panels replacing quadpack QAGS,
+    src/integration@proc.f90:338-346). rbeta > 0 integrates the beta
+    sphere around the CP separately with a cusp-adapted r = R u^2 map
+    and quadratures each ray only over [rbeta, r_IAS] (reference
+    beta-sphere split, :383-529).
     """
     from .mesh import product_sphere
 
@@ -158,26 +164,48 @@ def basin_integral(system, center_frac, expr: str = None, level: int = 2,
     deg = {1: 11, 2: 17, 3: 29, 4: 41}.get(level, 17)
     sph, wang = product_sphere(deg)
     r_ias = bisect_basin(system, center_frac, sph, rmax=rmax)
-
-    xg, wg = np.polynomial.legendre.leggauss(nr)
-    # map [-1,1] -> u in [0,1] -> r = R u^2: clusters nodes at the nuclear
-    # cusp (the reference handles the cusp with separate beta-sphere
-    # quadrature, src/integration@proc.f90:272-374)
-    u = 0.5 * (xg + 1.0)
-    wu = 0.5 * wg
-    rr = r_ias[:, None] * u[None, :] ** 2                 # (M, nr)
-    wr = r_ias[:, None] * 2.0 * u[None, :] * wu[None, :]  # dr = 2Ru du
     x0 = c.x2c(np.asarray(center_frac))
-    pts = x0[None, None, :] + rr[:, :, None] * sph[:, None, :]
-    flat = pts.reshape(-1, 3)
+
     if expr is None:
-        fn = system.ref.eval_fn(nder=0)
-        vals = np.asarray(fn(jnp.asarray(flat.T))[0])
+        fn0 = system.ref.eval_fn(nder=0)
+        eval_batch = lambda pts: np.asarray(fn0(jnp.asarray(pts.T))[0])  # noqa: E731
     else:
-        vals = np.asarray(system.eval_expr(expr, flat))
-    vals = vals.reshape(len(sph), nr)
-    radial = (vals * rr * rr * wr).sum(axis=1)             # (M,)
-    return float((radial * wang).sum() * 4.0 * np.pi)
+        eval_batch = lambda pts: np.asarray(system.eval_expr(expr, pts))  # noqa: E731
+
+    rbeta = min(rbeta, float(r_ias.min())) if rbeta > 0 else 0.0
+    total = 0.0
+    if rbeta > 0:
+        # beta sphere: cusp-adapted radial map r = rbeta u^2, full solid
+        # angle at once
+        xg, wg = np.polynomial.legendre.leggauss(nr)
+        u = 0.5 * (xg + 1.0)
+        wu = 0.5 * wg
+        rr = rbeta * u ** 2
+        wr = rbeta * 2.0 * u * wu
+        pts = x0[None, None, :] + rr[None, :, None] * sph[:, None, :]
+        vals = eval_batch(pts.reshape(-1, 3)).reshape(len(sph), nr)
+        total += float(((vals * (rr * rr * wr)[None, :]).sum(axis=1)
+                        * wang).sum() * 4.0 * np.pi)
+
+    from ..ops.quadrature import radial_adaptive, radial_gauleg
+
+    if radquad == "qags":
+        radial, _, _ = radial_adaptive(eval_batch, x0, sph, rbeta, r_ias,
+                                       abserr=abserr, relerr=relerr)
+    elif rbeta > 0:
+        radial = radial_gauleg(eval_batch, x0, sph, rbeta, r_ias, nr=nr)
+    else:
+        # cusp-adapted map r = R u^2 down to the nucleus
+        xg, wg = np.polynomial.legendre.leggauss(nr)
+        u = 0.5 * (xg + 1.0)
+        wu = 0.5 * wg
+        rr = r_ias[:, None] * u[None, :] ** 2
+        wr = r_ias[:, None] * 2.0 * u[None, :] * wu[None, :]
+        pts = x0[None, None, :] + rr[:, :, None] * sph[:, None, :]
+        vals = eval_batch(pts.reshape(-1, 3)).reshape(len(sph), nr)
+        radial = (vals * rr * rr * wr).sum(axis=1)
+    total += float((radial * wang).sum() * 4.0 * np.pi)
+    return total
 
 
 def sphere_integral(system, center_frac, radius: float, expr: str = None,

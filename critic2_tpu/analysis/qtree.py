@@ -76,12 +76,22 @@ class QtreeResult:
 
 
 def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
-                    block: int = 1 << 14) -> QtreeResult:
+                    block: int = 1 << 14, integ: str = "corner",
+                    keastnum: int = 7,
+                    sphfactor: float = 0.0) -> QtreeResult:
     """Basin populations/volumes of the reference field by qtree coloring.
 
     The WS cell is centered on an atom (default: atom 0, as the reference
     centers on ws_origin); colors come from batched uphill traces to the
     nuclei.
+
+    integ: "corner" (corner-sum, reference integ_corner_sum,
+    src/qtree_tetrawork.f90:107) or "keast" (Keast rule `keastnum` inside
+    uniformly-colored tetrahedra, reference INTEG_MODE KEASTNUM,
+    src/qtree@proc.f90:46-47 via ops/quadrature.keast_points).
+    sphfactor > 0 pre-colors tetrahedron corners inside the beta sphere
+    of each atom (radius = sphfactor * half nearest-neighbor distance,
+    reference paint_inside_spheres) - saves gradient traces near nuclei.
     """
     c = system.crystal
     f = system.ref
@@ -104,12 +114,29 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
     color_cache: dict = {}
     ntraced = 0
 
+    # beta spheres: radius per cell atom (reference AUTOSPH/SPHFACTOR)
+    sphrad = None
+    if sphfactor > 0:
+        allpos = np.asarray(c.x_frac)
+        sphrad = np.empty(c.ncel)
+        for i in range(c.ncel):
+            d = c.distance(np.delete(allpos, i, axis=0), allpos[i])
+            dmin = float(np.min(d)) if np.size(d) else float(np.min(c.aa))
+            sphrad[i] = sphfactor * 0.5 * dmin
+
     def colors_of(points):
         """Basin color per point. Gradient-zero finishers (saddles,
         nuclei - the reference nudges tet corners for the same reason,
         src/qtree_gpaths) classify by final-position proximity."""
         nonlocal ntraced
         keys = [tuple(np.round(p, 8)) for p in points]
+        if sphrad is not None:
+            # paint corners inside beta spheres without tracing
+            d = np.linalg.norm(points[:, None, :] - tgt[None, :, :], axis=2)
+            kb = d.argmin(axis=1)
+            inside = d[np.arange(len(points)), kb] <= sphrad[tgt_ids[kb]]
+            for i in np.nonzero(inside)[0]:
+                color_cache.setdefault(keys[i], int(tgt_ids[kb[i]]))
         need = [i for i, k in enumerate(keys) if k not in color_cache]
         if need:
             pts = points[need]
@@ -144,16 +171,24 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
 
     def retire(tets, cols4):
         """Integrate uniform tetrahedra: corner-sum rule (reference
-        integ_corner_sum, src/qtree_tetrawork.f90:107)."""
+        integ_corner_sum, src/qtree_tetrawork.f90:107) or a Keast rule
+        (reference integ mode 11+keastnum)."""
         vol = _tet_volume(tets)
-        centers = tets.mean(axis=1)
-        fv = np.asarray(fn(jnp.asarray(
-            tets.reshape(-1, 3).T))[0]).reshape(-1, 4)
-        favg = fv.mean(axis=1)
         col = cols4[:, 0]
+        if integ == "keast" and len(tets):
+            from ..ops.quadrature import keast_points
+
+            qpts, qw = keast_points(tets, keastnum)
+            fv = np.asarray(fn(jnp.asarray(
+                qpts.reshape(-1, 3).T))[0]).reshape(qw.shape)
+            contrib = (fv * qw).sum(axis=1)
+        else:
+            fv = np.asarray(fn(jnp.asarray(
+                tets.reshape(-1, 3).T))[0]).reshape(-1, 4)
+            contrib = vol * fv.mean(axis=1)
         for b in range(-1, nat):
             sel = col == b
-            pops[b] += (vol[sel] * favg[sel]).sum()
+            pops[b] += contrib[sel].sum()
             vols[b] += vol[sel].sum()
 
     tets = tets0

@@ -502,10 +502,66 @@ class Repl:
         from .analysis.qtree import qtree_integrate
 
         sy = self.need_system()
-        maxl = int(args[0]) if args else 3
-        res = qtree_integrate(sy, maxl=maxl)
+        low = [a.lower() for a in args]
+        maxl = int(args[0]) if args and args[0].isdigit() else 3
+        kw = {}
+        if "keast" in low:
+            kw["integ"] = "keast"
+            nxt = low.index("keast") + 1
+            if nxt < len(args) and args[nxt].isdigit():
+                kw["keastnum"] = int(args[nxt])
+        if "sphfactor" in low:
+            kw["sphfactor"] = float(args[low.index("sphfactor") + 1])
+        res = qtree_integrate(sy, maxl=maxl, **kw)
         self.write(f"+ QTREE (maxl={maxl}): {res.ntraced} paths traced")
         self.write(res.table())
+
+    def cmd_integrals(self, args, lines):
+        """INTEGRALS [GAULEG nr | QAGS] [CP id] [RBETA r] [LEVEL n]
+        (reference bisection INTEGRALS, src/bisect@proc.f90)."""
+        from .analysis.bisect import basin_integral
+
+        sy = self.need_system()
+        low = [a.lower() for a in args]
+        kw = {}
+        icp = 0
+        if "gauleg" in low:
+            i = low.index("gauleg")
+            if i + 1 < len(args) and args[i + 1].isdigit():
+                kw["nr"] = int(args[i + 1])
+        if "qags" in low:
+            kw["radquad"] = "qags"
+        if "cp" in low:
+            icp = int(args[low.index("cp") + 1]) - 1
+        if "rbeta" in low:
+            kw["rbeta"] = float(args[low.index("rbeta") + 1])
+        if "level" in low:
+            kw["level"] = int(args[low.index("level") + 1])
+        x0 = (self.cpl.cps[icp].x if self.cpl is not None
+              else sy.crystal.x_frac[icp])
+        q = basin_integral(sy, x0, **kw)
+        self.write(f"+ INTEGRALS cp {icp + 1}: {q:.8f}")
+
+    def cmd_sphereintegrals(self, args, lines):
+        """SPHEREINTEGRALS [CP id] [R r] [LEBEDEV|GAULEG deg]."""
+        from .analysis.bisect import sphere_integral
+
+        sy = self.need_system()
+        low = [a.lower() for a in args]
+        icp = 0
+        r = 1.0
+        deg = 29
+        if "cp" in low:
+            icp = int(args[low.index("cp") + 1]) - 1
+        if "r" in low:
+            r = float(args[low.index("r") + 1])
+        for k in ("lebedev", "gauleg"):
+            if k in low and low.index(k) + 1 < len(args):
+                deg = int(args[low.index(k) + 1])
+        x0 = (self.cpl.cps[icp].x if self.cpl is not None
+              else sy.crystal.x_frac[icp])
+        q = sphere_integral(sy, x0, r, deg=deg)
+        self.write(f"+ SPHEREINTEGRALS cp {icp + 1} r {r}: {q:.8f}")
 
     def cmd_hirshfeld(self, args, lines):
         from .analysis.hirshfeld import hirshfeld_charges
