@@ -34,6 +34,22 @@ class Repl:
         # variables assigned before any CRYSTAL/MOLECULE line; folded into
         # system.vars when a system appears
         self.pending_vars: dict[str, float] = {}
+        # runtime settings (role of critic_setvariables,
+        # src/global.f90:97-184 / src/global@proc.f90)
+        self.opts = {
+            "units": None,           # None = default (bohr cryst / ang mol)
+            "symprec": 1e-5,
+            "nosym": False,
+            "bondfactor": 1.4,
+            "ode_gradeps": 1e-7,
+            "int_radquad": "gauleg",
+            "int_nr": 50,
+            "int_abserr": 1e-10,
+            "int_relerr": 1e-7,
+            "meshtype": "becke",
+            "meshlevel": "normal",
+            "prune_distance": -1.0,
+        }
 
     # ------------------------------------------------------------------
     def write(self, *args):
@@ -196,6 +212,177 @@ class Repl:
         self.write(f"+ field {fid} <- {f.name} (type {f.type})"
                    + (f" grid {tuple(f.grid.n)}" if f.type == "grid" else ""))
 
+    # ------------------------------------------------------------------
+    # settings keywords (critic_setvariables, src/global@proc.f90)
+    # ------------------------------------------------------------------
+    def cmd_units(self, args, lines):
+        u = args[0].lower()
+        if u.startswith(("bohr", "au", "a.u")):
+            self.opts["units"] = "bohr"
+        elif u.startswith(("ang", "angs")):
+            self.opts["units"] = "ang"
+        else:
+            raise CliError(f"unknown units {args[0]}")
+
+    def cmd_symprec(self, args, lines):
+        self.opts["symprec"] = float(args[0])
+        if self.sy is not None:
+            self.sy.crystal.symprec = self.opts["symprec"]
+            self.sy.crystal._sg = None
+
+    def cmd_nosym(self, args, lines):
+        self.opts["nosym"] = True
+        if self.sy is not None:
+            self.sy.crystal.nosym = True
+            self.sy.crystal._sg = None
+
+    cmd_nosymm = cmd_nosym
+
+    def cmd_sym(self, args, lines):
+        if args and args[0].lstrip("-").isdigit() and int(args[0]) < 0:
+            return self.cmd_nosym(args[1:], lines)
+        self.opts["nosym"] = False
+        if self.sy is not None:
+            self.sy.crystal.nosym = False
+            self.sy.crystal._sg = None
+
+    cmd_symm = cmd_sym
+
+    def cmd_bondfactor(self, args, lines):
+        self.opts["bondfactor"] = float(args[0])
+        if self.sy is not None:
+            self.sy.crystal._nstar = None
+
+    def cmd_ode_mode(self, args, lines):
+        low = [a.lower() for a in args]
+        if "gradeps" in low:
+            self.opts["ode_gradeps"] = float(args[low.index("gradeps") + 1])
+        # METHOD/MAXSTEP accepted for surface parity (single batched
+        # BS23 stepper on device; reference steppers are a CPU concept)
+
+    def cmd_int_radial(self, args, lines):
+        low = [a.lower() for a in args]
+        if "type" in low:
+            t = low[low.index("type") + 1]
+            self.opts["int_radquad"] = "qags" if t in ("qags", "qng", "qag") \
+                else "gauleg"
+        if "nr" in low:
+            self.opts["int_nr"] = int(args[low.index("nr") + 1])
+        if "abserr" in low:
+            self.opts["int_abserr"] = float(args[low.index("abserr") + 1])
+        if "relerr" in low:
+            self.opts["int_relerr"] = float(args[low.index("relerr") + 1])
+
+    def cmd_meshtype(self, args, lines):
+        low = [a.lower() for a in args]
+        if low and low[0] in ("becke", "franchini"):
+            self.opts["meshtype"] = low[0]
+        for lv in ("small", "normal", "good", "verygood", "amazing"):
+            if lv in low:
+                self.opts["meshlevel"] = lv
+
+    def cmd_prune_distance(self, args, lines):
+        self.opts["prune_distance"] = float(args[0])
+
+    def _unit_scale(self):
+        """Input-coordinate factor to bohr for cartesian inputs."""
+        from . import param
+
+        u = self.opts["units"]
+        if u == "ang":
+            return param.ANGSTROM_TO_BOHR
+        if u == "bohr":
+            return 1.0
+        return param.ANGSTROM_TO_BOHR if (
+            self.sy is not None and self.sy.crystal.ismolecule) else 1.0
+
+    # ------------------------------------------------------------------
+    # cell transforms / identification
+    # ------------------------------------------------------------------
+    def cmd_newcell(self, args, lines):
+        """NEWCELL x11..x33 | PRIMITIVE | NIGGLI | DELAUNAY (reference
+        src/crystalmod.f90:163-167)."""
+        from .crystal.transform import (newcell, niggli_reduce,
+                                        primitive_cell)
+        from .crystal.wscell import reduced_basis
+
+        sy = self.need_system()
+        c = sy.crystal
+        low = [a.lower() for a in args]
+        if not args:
+            raise CliError("NEWCELL needs a matrix or keyword")
+        if low[0] in ("primitive", "primstd"):
+            cnew = primitive_cell(c, symprec=self.opts["symprec"])
+        elif low[0] == "niggli":
+            _, T = niggli_reduce(np.asarray(c.m_x2c))
+            cnew = newcell(c, T)
+        elif low[0] == "delaunay":
+            T = np.rint(reduced_basis(np.asarray(c.m_x2c))).astype(int)
+            cnew = newcell(c, T.T if abs(np.linalg.det(T.T)) > 1e-9 else T)
+        elif low[0] == "standard":
+            cnew = primitive_cell(c, symprec=self.opts["symprec"])
+        else:
+            vals = [float(v) for v in args]
+            if len(vals) == 3:
+                M = np.diag(vals)
+            elif len(vals) >= 9:
+                M = np.array(vals[:9]).reshape(3, 3)
+            else:
+                raise CliError("NEWCELL needs 3 or 9 numbers")
+            cnew = newcell(c, M)
+        nfields = len([k for k in sy.fields if k != 0])
+        self.sy = System(crystal=cnew)
+        self.sy._load_promolecular_f0()
+        self.sy.vars.update(self.pending_vars)
+        self.cpl = None
+        msg = f"+ NEWCELL: {cnew.ncel} atoms | volume {cnew.volume:.4f}"
+        if nfields:
+            msg += f" (dropped {nfields} loaded fields)"
+        self.write(msg)
+
+    def cmd_identify(self, args, lines):
+        """IDENTIFY [file.xyz] | IDENTIFY ... ENDIDENTIFY block: match
+        points against the atom/CP list (reference struct_identify)."""
+        sy = self.need_system()
+        from . import param
+
+        pts = []
+        if args:
+            path = args[0]
+            with open(path) as fh:
+                n = int(fh.readline().split()[0])
+                fh.readline()
+                for _ in range(n):
+                    t = fh.readline().split()
+                    pts.append([float(v) for v in t[1:4]])
+            pts = np.asarray(pts) * param.ANGSTROM_TO_BOHR
+            cart = True
+        else:
+            for raw in lines:
+                t = raw.split("#")[0].split()
+                if not t:
+                    continue
+                if t[0].lower().startswith("endidentify") or \
+                        t[0].lower() == "end":
+                    break
+                pts.append([float(v) for v in t[:3]])
+            pts = np.asarray(pts)
+            cart = sy.crystal.ismolecule
+            if cart:
+                pts = pts * self._unit_scale()
+        if len(pts) == 0:
+            return
+        icrd = param.ICRD_CART if cart else param.ICRD_CRYS
+        ids, dist = sy.crystal.identify_atom(np.asarray(pts), icrd=icrd,
+                                             distmax=1e-2)
+        self.write("# point  ->  atom (dist, bohr)")
+        for k, (i, d) in enumerate(zip(np.atleast_1d(ids),
+                                       np.atleast_1d(dist))):
+            nm = (sy.crystal.species[sy.crystal.species_of[i]].name
+                  if i >= 0 else "--")
+            self.write(f"  {k + 1:4d}  {nm:>4s} {int(i) + 1 if i >= 0 else -1:4d}"
+                       f"  {d:.6f}")
+
     def cmd_zpsp(self, args, lines):
         """ZPSP At1 q1 [At2 q2 ...]: pseudopotential charges for core
         augmentation (reference Q/ZPSP keyword,
@@ -319,10 +506,60 @@ class Repl:
     # analysis drivers
     # ------------------------------------------------------------------
     def cmd_auto(self, args, lines):
-        from .analysis.autocp import autocp, makegraph
+        """AUTO [GRADEPS e] [CPEPS e] [NUCEPS e] [NUCEPSH e] [DRY]
+        [SEED WS|PAIR|TRIPLET|LINE|SPHERE|OH|POINT [DEPTH n] [RADIUS r]
+        [NPTS n] [NTHETA n] [NPHI n] [NR n] [X0 x y z]] [GRAPH]
+        (reference autocritic options, src/autocp@proc.f90:155-445)."""
+        from .analysis.autocp import Seed, autocp, makegraph
 
         sy = self.need_system()
-        self.cpl = autocp(sy)
+        low = [a.lower() for a in args]
+        kw = {}
+        for key, name in (("gradeps", "gfnormeps"), ("cpeps", "cpeps"),
+                          ("nuceps", "nuceps"), ("nucepsh", "nucepsh"),
+                          ("epsdegen", "hdegen")):
+            if key in low:
+                kw[name] = float(args[low.index(key) + 1])
+        seeds = []
+        i = 0
+        while i < len(low):
+            if low[i] == "seed" and i + 1 < len(low):
+                styp = low[i + 1]
+                skw = {}
+                j = i + 2
+                while j < len(low):
+                    if low[j] in ("depth", "npts", "ntheta", "nphi", "nr"):
+                        skw[low[j]] = int(args[j + 1])
+                        j += 2
+                    elif low[j] in ("radius", "dist"):
+                        skw["rad" if low[j] == "radius" else "dist"] = \
+                            float(args[j + 1])
+                        j += 2
+                    elif low[j] == "x0":
+                        skw["x0"] = [float(v) for v in args[j + 1:j + 4]]
+                        j += 4
+                    else:
+                        break
+                try:
+                    seeds.append(Seed(typ=styp, **skw))
+                except TypeError:
+                    seeds.append(Seed(typ=styp))
+                i = j
+                continue
+            i += 1
+        if seeds:
+            kw["seeds"] = seeds
+        if "dry" in low:
+            from .analysis.autocp import gen_seeds, init_cplist
+
+            from .analysis.autocp import Seed as _S
+
+            xs = gen_seeds(sy.crystal, seeds or [
+                _S(typ="pair" if sy.crystal.ismolecule else "ws")])
+            self.write(f"+ AUTO DRY: {len(xs)} seeds generated")
+            self.cpl = init_cplist(sy)
+            return
+        self.cpl = autocp(sy, **kw)
         n, b, r, c = self.cpl.counts()
         self.write(f"+ AUTO: {len(self.cpl.cps)} CPs "
                    f"(n={n} b={b} r={r} c={c}); "
@@ -523,7 +760,9 @@ class Repl:
 
         sy = self.need_system()
         low = [a.lower() for a in args]
-        kw = {}
+        kw = {"radquad": self.opts["int_radquad"], "nr": self.opts["int_nr"],
+              "abserr": self.opts["int_abserr"],
+              "relerr": self.opts["int_relerr"]}
         icp = 0
         if "gauleg" in low:
             i = low.index("gauleg")

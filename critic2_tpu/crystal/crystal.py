@@ -165,11 +165,25 @@ class Crystal:
     # ------------------------------------------------------------------
     @property
     def spacegroup(self):
-        """Lazy space-group symmetry dataset (crystal/symmetry.py)."""
+        """Lazy space-group symmetry dataset (crystal/symmetry.py).
+        Honors `nosym` (P1, reference NOSYMM) and `symprec` attributes
+        (reference SYMPREC keyword, src/global.f90)."""
         if getattr(self, "_sg", None) is None:
-            from .symmetry import find_symmetry
+            from .symmetry import SpaceGroup, find_symmetry
 
-            self._sg = find_symmetry(self)
+            if getattr(self, "nosym", False):
+                nat = self.ncel
+                sg = SpaceGroup(rotations=np.eye(3, dtype=int)[None],
+                                translations=np.zeros((1, 3)),
+                                crystal_system="triclinic")
+                sg.nneq = nat
+                sg.irr_idx = np.arange(nat)
+                sg.orbit_of = np.arange(nat)
+                sg.mult = np.ones(nat, dtype=int)
+                self._sg = sg
+            else:
+                self._sg = find_symmetry(
+                    self, symprec=getattr(self, "symprec", 1e-5))
         return self._sg
 
     @property

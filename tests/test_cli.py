@@ -153,3 +153,66 @@ load as core sizeof 1
     # laplacian grid integrates to ~0 over the periodic cell
     lap = np.asarray(sy.field(2).grid.f)
     assert abs(lap.mean()) < 1e-8 * np.abs(lap).max()
+
+
+def test_settings_newcell_identify(poscar):
+    """Settings keywords + NEWCELL + IDENTIFY (reference
+    critic_setvariables src/global@proc.f90; NEWCELL
+    src/crystalmod.f90:163-167)."""
+    text, r = run(f"""
+crystal {poscar}
+symprec 1e-4
+bondfactor 1.3
+int_radial type qags abserr 1e-9
+meshtype franchini good
+newcell 2 1 1
+identify
+0.0 0.0 0.0
+0.25 0.5 0.5
+0.1 0.1 0.1
+endidentify
+""")
+    assert r.opts["symprec"] == 1e-4
+    assert r.opts["int_radquad"] == "qags"
+    assert r.opts["meshtype"] == "franchini"
+    assert r.sy.crystal.ncel == 4            # 2x1x1 NaCl supercell
+    # identify matched the two atoms and missed the third
+    lines = [ln for ln in text.splitlines() if ln.strip().startswith(("1", "2", "3"))]
+    assert "Na" in text and "-1" in text
+
+
+def test_newcell_primitive_roundtrip(tmp_path):
+    """Conventional NaCl -> NEWCELL PRIMITIVE gives the 2-atom cell."""
+    p = tmp_path / "POSCAR"
+    p.write_text("""NaCl conventional
+5.64
+1.0 0.0 0.0
+0.0 1.0 0.0
+0.0 0.0 1.0
+Na Cl
+4 4
+Direct
+0.0 0.0 0.0
+0.5 0.5 0.0
+0.5 0.0 0.5
+0.0 0.5 0.5
+0.5 0.5 0.5
+0.0 0.0 0.5
+0.0 0.5 0.0
+0.5 0.0 0.0
+""")
+    text, r = run(f"crystal {p}\nnewcell primitive\n")
+    assert r.sy.crystal.ncel == 2
+    import numpy as np
+    assert r.sy.crystal.volume == pytest.approx(
+        (5.64 / 0.529177210903) ** 3 / 4, rel=1e-8)
+
+
+def test_auto_options(poscar):
+    text, r = run(f"""
+crystal {poscar}
+auto dry seed ws depth 2
+auto gradeps 1e-10 cpeps 0.01
+""")
+    assert "AUTO DRY" in text and "seeds generated" in text
+    assert "Poincare-Hopf" in text
