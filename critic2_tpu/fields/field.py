@@ -321,6 +321,8 @@ class Field:
         grid_mode = self.grid.mode if ftype == "grid" else None
         spl = self.grid.spline_coeffs if (
             ftype == "grid" and grid_mode == "trispline") else None
+        starc2 = self.grid.star_c2 if (
+            ftype == "grid" and grid_mode == "tristar") else None
         promol = self.promol
         wfn = self.wfn
         mtfield = self.mt
@@ -340,6 +342,11 @@ class Field:
                     from ..ops.trispline import trispline_soa
 
                     y, yp, ypp6 = trispline_soa(spl, wx, nder=nder)
+                elif starc2 is not None:
+                    from ..ops.trispline import trispline_star_soa
+
+                    y, yp, ypp6 = trispline_star_soa(grid_f, starc2, wx,
+                                                     nder=nder)
                 else:
                     y, yp, ypp6 = interp_soa(grid_f, wx, mode=grid_mode,
                                              nder=nder)

@@ -22,7 +22,7 @@ import numpy as np
 from ..ops import fft as fftops
 from ..ops.interp import interp_batch
 
-MODES = ("nearest", "trilinear", "tricubic", "trispline")
+MODES = ("nearest", "trilinear", "tricubic", "trispline", "tristar")
 DEFAULT_MODE = "tricubic"  # reference mode_default (src/grid3mod.f90:88)
 
 
@@ -55,6 +55,16 @@ class Grid3:
             self._spl = spline_coeffs(self.f)
         return self._spl
 
+    @property
+    def star_c2(self):
+        """Lazy per-axis curvature grids of the reference star scheme
+        (init_trispline, src/grid3mod@proc.f90:2167-2274)."""
+        if getattr(self, "_star_c2", None) is None:
+            from ..ops.trispline import star_c2
+
+            self._star_c2 = star_c2(self.f)
+        return self._star_c2
+
     def interp(self, xfrac, nder: int = 2):
         """Batched interpolation at fractional points (N,3).
 
@@ -67,6 +77,14 @@ class Grid3:
 
             y, ypT, ypp6 = trispline_soa(
                 self.spline_coeffs,
+                jnp.atleast_2d(jnp.asarray(xfrac)).T, nder=nder)
+            return y, ypT.T, sym6_to_mat(ypp6)
+        if self.mode == "tristar":
+            from ..ops.interp import sym6_to_mat
+            from ..ops.trispline import trispline_star_soa
+
+            y, ypT, ypp6 = trispline_star_soa(
+                self.f, self.star_c2,
                 jnp.atleast_2d(jnp.asarray(xfrac)).T, nder=nder)
             return y, ypT.T, sym6_to_mat(ypp6)
         return interp_batch(self.f, jnp.atleast_2d(jnp.asarray(xfrac)),
