@@ -43,7 +43,13 @@ _MATH = {
 }
 
 _CHEM = ("gtf", "vtf", "htf", "gtf_kir", "vtf_kir", "htf_kir", "gkin",
-         "kkin", "lag", "elf", "vir", "he", "lol", "lol_kir")
+         "kkin", "lag", "elf", "vir", "he", "lol", "lol_kir",
+         # BR-hole / pair-density functions (reference
+         # src/arithmetic@proc.F90:2144-2233)
+         "brhole_a", "brhole_a1", "brhole_a2", "brhole_b", "brhole_b1",
+         "brhole_b2", "brhole_alf", "brhole_alf1", "brhole_alf2",
+         "xhcurv", "xhcurv1", "xhcurv2", "dsigs", "dsigs1", "dsigs2",
+         "mep", "uslater", "nheff", "xhole", "stress")
 
 _MODS = ("", "v", "c", "x", "y", "z", "g", "xx", "xy", "xz", "yx", "yy",
          "yz", "zx", "zy", "zz", "l", "lv", "lc")
@@ -108,7 +114,7 @@ class _Ctx:
         return f - cf
 
     # ---- chemical functions -------------------------------------------
-    def chem(self, name, fid):
+    def chem(self, name, fid, *extra):
         name = name.lower()
         if name in ("gtf", "vtf", "htf"):
             f, _, h6 = self.res(fid, 2)
@@ -139,12 +145,118 @@ class _Ctx:
             return -0.25 * (h6[0] + h6[1] + h6[2])
         if name in ("gkin", "kkin", "elf", "vir", "he", "lol"):
             fld = self.system.field(self.system.resolve_fid(fid))
+            if fld.type == "dftb" and name in ("gkin", "kkin", "elf",
+                                               "lol"):
+                return self._chem_dftb(name, fid)
             if fld.type != "wfn":
                 raise ExprError(
                     f"{name} needs a field providing the kinetic energy "
                     "density (wavefunction fields)")
             return self._chem_wfn(name, fid)
+        if name.startswith(("brhole_", "xhcurv", "dsigs")):
+            return self._chem_brhole(name, fid)
+        if name in ("mep", "uslater", "nheff", "xhole"):
+            return self._chem_hole(name, fid, extra)
+        if name == "stress":
+            fld = self.system.field(self.system.resolve_fid(fid))
+            if fld.type != "wfn":
+                raise ExprError("stress needs a wavefunction field")
+            ex = fld.wfn.extras_soa(self.xT)
+            # largest-magnitude eigenvalue of the Schroedinger stress
+            # tensor (reference fun_stress)
+            from .ops.eig3 import eigvalsh3s
+            lam = eigvalsh3s(ex["stress6"])
+            return jnp.where(jnp.abs(lam[2]) > jnp.abs(lam[0]),
+                             lam[2], lam[0])
         raise ExprError(f"unknown chemical function {name}")
+
+    def _chem_brhole(self, name, fid):
+        """BR hole parameters / exchange-hole curvature / same-spin pair
+        density coefficient (reference src/arithmetic@proc.F90:2144-2233,
+        closed-shell assign_bhole_variables branch). The spin-resolved
+        _1/_2 variants equal the average for the closed-shell fields this
+        package evaluates; spin-polarized fields are rejected."""
+        fld = self.system.field(self.system.resolve_fid(fid))
+        if fld.type != "wfn":
+            raise ExprError(f"{name} needs a wavefunction field")
+        if name[-1] in "12" and fld.wfn.wfntyp != "rhf":
+            raise ExprError(f"{name}: spin-resolved BR hole needs "
+                            "spin-channel data (only rhf supported)")
+        ex = fld.wfn.extras_soa(self.xT)
+        f0 = ex["rho"]
+        lap = ex["h6"][0] + ex["h6"][1] + ex["h6"][2]
+        gmod2 = (ex["grad"] ** 2).sum(0)
+        rhos = 0.5 * f0
+        laps = 0.5 * lap
+        tau = ex["gkin"]
+        drhos2 = 0.25 * gmod2
+        ds = tau - 0.25 * drhos2 / jnp.maximum(rhos, 1e-30)
+        quads = (laps - 2.0 * ds) / 6.0
+        base = name.rstrip("12")
+        if base == "dsigs":
+            return ds
+        if base == "xhcurv":
+            return quads
+        from .ops.brhole import bhole
+        b, alf, a = bhole(rhos, quads, 1.0)
+        return {"brhole_a": a, "brhole_b": b, "brhole_alf": alf}[base]
+
+    def _chem_hole(self, name, fid, extra):
+        """MEP / Slater potential / effective hole normalization /
+        exchange hole (reference src/arithmetic@proc.F90:2208-2233,
+        evaluated through wfn mep/uslater/xhole). Host-side: these
+        build 1/|r-c| integral matrices per point and cannot run under
+        a jax trace (ghost-field derivatives)."""
+        import numpy as _np
+        fld = self.system.field(self.system.resolve_fid(fid))
+        if fld.type != "wfn":
+            raise ExprError(f"{name} needs a wavefunction field")
+        if isinstance(self.xT, jax.core.Tracer):
+            raise ExprError(f"{name} is host-evaluated and cannot be "
+                            "used inside differentiated/ghost fields")
+        pts = _np.asarray(self.xT).T
+        if name == "mep":
+            return jnp.asarray(fld.wfn.mep(pts))
+        if name == "uslater":
+            return jnp.asarray(fld.wfn.uslater(pts))
+        if name == "nheff":
+            _, nh = fld.wfn.uslater(pts, want_nheff=True)
+            return jnp.asarray(nh)
+        # xhole(fid, x0, y0, z0): reference point in the input frame
+        if len(extra) != 3:
+            raise ExprError("xhole requires three arguments for the "
+                            "reference point")
+        xref = _np.asarray([float(v) for v in extra], dtype=float)
+        c = self.system.crystal
+        if c.ismolecule:
+            xref = xref - _np.asarray(getattr(c, "molx0", 0.0))
+        else:
+            xref = _np.asarray(c.m_x2c) @ xref
+        return jnp.asarray(fld.wfn.xhole(pts, xref))
+
+    def _chem_dftb(self, name, fid):
+        """Kinetic-energy-density functions for DFTB+ fields (the
+        reference sets avail_gkin for dftb, src/fieldmod@proc.f90:798)."""
+        fld = self.system.field(self.system.resolve_fid(fid))
+        c = fld.crystal
+        wx = jnp.asarray(c.m_c2x) @ self.xT
+        wx = wx - jnp.floor(wx)
+        wc = (jnp.asarray(c.m_x2c) @ wx).T
+        _, _, _, gkin = fld.dftb.eval(wc, nder=1)
+        if name == "gkin":
+            return gkin
+        f, gf, h6 = self.res(fid, 2)
+        if name == "kkin":
+            return gkin - 0.25 * (h6[0] + h6[1] + h6[2])
+        if name == "elf":
+            f0 = jnp.maximum(f, 1e-30)
+            gmod2 = (gf * gf).sum(0)
+            ds = gkin - gmod2 / (8.0 * f0)
+            q = ds / (CTF * f0 ** (5.0 / 3.0))
+            return jnp.where(f < 1e-30, 0.0, 1.0 / (1.0 + q * q))
+        q = CTF * jnp.maximum(f, 0.0) ** (5.0 / 3.0) / \
+            jnp.maximum(gkin, 1e-30)
+        return q / (1.0 + q)
 
     def _chem_wfn(self, name, fid):
         fld = self.system.field(self.system.resolve_fid(fid))
@@ -245,7 +357,8 @@ def compile_expr(expr: str, system, periodic: bool | None = None):
                 return ast.copy_location(
                     ast.Call(func=ast.Name("__chem__", ast.Load()),
                              args=[ast.Constant(node.func.id.lower()),
-                                   ast.Constant(fid)], keywords=[]), node)
+                                   ast.Constant(fid), *node.args[1:]],
+                             keywords=[]), node)
             return node
 
     tree = ast.fix_missing_locations(_Rw().visit(tree))
@@ -265,8 +378,9 @@ def compile_expr(expr: str, system, periodic: bool | None = None):
         glb = {"__builtins__": {}, "pi": jnp.pi, "e": jnp.e,
                "xc": _xc,
                "__field__": lambda fid, mod: ctx.field(fid, mod),
-               "__chem__": lambda nm, fid: ctx.chem(
-                   nm, fid if fid is not None else system.iref or 0)}
+               "__chem__": lambda nm, fid, *extra: ctx.chem(
+                   nm, fid if fid is not None else system.iref or 0,
+                   *extra)}
         glb.update(_MATH)
         glb.update({k: jnp.asarray(v) for k, v in uservars.items()})
         out = eval(code, glb)  # noqa: S307 - AST whitelisted above

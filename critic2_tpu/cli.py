@@ -199,11 +199,15 @@ class Repl:
                     interp = mode
             kw = {}
             # LAPW fields take two files: LOAD x.clmsum x.struct;
-            # QE takes LOAD x.pwc [y.chk [z.chk]] (spin-down chk)
+            # QE takes LOAD x.pwc [y.chk [z.chk]] (spin-down chk);
+            # DFTB+ takes LOAD detailed.xml eigenvec.bin wfc.hsd
+            # (reference ifformat_dftb, src/fieldseedmod@proc.f90)
             if len(args) > 1 and args[1].lower().endswith((".struct",
-                                                           ".out", ".chk")):
+                                                           ".out", ".chk",
+                                                           ".bin")):
                 kw["file2"] = args[1]
-                if len(args) > 2 and args[2].lower().endswith(".chk"):
+                if len(args) > 2 and args[2].lower().endswith((".chk",
+                                                               ".hsd")):
                     kw["file3"] = args[2]
             fid = sy.load_field(args[0], name=name, **kw)
             if interp:

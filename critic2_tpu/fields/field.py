@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field as dfield
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -81,6 +82,7 @@ class Field:
     wfn: object | None = None
     mt: object = None               # muffin-tin evaluator (wien/elk)
     pi: object = None               # aiPI STO evaluator
+    dftb: object = None             # DFTB+ SK-basis evaluator
     expr: object = None             # compiled ghost expression
     name: str = ""
     usecore: bool = False
@@ -142,6 +144,22 @@ class Field:
                         f"elk field {path} needs GEOMETRY.OUT (pass file2=)")
             return cls(crystal=crystal, type="elk",
                        mt=ElkField.from_files(path, geom),
+                       name=name or path, **kw)
+        if base == "DETAILED.XML" or fmt == "dftb":
+            from .dftb import DftbField
+
+            binf = kw.pop("file2", None)
+            hsdf = kw.pop("file3", None)
+            if binf is None:
+                binf = _os.path.join(_os.path.dirname(path),
+                                     "eigenvec.bin")
+            if hsdf is None:
+                raise ValueError("dftb field needs the wfc .hsd basis "
+                                 "file (LOAD detailed.xml eigenvec.bin "
+                                 "wfc.hsd)")
+            return cls(crystal=crystal, type="dftb",
+                       dftb=DftbField.from_files(crystal, path, binf,
+                                                 hsdf),
                        name=name or path, **kw)
         low = path.lower()
         if low.endswith((".clmsum", ".clmup", ".clmdn")) or fmt == "wien":
@@ -226,6 +244,8 @@ class Field:
             hf = sym6_to_mat(h6)
         elif self.type == "pi":
             f, gf, hf = self.pi.eval(wc, nder=nder)
+        elif self.type == "dftb":
+            f, gf, hf, _ = self.dftb.eval(wc, nder=nder)
         elif self.type == "ghost":
             from ..ops.interp import sym6_to_mat
 
@@ -327,6 +347,7 @@ class Field:
         wfn = self.wfn
         mtfield = self.mt
         pifield = self.pi
+        dftbfield = self.dftb
         expr_fn = self.expr
         env = self.coreenv
 
@@ -348,8 +369,20 @@ class Field:
                     y, yp, ypp6 = trispline_star_soa(grid_f, starc2, wx,
                                                      nder=nder)
                 else:
-                    y, yp, ypp6 = interp_soa(grid_f, wx, mode=grid_mode,
-                                             nder=nder)
+                    # scattered tricubic: on TPU the whole-row gather
+                    # formulation beats the 64-element stencil gather
+                    # (interp_soa_rows docstring has the measurements)
+                    if (grid_mode == "tricubic"
+                            and jax.devices()[0].platform != "cpu"
+                            and wx.shape[1] >= 1024):
+                        from ..ops.interp import interp_soa_rows
+
+                        y, yp, ypp6 = interp_soa_rows(grid_f, wx,
+                                                      nder=nder)
+                    else:
+                        y, yp, ypp6 = interp_soa(grid_f, wx,
+                                                 mode=grid_mode,
+                                                 nder=nder)
                 gf = linmap(m_c2x_np.T, yp)
                 h6 = linmap(r6_np, ypp6)
                 f = y
@@ -367,6 +400,11 @@ class Field:
                     h6 = jnp.zeros((6, wc.shape[1]))
             elif ftype == "pi":
                 f, g, h = pifield.eval(wc.T, nder=nder)
+                gf = g.T
+                h6 = jnp.stack([h[:, 0, 0], h[:, 1, 1], h[:, 2, 2],
+                                h[:, 0, 1], h[:, 0, 2], h[:, 1, 2]])
+            elif ftype == "dftb":
+                f, g, h, _ = dftbfield.eval(wc.T, nder=nder)
                 gf = g.T
                 h6 = jnp.stack([h[:, 0, 0], h[:, 1, 1], h[:, 2, 2],
                                 h[:, 0, 1], h[:, 0, 2], h[:, 1, 2]])

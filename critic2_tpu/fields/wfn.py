@@ -391,6 +391,72 @@ class Wavefunction:
         return d["C"] @ chi
 
     # ------------------------------------------------------------------
+    # hole/potential properties (reference wfn_private@proc.F90
+    # mep :2231, uslater :2311, xhole :2423)
+    # ------------------------------------------------------------------
+    def mep(self, points):
+        """Molecular electrostatic potential at points (N, 3):
+        sum_A Z_A/|r-R_A| - sum_mn D_mn <m|1/|r-r0||n> (reference mep,
+        src/wfn_private@proc.F90:2231-2309, via libCINT CINT1e_rinv;
+        here via the McMurchie-Davidson rinv_pairs)."""
+        from ..ops.mdint import rinv_pairs
+
+        pts = np.asarray(points, dtype=float).reshape(-1, 3)
+        D = (self.cmo.T * self.occ) @ self.cmo            # (P, P) 1-RDM
+        V = rinv_pairs(self, pts)                         # (B, P, P)
+        el = np.einsum("bmn,mn->b", V, D)
+        d = np.linalg.norm(pts[:, None, :] - self.atpos[None], axis=-1)
+        vnuc = (self.atz[None, :] / np.maximum(d, 1e-14)).sum(1)
+        return vnuc - el
+
+    def uslater(self, points, want_nheff: bool = False):
+        """Slater potential U_x (and optionally the effective hole
+        normalization) at points (N, 3) (reference uslater,
+        src/wfn_private@proc.F90:2311-2420): U_x = -(q V q)/rho with
+        q_mu = sum_i phi_i(r) c_i_mu over occupied MOs."""
+        from ..ops.mdint import rinv_pairs
+
+        pts = np.asarray(points, dtype=float).reshape(-1, 3)
+        xmo = np.asarray(self.mo_values(pts))             # (M, B)
+        q = xmo.T @ self.cmo                              # (B, P)
+        V = rinv_pairs(self, pts)                         # (B, P, P)
+        qVq = np.einsum("bm,bmn,bn->b", q, V, q)
+        ex = self.extras_soa(jnp.asarray(pts).T)
+        rho = np.asarray(ex["rho"])
+        ux = -qVq / np.maximum(rho, 1e-40)
+        if not want_nheff:
+            return ux
+        from ..ops.brhole import xlnorm
+
+        lap = np.asarray(ex["h6"][0] + ex["h6"][1] + ex["h6"][2])
+        gmod = np.asarray(np.sqrt((ex["grad"] ** 2).sum(0)))
+        gkin = np.asarray(ex["gkin"])
+        rhos = 0.5 * rho
+        laps = 0.5 * lap
+        drhos2 = (0.5 * gmod) ** 2
+        dsigs = gkin - 0.25 * drhos2 / np.maximum(rhos, 1e-40)
+        quads = (laps - 2.0 * dsigs) / 6.0
+        nheff = np.asarray(xlnorm(jnp.asarray(rhos), jnp.asarray(quads),
+                                  jnp.asarray(2.0 * ux)))
+        return ux, nheff
+
+    def xhole(self, points, xref):
+        """Exchange hole h_x(r; r_ref) = -gamma_1(r, r_ref)^2 /
+        rho_spin(r_ref) for RHF (reference xhole,
+        src/wfn_private@proc.F90:2423-2453)."""
+        if self.wfntyp != "rhf":
+            raise NotImplementedError("xhole: only rhf supported "
+                                      "(as in the reference)")
+        pts = np.asarray(points, dtype=float).reshape(-1, 3)
+        xr = np.asarray(xref, dtype=float).reshape(1, 3)
+        mop = np.asarray(self.mo_values(pts))              # (M, B)
+        mor = np.asarray(self.mo_values(xr))[:, 0]         # (M,)
+        gam1 = mor @ mop                                   # (B,)
+        rho_ref, _, _ = self.rho_eval_soa(jnp.asarray(xr).T, nder=0)
+        rho_spin = 0.5 * float(rho_ref[0])
+        return -(gam1 * gam1) / max(rho_spin, 1e-40)
+
+    # ------------------------------------------------------------------
     # readers
     # ------------------------------------------------------------------
     @classmethod

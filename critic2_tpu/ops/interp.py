@@ -33,7 +33,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["interp_batch", "interp_soa", "eval_at_nodes"]
+__all__ = ["interp_batch", "interp_soa", "interp_soa_rows",
+           "eval_at_nodes"]
 
 # symmetric-component order used for all (6, N) Hessian SoA arrays
 SYM6 = ((0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2))
@@ -212,6 +213,109 @@ def interp_soa(f, xfracT, mode: str = "tricubic", nder: int = 2):
     nn = jnp.stack([n[0] * n[0], n[1] * n[1], n[2] * n[2],
                     n[0] * n[1], n[0] * n[2], n[1] * n[2]])
     ypp6 = jnp.stack([hxx, hyy, hzz, hxy, hxz, hyz]) * nn[:, None]
+    return y, yp, ypp6
+
+
+@partial(jax.jit, static_argnames=("nder", "chunk"))
+def interp_soa_rows(f, xfracT, nder: int = 2, chunk: int = 8192):
+    """Tricubic interpolation for scattered points via whole-row gathers.
+
+    Same contract as interp_soa(mode="tricubic") but restructured for the
+    TPU memory system: XLA lowers the 64-element scattered stencil gather
+    of `_gather_stencil_soa` to a scalar-core loop (~0.7 M evals/s on a
+    v5e - the "gather wall" of BASELINE.md). Here each point instead
+    gathers its 16 whole (x,y) rows along z - row gathers move full
+    128-lane vectors, which the TPU gathers efficiently - and the z-axis
+    stencil becomes a DENSE contraction with a weight row that holds the
+    4 Catmull-Rom weights scattered at the wrapped z positions (built by
+    comparison against an iota, no gather). The x/y contraction reuses
+    the separable kernels. Points are processed in `chunk` blocks via
+    lax.map to bound the (chunk, 16, n3) row buffer.
+
+    Costs n3/4 more HBM traffic than the minimal stencil but runs from
+    contiguous vectors. Measured on a v5e (128k scattered points,
+    256^3 grid, value+grad+Hessian): f32 6.7M evals/s vs 1.6M for
+    interp_soa; f64 1.2M vs 0.8M.
+    """
+    f = jnp.asarray(f)
+    n1, n2, n3 = f.shape
+    frows = f.reshape(n1 * n2, n3)
+    xT = jnp.asarray(xfracT, dtype=f.dtype)
+    n = jnp.asarray(f.shape, dtype=f.dtype)
+    N = xT.shape[1]
+
+    Np = ((N + chunk - 1) // chunk) * chunk
+    if Np != N:
+        xT = jnp.pad(xT, ((0, 0), (0, Np - N)))
+    offs = jnp.arange(-1, 3, dtype=jnp.int32)
+    zio = jnp.arange(n3, dtype=jnp.int32)
+
+    def eval_chunk(xcT):
+        C = xcT.shape[1]
+        x = xcT - jnp.floor(xcT)
+        xg = x * n[:, None]
+        i0 = jnp.floor(xg).astype(jnp.int32)
+        t = xg - i0
+        xi = (i0[0][:, None] + offs[None, :]) % n1            # (C, 4)
+        yj = (i0[1][:, None] + offs[None, :]) % n2
+        ridx = xi[:, :, None] * n2 + yj[:, None, :]           # (C, 4, 4)
+        rows = jnp.take(frows, ridx.reshape(-1), axis=0).reshape(C, 16, n3)
+        # dense z-stencil weights, periodic wrap built in. Contraction
+        # form is dtype-adaptive (measured on v5e, 128k points/256^3):
+        # f32 batched dot_general rides the MXU (6.7M evals/s vs 3.3M
+        # fused); f64 has no MXU and the emulated dot collapses to
+        # 0.18M, while broadcast-multiply + reduce on the VPU gives
+        # 1.2M (old element-gather path: 0.8M).
+        w3, d3, s3 = _catmull_rom_weights(t[2])               # (C, 4) each
+        pos = (i0[2][:, None] + offs[None, :]) % n3           # (C, 4)
+        onehot = (pos[:, :, None] == zio[None, None, :]).astype(f.dtype)
+        if f.dtype == jnp.float32:
+            wts = jnp.stack([w3, d3, s3], axis=1)             # (C, 3, 4)
+            W = jax.lax.dot_general(wts, onehot,
+                                    (((2,), (1,)), ((0,), (0,))))
+            CC = jax.lax.dot_general(rows, W,
+                                     (((2,), (2,)), ((0,), (0,))))
+            a = CC.transpose(2, 1, 0).reshape(3, 4, 4, C)     # [w,i,j,C]
+            a0, a1, a2 = a[0], a[1], a[2]
+        else:
+            def zmask(w):                                      # (C, 1, n3)
+                return (w[:, :, None] * onehot).sum(1)[:, None, :]
+
+            def zcontract(w):                                  # (C, 16)
+                return (rows * zmask(w)).sum(-1)
+
+            a0 = zcontract(w3).T.reshape(4, 4, C)              # [i, j, C]
+            a1 = zcontract(d3).T.reshape(4, 4, C)
+            a2 = zcontract(s3).T.reshape(4, 4, C)
+        w1, d1, s1 = (v.T for v in _catmull_rom_weights(t[0]))  # (4, C)
+        w2, d2, s2 = (v.T for v in _catmull_rom_weights(t[1]))
+        y = _axes01(a0, w1, w2)
+        gx = _axes01(a0, d1, w2)
+        gy = _axes01(a0, w1, d2)
+        gz = _axes01(a1, w1, w2)
+        hxx = _axes01(a0, s1, w2)
+        hyy = _axes01(a0, w1, s2)
+        hzz = _axes01(a2, w1, w2)
+        hxy = _axes01(a0, d1, d2)
+        hxz = _axes01(a1, d1, w2)
+        hyz = _axes01(a1, w1, d2)
+        yp = jnp.stack([gx, gy, gz]) * n[:, None]
+        nn = jnp.stack([n[0] * n[0], n[1] * n[1], n[2] * n[2],
+                        n[0] * n[1], n[0] * n[2], n[1] * n[2]])
+        ypp6 = jnp.stack([hxx, hyy, hzz, hxy, hxz, hyz]) * nn[:, None]
+        return y, yp, ypp6
+
+    ys, yps, ypp6s = jax.lax.map(eval_chunk,
+                                 xT.reshape(3, Np // chunk, chunk)
+                                 .transpose(1, 0, 2))
+    y = ys.reshape(-1)[:N]
+    yp = jnp.moveaxis(yps, 1, 0).reshape(3, -1)[:, :N]
+    ypp6 = jnp.moveaxis(ypp6s, 1, 0).reshape(6, -1)[:, :N]
+    if nder < 1:
+        z = jnp.zeros_like
+        return y, z(yp), z(ypp6)
+    if nder < 2:
+        return y, yp, jnp.zeros_like(ypp6)
     return y, yp, ypp6
 
 

@@ -246,6 +246,57 @@ def overlap_kinetic_nuclear(wfn):
     return S, T, np.asarray(V).reshape(P, P)
 
 
+def rinv_pairs(wfn, points, chunk: int = 8):
+    """Batched <mu| 1/|r - c| |nu> over primitives, (B, P, P).
+
+    The electron-repulsion-at-a-point integrals behind MEP and the
+    Slater potential (reference mep/uslater,
+    src/wfn_private@proc.F90:2231-2309 and :2311-2420, which call
+    libCINT's CINT1e_rinv; here the same McMurchie-Davidson E x R
+    assembly as the nuclear-attraction term, with the charge center at
+    each evaluation point and NO -Z factor)."""
+    li = _li()[wfn.itype - 1]
+    lmax = int(li.max())
+    if lmax > 3:
+        raise NotImplementedError("molecular integrals support l <= 3")
+    P = wfn.npri
+    ctr = jnp.asarray(wfn.atpos[wfn.icenter])
+    al = jnp.asarray(wfn.e)
+    ii, jj = np.meshgrid(np.arange(P), np.arange(P), indexing="ij")
+    ii = ii.ravel()
+    jj = jj.ravel()
+    a, b = al[ii], al[jj]
+    A, B = ctr[ii], ctr[jj]
+    p = a + b
+    imax, jmax = lmax, lmax
+    E = _E_tables(imax, jmax, a, b, A, B)
+    Esel = _select_E(E, np.asarray(li[ii]), np.asarray(li[jj]),
+                     imax, jmax, imax + jmax)
+    Esel = jnp.asarray(Esel)
+    comps = _hermite_components(2 * lmax)
+    Ppos = (a[:, None] * A + b[:, None] * B) / p[:, None]
+
+    @jax.jit
+    def one(pts):                                  # pts (c, 3)
+        PC = Ppos[None, :, :] - pts[:, None, :]    # (c, npair, 3)
+        T_arg = p[None, :] * (PC * PC).sum(-1)
+        Fns = boys(2 * lmax, T_arg)                # (L+1, c, npair)
+        R = _R_tensor(2 * lmax, p[None, :], PC, Fns)
+        acc = 0.0
+        for (t, u, v) in comps:
+            acc = acc + (Esel[0, t] * Esel[1, u] * Esel[2, v])[None, :] \
+                * R[(t, u, v)]
+        return (2.0 * jnp.pi / p)[None, :] * acc   # (c, npair)
+
+    points = np.asarray(points, dtype=float).reshape(-1, 3)
+    Bn = points.shape[0]
+    out = np.empty((Bn, P, P))
+    for s in range(0, Bn, chunk):
+        pts = jnp.asarray(points[s:s + chunk])
+        out[s:s + chunk] = np.asarray(one(pts)).reshape(-1, P, P)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # 2-electron integrals and the RHF energy
 # ---------------------------------------------------------------------------

@@ -1,0 +1,118 @@
+"""Sharded whole-grid pipeline vs the single-device reference ops.
+
+Covers VERDICT item 1: distributed FFT operators (transpose algorithm
+over the "space" axis), the fused sharded NCI sweep, and sharded basin
+property reductions, all on the virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from critic2_tpu.parallel.mesh import make_mesh
+from critic2_tpu.parallel.grid_ops import ShardedGridOps, basin_reduce_sharded
+from critic2_tpu.ops import fft as sfft
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mesh = make_mesh(8)
+    m_x2c = np.array([[6.0, 0.3, 0.0], [0.0, 5.0, 0.2], [0.0, 0.0, 7.0]])
+    shape = (16, 16, 12)
+    i, j, k = np.meshgrid(*[np.arange(n) for n in shape], indexing="ij")
+    f = (2.0 + np.cos(2 * np.pi * i / shape[0]) * np.cos(2 * np.pi * j / shape[1])
+         + 0.5 * np.cos(4 * np.pi * k / shape[2])
+         + 0.25 * np.sin(2 * np.pi * (i + 2 * j - k) / shape[0]))
+    ops = ShardedGridOps(mesh, shape, m_x2c)
+    return mesh, m_x2c, f, ops
+
+
+def test_laplacian_matches(setup):
+    _, m_x2c, f, ops = setup
+    ref = np.asarray(sfft.laplacian(f, m_x2c))
+    out = np.asarray(ops.laplacian(f))
+    np.testing.assert_allclose(out, ref, rtol=1e-10, atol=1e-10)
+
+
+def test_gradrho_matches(setup):
+    _, m_x2c, f, ops = setup
+    ref = np.asarray(sfft.gradrho(f, m_x2c))
+    out = np.asarray(ops.gradrho(f))
+    np.testing.assert_allclose(out, ref, rtol=1e-10, atol=1e-10)
+
+
+def test_grad_components_match(setup):
+    _, m_x2c, f, ops = setup
+    ref = np.asarray(sfft.grad_components(f, m_x2c))
+    out = np.stack([np.asarray(c) for c in ops.grad_components(f)])
+    np.testing.assert_allclose(out, ref, rtol=1e-10, atol=1e-10)
+
+
+def test_hxx_pot_match(setup):
+    _, m_x2c, f, ops = setup
+    for ix in range(3):
+        ref = np.asarray(sfft.hxx(f, m_x2c, ix))
+        np.testing.assert_allclose(np.asarray(ops.hxx(f, ix)), ref,
+                                   rtol=1e-10, atol=1e-10)
+    refp = np.asarray(sfft.pot(f, m_x2c, isry=True))
+    np.testing.assert_allclose(np.asarray(ops.pot(f, isry=True)), refp,
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_output_sharding_is_slab(setup):
+    mesh, _, f, ops = setup
+    out = ops.laplacian(f)
+    # the result stays distributed: one shard per space index
+    shardings = {tuple(d.index) if isinstance(d.index, tuple) else d.index
+                 for d in out.addressable_shards}
+    assert len(out.addressable_shards) == 8
+    m = f.shape[0] // mesh.shape["space"]
+    sizes = {s.data.shape for s in out.addressable_shards}
+    assert sizes == {(m, f.shape[1], f.shape[2])}
+
+
+def test_nci_grids_match_dense(setup):
+    _, m_x2c, f, ops = setup
+    from critic2_tpu.ops.eig3 import eigvalsh3s
+    rho_s, rdg_s, sl2_s = (np.asarray(a) for a in ops.nci_grids(f))
+    gmod = np.asarray(sfft.gradrho(f, m_x2c))
+    rho = np.abs(f)
+    rdg = gmod / (2.0 * (3.0 * np.pi ** 2) ** (1 / 3)
+                  * np.maximum(rho, 1e-30) ** (4 / 3))
+    # Hessian eigs: SYM6 via single-device hxx + cross terms
+    g = sfft.gvectors(f.shape, m_x2c)
+    fk = jnp.fft.fftn(jnp.asarray(f))
+    pairs = ((0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2))
+    h6 = jnp.stack([jnp.real(jnp.fft.ifftn(
+        -jnp.asarray(g[..., a] * g[..., b]) * fk)).reshape(-1)
+        for a, b in pairs])
+    lam = np.asarray(eigvalsh3s(h6))
+    sl2 = np.sign(lam[1]).reshape(f.shape) * rho
+    np.testing.assert_allclose(rho_s, rho, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(rdg_s, rdg, rtol=1e-8, atol=1e-10)
+    # sign(lambda_2) is ill-conditioned where lambda_2 ~ 0 (FFT roundoff
+    # flips it); compare only where the sign is well-defined
+    ok = np.abs(lam[1]).reshape(f.shape) > 1e-8
+    assert ok.mean() > 0.9
+    np.testing.assert_allclose(sl2_s[ok], sl2[ok], rtol=1e-8, atol=1e-10)
+
+
+def test_basin_reduce_matches_segment_sum(setup, rng):
+    mesh, _, f, _ = setup
+    N = 16 * 16 * 12
+    nattr, Nb = 5, 64
+    labels = rng.integers(0, nattr, N).astype(np.int32)
+    isb = np.zeros(N, bool)
+    isb[rng.choice(N, Nb, replace=False)] = True
+    interior = np.where(isb, -1, labels).astype(np.int32)
+    bidx = np.zeros(N, np.int32)
+    bidx[isb] = np.arange(Nb)
+    Wb = rng.random((nattr, Nb))
+    Wb /= Wb.sum(0)
+    fields = rng.random((3, N))
+    out = basin_reduce_sharded(mesh, interior, bidx, Wb, nattr, fields)
+    # dense reference
+    W = np.zeros((nattr, N))
+    W[labels[~isb], np.where(~isb)[0]] = 1.0
+    W[:, isb] = Wb
+    ref = fields @ W.T
+    np.testing.assert_allclose(out, ref, rtol=1e-10, atol=1e-10)
