@@ -126,6 +126,16 @@ class Repl:
             if args[0].endswith(".xyz") else System.from_structure(args[0])
         self.sy.vars.update(self.pending_vars)
         self.write(f"+ molecule: {args[0]} | {self.sy.crystal.ncel} atoms")
+        try:
+            from .crystal.sympg import molecular_point_group
+
+            c = self.sy.crystal
+            pos = np.asarray(c.x_frac) @ np.asarray(c.m_x2c).T
+            zs = np.asarray([c.species[s].z for s in c.species_of])
+            sym, _ = molecular_point_group(pos, zs)
+            self.write(f"+ point group: {sym}")
+        except Exception:       # naming is best-effort, never fatal
+            pass
 
     # ------------------------------------------------------------------
     # fields
@@ -249,6 +259,14 @@ class Repl:
         if self.sy is not None:
             self.sy.crystal.nosym = False
             self.sy.crystal._sg = None
+            c = self.sy.crystal
+            sg = c.spacegroup
+            self.write(f"+ symmetry: {sg.nops} operations | "
+                       f"{sg.crystal_system} | {sg.nneq} non-equivalent "
+                       "atoms")
+            name, ita = c.spg_name()
+            if name:
+                self.write(f"+ space group: {name} (ITA no. {ita})")
 
     cmd_symm = cmd_sym
 

@@ -186,6 +186,19 @@ class Crystal:
                     self, symprec=getattr(self, "symprec", 1e-5))
         return self._sg
 
+    def spg_name(self):
+        """Hermann-Mauguin symbol + ITA number of the detected space
+        group, or (None, 0) when the setting is not in the database
+        (role of the reference spgs naming, src/spgs.f90:30-32; the
+        reference itself never names DETECTED groups)."""
+        if getattr(self, "_spgname", None) is None:
+            from .spgs import identify_from_ops
+
+            sg = self.spacegroup
+            st = identify_from_ops(sg.rotations, sg.translations)
+            self._spgname = (st.short, st.ita_number) if st else (None, 0)
+        return self._spgname
+
     @property
     def ws(self) -> WignerSeitz:
         if self._ws is None:

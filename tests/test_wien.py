@@ -126,6 +126,7 @@ def test_continuity_at_rmt(field):
     assert np.max(np.abs(np.asarray(fin) - np.asarray(fout))) < 1e-5
 
 
+@pytest.mark.slow
 def test_derivatives_both_zones(field):
     pts = np.array([[0.3, 0.2, 0.9],          # MT
                     [1.0, 0.4, 1.2],          # MT
@@ -153,12 +154,14 @@ def test_periodic_images(field):
     assert abs(float(f1[0]) - float(f2[0])) < 1e-10
 
 
+@pytest.mark.slow
 def test_nuclear_capture(field):
     f, gf, h6 = field.grd(np.array([[0.0, 0.0, 1e-6]]), nder=2)
     assert float(np.asarray(gf)[2, 0]) == 0.0
     assert float(np.asarray(h6)[0, 0]) == -1e15
 
 
+@pytest.mark.slow
 def test_system_integration(tmp_path):
     _write_struct(tmp_path / "syn.struct")
     _write_clmsum(tmp_path / "syn.clmsum")
@@ -175,6 +178,7 @@ def test_system_integration(tmp_path):
     assert np.allclose(np.asarray(v), _rho_exact(pts) + 1.0, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_cli_wien(tmp_path):
     _write_struct(tmp_path / "syn.struct")
     _write_clmsum(tmp_path / "syn.clmsum")
