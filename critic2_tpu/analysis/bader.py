@@ -11,10 +11,10 @@ DOUBLING: succ^(2t) = succ^t o succ^t, so log2(longest path) dense gather
 passes resolve every trajectory at once - no sequential walks, no
 dynamic shapes.
 
-The reference's neargrid correction-vector refinement (refine_edge,
-src/bader@proc.f90:236-358) is approximated by iterative edge
-reassignment: edge points (a neighbor differs) are re-ascended with the
-gradient-weighted successor until the labeling is stable.
+Two methods: `ongrid` approximates the reference's refine_edge
+(src/bader@proc.f90:236-358) with iterative edge reassignment;
+`neargrid` (the reference default) runs the exact correction-vector
+walks, batched over every grid point at once (_neargrid_roots).
 """
 from __future__ import annotations
 
@@ -61,12 +61,118 @@ class BaderResult:
             num_segments=self.nattr))
 
 
+def _neargrid_roots(crystal, rho, maxiter: int | None = None):
+    """Exact near-grid ascent (reference max_neargrid/step_neargrid,
+    src/bader@proc.f90:363-431): every grid point walks uphill with the
+    accumulated correction vector dr until it sits on a local maximum.
+
+    The reference walks trajectories sequentially and shortcuts into
+    already-assigned points (then patches the damage with refine_edge,
+    :236-358). Here every point's walk is INDEPENDENT and batched - one
+    masked update per iteration over all N walkers - which removes the
+    scan-order dependence, so no edge refinement is needed; the result
+    is the assignment every trajectory would give in isolation. A
+    two-step cycle guard falls back to the on-grid step with dr reset,
+    mirroring the reference's known-point fallback (:422-427)."""
+    shape = tuple(int(s) for s in rho.shape)
+    n1, n2, n3 = shape
+    N = n1 * n2 * n3
+    f = jnp.asarray(rho)
+    lat2car = np.asarray(crystal.m_x2c) @ np.diag(
+        1.0 / np.asarray(shape, dtype=float))
+    car2lat = np.linalg.inv(lat2car)
+    # direct-coordinate gradient operator: res = C (C^T g_lat) with
+    # C = car2lat (reference rho_grad_dir :468-503)
+    G = jnp.asarray(car2lat @ car2lat.T)
+
+    offs_np = _neighbor_offsets26()
+    dists = np.linalg.norm(offs_np @ lat2car.T, axis=1)
+    offs = jnp.asarray(offs_np)
+    invd = jnp.asarray(1.0 / dists)
+
+    def val(p):
+        """f at integer points p (..., 3) with pbc."""
+        return f[p[..., 0] % n1, p[..., 1] % n2, p[..., 2] % n3]
+
+    def ongrid_step(p):
+        nbr = p[:, None, :] + offs[None, :, :]             # (B, 26, 3)
+        meas = (val(nbr) - val(p)[:, None]) * invd[None, :]
+        k = jnp.argmax(meas, axis=1)
+        best = jnp.max(meas, axis=1)
+        pm = nbr[jnp.arange(p.shape[0]), k]
+        return jnp.where((best > 0.0)[:, None], pm, p)
+
+    @jax.jit
+    def step(state):
+        p, dr, prev, done = state
+        e = jnp.eye(3, dtype=jnp.int32)
+        f0 = val(p)
+        fp = jnp.stack([val(p + e[d]) for d in range(3)], -1)  # (B, 3)
+        fm = jnp.stack([val(p - e[d]) for d in range(3)], -1)
+        glat = 0.5 * (fp - fm)
+        glat = jnp.where((fp < f0[:, None]) & (fm < f0[:, None]),
+                         0.0, glat)
+        gdir = glat @ G.T                                   # (B, 3)
+        gmax = jnp.abs(gdir).max(axis=1)
+        flat = gmax < 1e-30
+
+        nbr_any = (val(p[:, None, :] + offs[None, :, :])
+                   > f0[:, None]).any(-1)
+        ismax26 = ~nbr_any          # reference is_max (26 neighbors)
+
+        g = gdir / jnp.maximum(gmax, 1e-300)[:, None]
+        pm_g = p + jnp.rint(g).astype(jnp.int32)
+        dr_g = dr + g - jnp.rint(g)
+        pm_g = pm_g + jnp.rint(dr_g).astype(jnp.int32)
+        dr_g = dr_g - jnp.rint(dr_g)
+
+        pm_o = ongrid_step(p)
+
+        use_o = flat & ~ismax26
+        pm = jnp.where(use_o[:, None], pm_o, pm_g)
+        drn = jnp.where((flat | use_o)[:, None], 0.0, dr_g)
+        # cycle guard: revisiting the previous point -> ongrid + reset
+        cyc = (pm % jnp.asarray(shape) ==
+               prev % jnp.asarray(shape)).all(-1) & ~done
+        pm = jnp.where(cyc[:, None], pm_o, pm)
+        drn = jnp.where(cyc[:, None], 0.0, drn)
+
+        newdone = done | (flat & ismax26) | (pm == p).all(-1)
+        pm = jnp.where(newdone[:, None], p, pm)
+        drn = jnp.where(newdone[:, None], 0.0, drn)
+        return pm, drn, p, newdone
+
+    i0 = jnp.arange(N, dtype=jnp.int32)
+    p = jnp.stack([i0 // (n2 * n3), (i0 // n3) % n2, i0 % n3], -1)
+    dr = jnp.zeros((N, 3))
+    prev = p - 1
+    done = jnp.zeros((N,), bool)
+    state = (p, dr, prev, done)
+    if maxiter is None:
+        maxiter = 4 * max(shape) + 64
+    it = 0
+    while it < maxiter:
+        for _ in range(16):
+            state = step(state)
+            it += 1
+        if bool(state[3].all()):
+            break
+    p = np.asarray(state[0]) % np.asarray(shape)
+    return p[:, 0] * (n2 * n3) + p[:, 1] * n3 + p[:, 2]
+
+
 def bader_integrate(crystal, rho, block: int = 1 << 18,
-                    refine_iters: int = 4):
-    """Ongrid Bader assignment with edge refinement.
+                    refine_iters: int = 4, method: str = "ongrid"):
+    """Bader assignment: `ongrid` (pointer doubling + edge refinement)
+    or `neargrid` (exact batched correction-vector walks).
 
     rho: (n1,n2,n3) device array. Returns BaderResult.
     """
+    if method == "neargrid":
+        return _bader_from_roots(crystal, rho,
+                                 _neargrid_roots(crystal, rho))
+    if method != "ongrid":
+        raise ValueError(f"unknown bader method {method}")
     shape = tuple(int(s) for s in rho.shape)
     N = int(np.prod(shape))
     offs_np = _neighbor_offsets26()
@@ -150,3 +256,22 @@ def bader_integrate(crystal, rho, block: int = 1 << 18,
     return BaderResult(crystal=crystal, shape=shape, nattr=nattr,
                        xattr=xattr, iattr=i_at,
                        labels=np.asarray(labels).reshape(shape))
+
+
+def _bader_from_roots(crystal, rho, root_flat):
+    """Build a BaderResult from per-point attractor flat indices."""
+    shape = tuple(int(s) for s in rho.shape)
+    roots_np = np.unique(root_flat)
+    nattr = len(roots_np)
+    lut = {r: i for i, r in enumerate(roots_np)}
+    labels = np.vectorize(lut.get)(root_flat).astype(np.int32)
+    i_at = roots_np
+    x1 = i_at // (shape[1] * shape[2])
+    r = i_at - x1 * (shape[1] * shape[2])
+    x2 = r // shape[2]
+    x3 = r - x2 * shape[2]
+    xattr = np.stack([x1 / shape[0], x2 / shape[1], x3 / shape[2]],
+                     axis=1)
+    return BaderResult(crystal=crystal, shape=shape, nattr=nattr,
+                       xattr=xattr, iattr=i_at,
+                       labels=labels.reshape(shape))

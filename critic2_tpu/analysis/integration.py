@@ -92,10 +92,12 @@ def _match_attractors(crystal, xattr, ratom):
 
 def intgrid(system, method: str = "yt", ratom: float = 1.0,
             fields: dict | None = None, block: int = 1 << 16,
-            grid_shape=None):
+            grid_shape=None, bader_method: str = "neargrid"):
     """Run grid basin integration on the reference field of `system`.
 
-    method: "yt" or "bader". fields: optional {name: (n1,n2,n3) array} of
+    method: "yt" or "bader" (bader_method selects the reference's
+    NEARGRID default or ONGRID, src/bader@proc.f90:81).
+    fields: optional {name: (n1,n2,n3) array} of
     extra integrands on the same grid. The reference field must be (or is
     rasterized to) a grid; its core-augmented variant is used as basin
     field when the field has usecore set (reference
@@ -117,7 +119,8 @@ def intgrid(system, method: str = "yt", ratom: float = 1.0,
     if method == "yt":
         res = yt_integrate(c, rho, block=block)
     elif method == "bader":
-        res = bader_integrate(c, rho, block=max(block, 1 << 16))
+        res = bader_integrate(c, rho, block=max(block, 1 << 16),
+                              method=bader_method)
     else:
         raise ValueError(f"unknown integration method {method}")
 

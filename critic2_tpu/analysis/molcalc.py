@@ -2,8 +2,8 @@
 
 Role of the reference molcalc (src/molcalc@proc.F90:30-110): integrate an
 arithmetic expression over the Becke mesh of the current molecule; NELEC
-integrates the reference density. (PEACH and the libCINT HF energy arrive
-with the integrals milestone.)
+integrates the reference density; PEACH computes the Peach-Helgaker-
+Tozer excitation overlap; HF the Hartree-Fock total energy.
 """
 from __future__ import annotations
 
@@ -12,7 +12,7 @@ import numpy as np
 
 from .mesh import becke_mesh
 
-__all__ = ["molcalc_integral", "molcalc_nelec"]
+__all__ = ["molcalc_integral", "molcalc_nelec", "molcalc_peach"]
 
 
 def molcalc_integral(system, expr: str, lvl: str = "good",
@@ -33,6 +33,33 @@ def molcalc_nelec(system, lvl: str = "good") -> float:
     """Integrated number of electrons of the reference field."""
     ref = system.iref if system.iref is not None else 0
     return molcalc_integral(system, f"${ref}", lvl=lvl)
+
+
+def molcalc_peach(system, transitions, lvl: str = "good",
+                  block: int = 1 << 14) -> float:
+    """PEACH excitation overlap Lambda (Peach et al., JCP 128 (2008)
+    044118; reference molcalc_peach, src/molcalc@proc.F90:105-...):
+    Lambda = sum_t k_t^2 O_t / sum_t k_t^2 with
+    O_t = integral |phi_i| |phi_a| over the Becke mesh.
+
+    transitions: iterable of (imo1, imo2, k) with 1-based MO indices."""
+    f = system.ref
+    if f.type != "wfn":
+        raise ValueError("PEACH needs a molecular wavefunction "
+                         "reference field")
+    m = becke_mesh(system.crystal, lvl)
+    trans = [(int(i), int(a), float(k)) for i, a, k in transitions]
+    if not trans:
+        raise ValueError("no MO transitions given")
+    oia = np.zeros(len(trans))
+    for lo in range(0, m.n, block):
+        pts = m.x[lo:lo + block]
+        mo = np.abs(np.asarray(f.wfn.mo_values(pts)))    # (M, B)
+        w = m.w[lo:lo + pts.shape[0]]
+        for t, (i, a, k) in enumerate(trans):
+            oia[t] += float((mo[i - 1] * mo[a - 1] * w).sum())
+    k2 = np.array([k * k for _, _, k in trans])
+    return float((k2 * oia).sum() / k2.sum())
 
 
 def molcalc_hf(system, block: int = 96) -> dict:

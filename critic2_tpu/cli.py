@@ -634,7 +634,12 @@ class Repl:
         from .analysis.integration import intgrid
 
         sy = self.need_system()
-        res = intgrid(sy, method=method)
+        kw = {}
+        if method == "bader":
+            # reference BADER options: NEARGRID (default) / ONGRID
+            kw["bader_method"] = "ongrid" if any(
+                a.lower() == "ongrid" for a in args) else "neargrid"
+        res = intgrid(sy, method=method, **kw)
         self.write(f"+ {method.upper()}: {res.nattr_raw} attractors")
         self.write(res.table())
         for req in getattr(sy, "deloc_requests", []):
@@ -692,10 +697,27 @@ class Repl:
 
     def cmd_molcalc(self, args, lines):
         from .analysis.molcalc import (molcalc_hf, molcalc_integral,
-                                       molcalc_nelec)
+                                       molcalc_nelec, molcalc_peach)
 
         sy = self.need_system()
-        if not args or args[0].lower() == "nelec":
+        if args and args[0].lower() == "peach":
+            # block: lines "imo1 [->] imo2 k" until END/ENDMOLCALC
+            # (reference molcalc_peach input loop)
+            trans = []
+            for raw in lines:
+                t = raw.split("#")[0].strip()
+                if not t:
+                    continue
+                if t.lower() in ("end", "endmolcalc"):
+                    break
+                toks = [x for x in t.replace("->", " ").split()]
+                if len(toks) != 3:
+                    raise CliError(f"bad PEACH line: {raw!r}")
+                trans.append((int(toks[0]), int(toks[1]),
+                              float(toks[2])))
+            lam = molcalc_peach(sy, trans)
+            self.write(f"+ PEACH = {lam:.3f}")
+        elif not args or args[0].lower() == "nelec":
             v = molcalc_nelec(sy)
             self.write(f"+ MOLCALC NELEC = {v:.8f}")
         elif args[0].lower() == "hf":

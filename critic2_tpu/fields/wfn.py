@@ -210,6 +210,11 @@ class Wavefunction:
     wfntyp: str = "rhf"        # rhf | uhf | frac
     nalpha: int = 0
     source: str = ""
+    # EDF core density (ECP wavefunctions; reference calculate_edf)
+    edf_icenter: np.ndarray = None   # (Pc,) 0-based atom index
+    edf_itype: np.ndarray = None     # (Pc,) AIMPAC type
+    edf_e: np.ndarray = None         # (Pc,) exponents
+    edf_c: np.ndarray = None         # (Pc,) coefficients
     # device cache
     _dev: dict = dfield(default_factory=dict, repr=False)
 
@@ -236,6 +241,14 @@ class Wavefunction:
                 C=jnp.asarray(self.cmo),
                 occ=jnp.asarray(self.occ),
             )
+            if self.edf_e is not None:
+                lie = _LI[self.edf_itype - 1]
+                self._dev.update(
+                    ectr=jnp.asarray(self.atpos[self.edf_icenter]),
+                    elx=jnp.asarray(lie.T),
+                    eal=jnp.asarray(self.edf_e),
+                    ec=jnp.asarray(self.edf_c),
+                )
         return self._dev
 
     def eval_closure(self, nder: int = 2, extras: bool = False):
@@ -246,6 +259,11 @@ class Wavefunction:
         """
         d = self._device()
         ctrT, lx, al, C, occ = d["ctr"].T, d["lx"], d["al"], d["C"], d["occ"]
+        has_edf = "eal" in d
+        if has_edf:
+            ectrT, elx, eal, ec = (d["ectr"].T, d["elx"], d["eal"],
+                                   d["ec"])
+            enmax = int(np.max(np.asarray(elx))) + 2
 
         nmax = int(np.max(np.asarray(lx))) + 2
 
@@ -276,6 +294,26 @@ class Wavefunction:
             phi0 = C @ chi0                                 # (M, N) matmul
             rho = occ @ (phi0 * phi0)
             N = xT.shape[1]
+
+            # EDF core density: rho_c = sum_p c_p x^l y^m z^n e^{-a r^2}
+            # (reference calculate_edf; coefficients are raw, no gnorm)
+            if has_edf:
+                def pwe(X, n):
+                    nb = n[:, None]
+                    out = jnp.where(nb == 0, 1.0, 0.0)
+                    Xk = X
+                    for k in range(1, enmax + 1):
+                        out = jnp.where(nb == k, Xk, out)
+                        Xk = Xk * X
+                    return out
+
+                dxe = xT[:, None, :] - ectrT[:, :, None]    # (3, Pc, N)
+                r2e = (dxe * dxe).sum(0)
+                exe = ec[:, None] * jnp.exp(-eal[:, None] * r2e)
+                Xe, Ye, Ze = dxe[0], dxe[1], dxe[2]
+                ae, be, ce_ = elx[0], elx[1], elx[2]
+                xae, ybe, zce = pwe(Xe, ae), pwe(Ye, be), pwe(Ze, ce_)
+                rho = rho + (xae * ybe * zce * exe).sum(0)
             if nder < 1 and not extras:
                 return rho, jnp.zeros((3, N)), jnp.zeros((6, N))
 
@@ -287,6 +325,17 @@ class Wavefunction:
             phiz = C @ (xa * yb * dzc * ex)
             grad = jnp.stack([occ @ (phi0 * phix), occ @ (phi0 * phiy),
                               occ @ (phi0 * phiz)]) * 2.0
+            if has_edf:
+                edxa = ae[:, None] * pwe(Xe, ae - 1) \
+                    - 2.0 * eal[:, None] * pwe(Xe, ae + 1)
+                edyb = be[:, None] * pwe(Ye, be - 1) \
+                    - 2.0 * eal[:, None] * pwe(Ye, be + 1)
+                edzc = ce_[:, None] * pwe(Ze, ce_ - 1) \
+                    - 2.0 * eal[:, None] * pwe(Ze, ce_ + 1)
+                grad = grad + jnp.stack([
+                    (edxa * ybe * zce * exe).sum(0),
+                    (xae * edyb * zce * exe).sum(0),
+                    (xae * ybe * edzc * exe).sum(0)])
             gkin = 0.5 * (occ @ (phix * phix + phiy * phiy + phiz * phiz))
             if nder < 2 and not extras:
                 return rho, grad, jnp.zeros((6, N))
@@ -315,6 +364,24 @@ class Wavefunction:
                 2.0 * (occ @ (phi0 * phixz + phix * phiz)),
                 2.0 * (occ @ (phi0 * phiyz + phiy * phiz)),
             ])
+            if has_edf:
+                eal2 = 2.0 * eal[:, None]
+                esxa = (ae * (ae - 1))[:, None] * pwe(Xe, ae - 2) \
+                    - eal2 * (2 * ae + 1)[:, None] * xae \
+                    + 4.0 * eal[:, None] ** 2 * pwe(Xe, ae + 2)
+                esyb = (be * (be - 1))[:, None] * pwe(Ye, be - 2) \
+                    - eal2 * (2 * be + 1)[:, None] * ybe \
+                    + 4.0 * eal[:, None] ** 2 * pwe(Ye, be + 2)
+                eszc = (ce_ * (ce_ - 1))[:, None] * pwe(Ze, ce_ - 2) \
+                    - eal2 * (2 * ce_ + 1)[:, None] * zce \
+                    + 4.0 * eal[:, None] ** 2 * pwe(Ze, ce_ + 2)
+                h6 = h6 + jnp.stack([
+                    (esxa * ybe * zce * exe).sum(0),
+                    (xae * esyb * zce * exe).sum(0),
+                    (xae * ybe * eszc * exe).sum(0),
+                    (edxa * edyb * zce * exe).sum(0),
+                    (edxa * ybe * edzc * exe).sum(0),
+                    (xae * edyb * edzc * exe).sum(0)])
             if not extras:
                 return rho, grad, h6
             s6 = 0.5 * jnp.stack([
@@ -545,8 +612,8 @@ class Wavefunction:
     @classmethod
     def read_wfx(cls, path: str) -> "Wavefunction":
         """AIM .wfx reader (reference read_wfx,
-        src/wfn_private@proc.F90:588-...). EDF core functions are not
-        yet evaluated (ECP wfx will miss core density)."""
+        src/wfn_private@proc.F90:588-913), including the EDF core
+        density block of ECP wavefunctions."""
         text = open(path).read()
 
         def tag(name, dtype=float):
@@ -572,10 +639,20 @@ class Wavefunction:
         nmo = len(occ)
         npri = len(e)
         cmo = coefs.reshape(nmo, npri)
+        kw = {}
+        edf_e = tag("EDF Primitive Exponents")
+        if edf_e is not None and len(edf_e):
+            kw = dict(
+                edf_icenter=tag("EDF Primitive Centers",
+                                int).astype(np.int32) - 1,
+                edf_itype=tag("EDF Primitive Types",
+                              int).astype(np.int32),
+                edf_e=edf_e,
+                edf_c=tag("EDF Primitive Coefficients"))
         return cls(atpos=atpos, atz=atz.astype(int),
                    icenter=icenter.astype(np.int32) - 1,
                    itype=itype.astype(np.int32), e=e, cmo=cmo, occ=occ,
-                   source=path)
+                   source=path, **kw)
 
     @classmethod
     def read_fchk(cls, path: str, readvirtual: bool = False) -> "Wavefunction":

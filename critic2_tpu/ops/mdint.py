@@ -454,12 +454,17 @@ def eri_matrix(wfn, block: int | None = None):
 
 
 def rhf_energy(wfn, block: int = 256):
-    """RHF total energy from the wavefunction's MO coefficients
+    """HF total energy from the wavefunction's MO coefficients
     (no SCF: the fchk orbitals are already converged). Returns a dict
     with E_total, E1, E_J, E_K, E_nn.
+
+    RHF and fractional closed-shell occupations use the spin-summed
+    exchange factor occ_i occ_j / 4; UHF restricts exchange to
+    same-spin pairs (alpha MOs first, wfn.nalpha of them) with factor
+    occ_i occ_j / 2 (reference molcalc_hfenergy is RHF-only,
+    src/molcalc@proc.F90:243-299 - UHF is an extension here).
     """
-    if wfn.wfntyp != "rhf":
-        raise NotImplementedError("HF energy: RHF wavefunctions only")
+    uhf = wfn.wfntyp == "uhf"
     S, T, V = overlap_kinetic_nuclear(wfn)
     C = jnp.asarray(wfn.cmo)                      # (M, P) occupied
     occ = jnp.asarray(wfn.occ)
@@ -481,13 +486,19 @@ def rhf_energy(wfn, block: int = 256):
     Brows = []
     factors = []
     Cn = np.asarray(wfn.cmo)
+    spin_of = (np.arange(nmo) >= wfn.nalpha).astype(int) if uhf else None
     for i in range(nmo):
         for j in range(i, nmo):
+            if uhf:
+                if spin_of[i] != spin_of[j]:
+                    continue
+                base = float(wfn.occ[i]) * float(wfn.occ[j]) / 2.0
+            else:
+                base = float(wfn.occ[i]) * float(wfn.occ[j]) / 4.0
             d = Cn[i][iu] * Cn[j][ju] + Cn[i][ju] * Cn[j][iu]
             d = np.where(iu == ju, 0.5 * d, d)
             Brows.append(d)
-            factors.append((1.0 if i == j else 2.0)
-                           * float(wfn.occ[i]) * float(wfn.occ[j]) / 4.0)
+            factors.append((1.0 if i == j else 2.0) * base)
     B = jnp.asarray(np.stack(Brows))
     K_ij = jnp.einsum("np,pq,nq->n", B, Mj, B)
     # E_x = -1/4 sum_pqrs P_pr P_qs (pq|rs) = -sum_{ordered ij} occ_i

@@ -119,3 +119,60 @@ def test_franchini_periodic_mesh():
         out[lo:lo + xT.shape[1]] = np.asarray(promolecular_soa(
             xT, env.atpos, env.atspc, env.tab, nder=0)[0])
     assert abs(m.integrate(out) - 28.0) < 2e-3
+
+
+def test_peach_identity_transition(h2o):
+    """Lambda for a i->i 'transition' is the self-overlap integral
+    int |phi_i|^2 = 1 for a normalized occupied MO (reference
+    molcalc_peach, src/molcalc@proc.F90:105)."""
+    from critic2_tpu.analysis.molcalc import molcalc_peach
+
+    h2o.load_field(H2O_WFX)
+    lam = molcalc_peach(h2o, [(1, 1, 1.0)])
+    assert abs(lam - 1.0) < 5e-4
+    # disjoint orbitals overlap less than identical ones
+    lam2 = molcalc_peach(h2o, [(1, 5, 0.7)])
+    assert 0.0 < lam2 < 1.0
+
+
+def test_wfx_edf_core_density():
+    """Synthetic EDF block: the core density c exp(-a r^2) adds to rho
+    with exact analytic derivatives (reference calculate_edf,
+    src/wfn_private@proc.F90)."""
+    import jax.numpy as jnp
+
+    from critic2_tpu.fields.wfn import Wavefunction
+
+    w = Wavefunction(atpos=np.zeros((1, 3)), atz=np.array([26]),
+                     icenter=np.array([0]), itype=np.array([1]),
+                     e=np.array([1.0]), cmo=np.zeros((1, 1)),
+                     occ=np.array([0.0]),
+                     edf_icenter=np.array([0]), edf_itype=np.array([1]),
+                     edf_e=np.array([2.5]), edf_c=np.array([3.0]))
+    pts = np.array([[0.3, 0.2, 0.1], [1.0, 0.0, 0.0]])
+    rho, g, h6 = w.rho_eval_soa(jnp.asarray(pts).T, nder=2)
+    r2 = (pts ** 2).sum(1)
+    ref = 3.0 * np.exp(-2.5 * r2)
+    np.testing.assert_allclose(np.asarray(rho), ref, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g), (-2 * 2.5 * pts.T) * ref,
+                               rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(h6)[0], (4 * 2.5 ** 2 * pts[:, 0] ** 2 - 2 * 2.5) * ref,
+        rtol=1e-12)
+
+
+def test_uhf_hf_energy_consistency():
+    """A UHF wavefunction with identical alpha/beta orbitals must give
+    the RHF energy (same density, same exchange)."""
+    from critic2_tpu.ops.mdint import rhf_energy
+
+    w = Wavefunction.read_wfx(H2O_WFX)
+    res_rhf = rhf_energy(w)
+    # split each doubly-occupied MO into alpha+beta singly-occupied
+    w2 = Wavefunction(atpos=w.atpos, atz=w.atz, icenter=w.icenter,
+                      itype=w.itype, e=w.e,
+                      cmo=np.vstack([w.cmo, w.cmo]),
+                      occ=np.concatenate([w.occ / 2, w.occ / 2]),
+                      wfntyp="uhf", nalpha=w.nmo)
+    res_uhf = rhf_energy(w2)
+    assert abs(res_uhf["E_total"] - res_rhf["E_total"]) < 1e-8

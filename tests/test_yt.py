@@ -128,3 +128,28 @@ def test_yt_charges_parity_native():
     _, q_seq = native.yt_charges(rho, offs, wts, rho)
     assert len(q) == len(q_seq)
     assert np.max(np.abs(q - np.sort(q_seq))) < 1e-9
+
+
+def test_bader_neargrid_matches_attractors(rng):
+    """Exact neargrid walks find the same attractors as ongrid and give
+    a charge-conserving assignment (reference NEARGRID default,
+    src/bader@proc.f90:81,363-431)."""
+    import numpy as np
+    from critic2_tpu.analysis.bader import bader_integrate
+    from critic2_tpu.crystal.crystal import Crystal, Species
+
+    n = (18, 16, 14)
+    i, j, k = np.meshgrid(*[np.arange(x) for x in n], indexing="ij")
+    rho = (2.0 + np.cos(2 * np.pi * i / n[0]) * np.cos(2 * np.pi * j / n[1])
+           + 0.5 * np.cos(2 * np.pi * k / n[2]) + 0.02 * rng.random(n))
+    c = Crystal(m_x2c=np.diag([8.0, 7.0, 6.0]),
+                x_frac=np.array([[0.0, 0.0, 0.0]]),
+                species_of=np.array([0]), species=[Species("X", 10)])
+    r1 = bader_integrate(c, rho, method="ongrid")
+    r2 = bader_integrate(c, rho, method="neargrid")
+    assert r2.nattr == r1.nattr
+    assert set(map(tuple, r2.iattr.reshape(-1, 1))) == \
+        set(map(tuple, r1.iattr.reshape(-1, 1)))
+    assert abs(r2.integrate(rho).sum() - rho.sum()) < 1e-8
+    # boundaries may differ but the assignments agree in the bulk
+    assert (r1.labels == r2.labels).mean() > 0.9
