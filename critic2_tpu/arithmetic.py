@@ -23,6 +23,8 @@ import re
 import jax
 import jax.numpy as jnp
 
+from . import param
+
 __all__ = ["compile_expr", "eval_expr", "eval_const", "ExprError"]
 
 CTF = (3.0 / 10.0) * (3.0 * jnp.pi ** 2) ** (2.0 / 3.0)
@@ -55,6 +57,12 @@ _MODS = ("", "v", "c", "x", "y", "z", "g", "xx", "xy", "xz", "yx", "yy",
          "yz", "zx", "zy", "zz", "l", "lv", "lc")
 
 _FIELD_RE = re.compile(r"\$(\w+)(?::(\w+))?")
+_SVAR_RE = re.compile(r"@(\w+)(?::(\w+))?")
+
+_SVARS = ("dnuc", "xnucx", "ynucx", "znucx", "xnucc", "ynucc", "znucc",
+          "xx", "yx", "zx", "xc", "yc", "zc", "xm", "ym", "zm",
+          "xxr", "yxr", "zxr", "idnuc", "nidnuc", "rho0nuc", "spcnuc",
+          "zatnuc")
 
 
 class _Ctx:
@@ -77,7 +85,88 @@ class _Ctx:
         return out
 
     # ---- field reference with modifier --------------------------------
+    def svar(self, name, fder=""):
+        """Structural variables @dnuc/@xx/... (reference structvareval,
+        src/arithmetic@proc.F90 structural-variable enum and evaluator).
+        Geometry-only variables are traced (jnp); closest-nucleus ones
+        are host-evaluated."""
+        import numpy as _np
+
+        name = name.lower()
+        if name not in _SVARS:
+            raise ExprError(f"unknown structural variable @{name}")
+        c = self.system.crystal
+        # the reference prints molecule coordinates in the input frame
+        # and default units (dunit0(iunit)): Angstrom for molecules
+        scale = param.BOHR_TO_ANGSTROM if c.ismolecule else 1.0
+        molx0 = _np.asarray(c.molx0) if (c.ismolecule and
+                                         c.molx0 is not None) else 0.0
+        if name in ("xc", "yc", "zc"):
+            return self.xT["xyz".index(name[0])]
+        if name in ("xm", "ym", "zm"):
+            i = "xyz".index(name[0])
+            off = molx0[i] if _np.ndim(molx0) else 0.0
+            return (self.xT[i] + off) * scale
+        if name in ("xx", "yx", "zx"):
+            wx = jnp.asarray(c.m_c2x) @ self.xT
+            return wx["xyz".index(name[0])]
+        if name in ("xxr", "yxr", "zxr"):
+            wxr = jnp.asarray(c.m_x2xr @ c.m_c2x) @ self.xT
+            return wxr["xyz".index(name[0])]
+        if isinstance(self.xT, jax.core.Tracer):
+            raise ExprError(f"@{name} is host-evaluated and cannot be "
+                            "used inside differentiated/ghost fields")
+        pts = _np.asarray(self.xT).T
+        nid, dist = c.identify_atom(pts, icrd=param.ICRD_CART,
+                                    distmax=_np.inf)
+        if fder:
+            want = int(fder) - 1
+            ok = nid == want
+        else:
+            ok = _np.ones(len(nid), bool)
+        z = _np.zeros(len(nid))
+        if name == "dnuc":
+            out = dist * scale
+        elif name in ("xnucx", "ynucx", "znucx"):
+            out = _np.asarray(c.x_frac)[nid, "xyz".index(name[0])]
+        elif name in ("xnucc", "ynucc", "znucc"):
+            i = "xyz".index(name[0])
+            xc_ = _np.asarray(c.x_cart)[nid, i]
+            off = molx0[i] if _np.ndim(molx0) else 0.0
+            out = (xc_ + off) * scale
+        elif name == "idnuc":
+            out = nid + 1.0
+        elif name == "nidnuc":
+            sg = c.spacegroup
+            out = _np.asarray(sg.orbit_of)[nid] + 1.0
+        elif name == "spcnuc":
+            out = _np.asarray(c.species_of)[nid] + 1.0
+        elif name == "zatnuc":
+            out = _np.asarray([c.species[s].z for s in
+                               _np.asarray(c.species_of)[nid]],
+                              dtype=float)
+        else:   # rho0nuc: all-electron atomic density at dist
+            from .fields.grid1 import atomic_density_at
+
+            zs = _np.asarray([c.species[s].z for s in
+                              _np.asarray(c.species_of)[nid]])
+            out = atomic_density_at(zs, dist)
+        return jnp.asarray(_np.where(ok, out, z))
+
     def field(self, fid, mod):
+        if isinstance(fid, str) and fid.lower() == "ewald" and \
+                fid not in getattr(self.system, "aliases", {}):
+            # special field $ewald (reference isspecialfield/
+            # specialfieldeval, src/arithmetic@proc.F90:939-946, :2258)
+            import numpy as _np
+
+            if isinstance(self.xT, jax.core.Tracer):
+                raise ExprError("$ewald is host-evaluated and cannot be "
+                                "traced")
+            from .analysis.ewald import ewald_potential
+
+            return jnp.asarray(ewald_potential(
+                self.system.crystal, _np.asarray(self.xT).T))
         mod = mod.lower()
         if mod not in _MODS:
             raise ExprError(f"unknown field modifier :{mod}")
@@ -305,7 +394,8 @@ class _Validator(ast.NodeVisitor):
             raise ExprError("only simple function calls allowed")
         name = node.func.id
         if name not in _MATH and name.lower() not in _CHEM and \
-                name.lower() != "xc" and name not in ("__field__",):
+                name.lower() != "xc" and name not in ("__field__",
+                                                      "__svar__"):
             raise ExprError(f"unknown function {name}")
         # the reference grammar has no keyword arguments; rejecting them
         # also closes an eval() escape through unvisited keyword values
@@ -324,6 +414,10 @@ class _Validator(ast.NodeVisitor):
 def _desugar(expr: str) -> str:
     expr = _FIELD_RE.sub(
         lambda m: f'__field__("{m.group(1)}","{m.group(2) or ""}")', expr)
+    # @name structural variables (reference token_structvar parse,
+    # src/arithmetic@proc.F90:715-723)
+    expr = _SVAR_RE.sub(
+        lambda m: f'__svar__("{m.group(1)}","{m.group(2) or ""}")', expr)
     # ^ is exponentiation in the reference grammar
     expr = expr.replace("^", "**")
     return expr
@@ -378,6 +472,7 @@ def compile_expr(expr: str, system, periodic: bool | None = None):
         glb = {"__builtins__": {}, "pi": jnp.pi, "e": jnp.e,
                "xc": _xc,
                "__field__": lambda fid, mod: ctx.field(fid, mod),
+               "__svar__": lambda nm, fder: ctx.svar(nm, fder),
                "__chem__": lambda nm, fid, *extra: ctx.chem(
                    nm, fid if fid is not None else system.iref or 0,
                    *extra)}

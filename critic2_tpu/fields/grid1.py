@@ -191,3 +191,24 @@ class RadialTableSet:
             out["fp"][i, : g.ngrid] = g.fp
             out["fpp"][i, : g.ngrid] = g.fpp
         return cls(zq=zq, **out)
+
+
+def atomic_density_at(zs, dist):
+    """All-electron atomic density rho_at(z, r) per point (host helper
+    for the @rho0nuc structural variable; reference structvareval uses
+    agrid(iz)%interp, src/arithmetic@proc.F90)."""
+    import numpy as np
+
+    from .promol import _radial_interp, promol_tables
+
+    zs = np.asarray(zs, dtype=int)
+    dist = np.asarray(dist, dtype=float)
+    uniq = sorted(set(int(z) for z in zs))
+    ts = RadialTableSet.build([(z, 0) for z in uniq])
+    tab = promol_tables(ts)
+    sidx = np.asarray([uniq.index(int(z)) for z in zs])
+    import jax.numpy as jnp
+
+    rho, _, _ = _radial_interp(tab, jnp.asarray(sidx),
+                               jnp.asarray(dist))
+    return np.asarray(rho)

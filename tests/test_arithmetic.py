@@ -123,3 +123,52 @@ def test_expr_rejects_keyword_arguments():
         eval_const("__import__('os')")
     assert abs(eval_const("2^3 + sqrt(4)") - 10.0) < 1e-12
     assert abs(eval_const("a*2", {"a": 3.5}) - 7.0) < 1e-12
+
+
+def test_structural_variables():
+    """@dnuc/@xx/@idnuc/... structural variables (reference
+    structvareval, src/arithmetic@proc.F90 svar enum)."""
+    from critic2_tpu.crystal.crystal import Crystal, Species
+    from critic2_tpu.system import System
+
+    c = Crystal(m_x2c=np.diag([6.0, 6.0, 6.0]),
+                x_frac=np.array([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]]),
+                species_of=np.array([0, 1]),
+                species=[Species("Na", 11), Species("Cl", 17)])
+    s = System.from_structure(c)
+    pts = np.array([[1.0, 0.5, 0.3], [3.2, 3.0, 2.8]])
+    d = np.asarray(s.eval_expr("@dnuc", pts))
+    np.testing.assert_allclose(d[0], np.linalg.norm(pts[0]), rtol=1e-12)
+    np.testing.assert_allclose(
+        d[1], np.linalg.norm(pts[1] - [3.0, 3.0, 3.0]), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(s.eval_expr("@idnuc", pts)),
+                               [1.0, 2.0])
+    np.testing.assert_allclose(np.asarray(s.eval_expr("@zatnuc", pts)),
+                               [11.0, 17.0])
+    np.testing.assert_allclose(np.asarray(s.eval_expr("@xx", pts)),
+                               pts[:, 0] / 6.0)
+    np.testing.assert_allclose(np.asarray(s.eval_expr("@xnucx", pts)),
+                               [0.0, 0.5])
+    rho0 = np.asarray(s.eval_expr("@rho0nuc", pts))
+    assert (rho0 > 0).all() and rho0[1] > rho0[0]
+    # combined with fields
+    v = np.asarray(s.eval_expr("@dnuc * $0 + @zatnuc", pts))
+    assert np.isfinite(v).all()
+
+
+def test_ewald_special_field():
+    """$ewald special field (reference isspecialfield/specialfieldeval,
+    src/arithmetic@proc.F90:939-946)."""
+    from critic2_tpu.analysis.ewald import ewald_potential
+    from critic2_tpu.crystal.crystal import Crystal, Species
+    from critic2_tpu.system import System
+
+    c = Crystal(m_x2c=np.diag([6.0, 6.0, 6.0]),
+                x_frac=np.array([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]]),
+                species_of=np.array([0, 1]),
+                species=[Species("Na", 11), Species("Cl", 17)])
+    s = System.from_structure(c)
+    pts = np.array([[1.0, 0.5, 0.3], [2.0, 1.0, 0.8]])
+    v = np.asarray(s.eval_expr("$ewald", pts))
+    ref = np.asarray(ewald_potential(c, pts))
+    np.testing.assert_allclose(v, ref, rtol=1e-12)
