@@ -222,6 +222,13 @@ def gen_seeds(crystal, seeds: list[Seed]) -> np.ndarray:
             xs.append(crystal.c2x(np.concatenate(out)))
         elif s.typ == "point":
             xs.append(np.atleast_2d(np.asarray(s.x0, dtype=float)))
+        elif s.typ == "mesh":
+            # molecular integration mesh nodes as seeds (reference
+            # styp_mesh, src/autocp@proc.f90:498-500)
+            from .mesh import becke_mesh
+
+            m = becke_mesh(crystal, getattr(s, "level", None) or "small")
+            xs.append(crystal.c2x(m.x))
         else:
             raise ValueError(f"unknown seed type {s.typ}")
     if not xs:
@@ -287,7 +294,8 @@ def autocp(system, seeds: list[Seed] | None = None, gfnormeps: float = 1e-12,
            cpeps: float = 1e-2, nuceps: float | None = None,
            nucepsh: float | None = None, hdegen: float = 1e-8,
            maxit: int = 200, discard=None, cpl: CPList | None = None,
-           chunk: int = 65536, verbose: bool = False) -> CPList:
+           chunk: int = 65536, verbose: bool = False,
+           clip=None) -> CPList:
     """Run the automatic CP search on the system's reference field.
 
     Defaults mirror the reference (src/autocp@proc.f90:125-148): WS seed
@@ -314,10 +322,30 @@ def autocp(system, seeds: list[Seed] | None = None, gfnormeps: float = 1e-12,
 
     # prune: wrap into the main cell; molecules: clip to molcell border
     xseed = np.mod(xseed, 1.0)
+    if clip is not None:
+        # CLIP CUBE x0 x1 / CLIP SPHERE x0 rad, crystallographic coords
+        # (reference iclip, src/autocp@proc.f90:44-46, :594-655)
+        kind = clip[0].lower()
+        if kind == "cube":
+            lo = np.minimum(np.asarray(clip[1], float),
+                            np.asarray(clip[2], float))
+            hi = np.maximum(np.asarray(clip[1], float),
+                            np.asarray(clip[2], float))
+            keep = np.all((xseed >= lo) & (xseed <= hi), axis=1)
+        elif kind == "sphere":
+            d = np.asarray(c.distance(
+                xseed, np.tile(np.asarray(clip[1], float),
+                               (len(xseed), 1))))
+            keep = d <= float(clip[2])
+        else:
+            raise ValueError(f"unknown clip kind {clip[0]}")
+        xseed = xseed[keep]
     if c.ismolecule:
         b = c.molborder
         keep = np.all((xseed >= b) & (xseed <= 1.0 - b), axis=1)
         xseed = xseed[keep]
+    if len(xseed) == 0:
+        return cpl or init_cplist(system)
     # dedup seeds (reference uses uniqc)
     xseed = np.unique(np.round(xseed, 10), axis=0)
     cart = c.x2c(xseed)
@@ -488,3 +516,63 @@ def makegraph(system, cpl: CPList, change: float = 1e-2,
             if status[j] == 0 and termid[j] >= 0:
                 cp.ipath[d] = int(tgt_ids[termid[j]])
     return cpl
+
+
+def critshell(system, cpl: CPList, shmax: int = 10):
+    """Shells of critical points around each nonequivalent CP
+    (reference critshell, src/autocp@proc.f90:962-1051): for every CP,
+    the shmax nearest distinct CP-CP distances, their multiplicities
+    and the shell member's CP index. Returns (dist (ncp, shmax),
+    nneig (ncp, shmax), wcp (ncp, shmax)); unused slots hold 1e30/0."""
+    c = system.crystal
+    # complete (cell) CP list: expand nonequivalent CPs by symmetry orbit
+    sg = c.spacegroup
+    cell_x, cell_idx = [], []
+    for i, cp in enumerate(cpl.cps):
+        xs = np.mod(sg.rotations @ cp.x + sg.translations, 1.0)
+        seen = []
+        for x in xs:
+            if not any(np.linalg.norm((x - y + 0.5) % 1.0 - 0.5) < 1e-5
+                       for y in seen):
+                seen.append(x)
+        cell_x.extend(seen)
+        cell_idx.extend([i] * len(seen))
+    cell_x = np.asarray(cell_x)
+    cell_idx = np.asarray(cell_idx)
+
+    lvecs = (np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1],
+                                  indexing="ij"), -1).reshape(-1, 3)
+             if not c.ismolecule else np.zeros((1, 3)))
+    ncp = len(cpl.cps)
+    dist = np.full((ncp, shmax), 1e30)
+    nneig = np.zeros((ncp, shmax), dtype=int)
+    wcp = np.zeros((ncp, shmax), dtype=int)
+    m = np.asarray(c.m_x2c)
+    for i, cp in enumerate(cpl.cps):
+        x0 = m @ cp.x
+        allx = (cell_x[:, None, :] + lvecs[None, :, :]).reshape(-1, 3)
+        alli = np.repeat(cell_idx, len(lvecs))
+        d = np.linalg.norm(allx @ m.T - x0, axis=1)
+        order = np.argsort(d)
+        for k in order:
+            d2 = d[k]
+            if d2 < 1e-12:
+                continue
+            placed = False
+            for sl in range(shmax):
+                if abs(d2 - dist[i, sl]) < 1e-8:
+                    nneig[i, sl] += 1
+                    placed = True
+                    break
+                if d2 < dist[i, sl]:
+                    dist[i, sl + 1:] = dist[i, sl:-1]
+                    nneig[i, sl + 1:] = nneig[i, sl:-1]
+                    wcp[i, sl + 1:] = wcp[i, sl:-1]
+                    dist[i, sl] = d2
+                    nneig[i, sl] = 1
+                    wcp[i, sl] = alli[k] + 1
+                    placed = True
+                    break
+            if not placed:
+                break
+    return dist, nneig, wcp

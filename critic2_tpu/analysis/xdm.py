@@ -200,12 +200,19 @@ def xdm_grid(system, a1: float = 0.6836, a2_ang: float = 1.5045,
     ml *= scale
     avol *= scale
 
+    return _xdm_coefs_energy(c, zs, ml, avol, a1, a2_ang, upto, ecut)
+
+
+def _xdm_coefs_energy(c, zs, ml, avol, a1, a2_ang, upto, ecut):
+    """Coefficients + damped dispersion energy shared by the grid and
+    wfn variants (reference calc_coefs/calc_edisp,
+    src/xdm@proc.f90:577-705)."""
+    nat = len(zs)
     xd = _xdmdata()
     vfree = np.array([xd["frevol0"][z] for z in zs])
     alpha = np.minimum(avol / vfree, 1.0) * \
         np.array([xd["alpha_free"][z - 1] for z in zs])
 
-    # dispersion coefficients (reference :577-607)
     c6 = np.zeros((nat, nat))
     c8 = np.zeros((nat, nat))
     c10 = np.zeros((nat, nat))
@@ -224,16 +231,16 @@ def xdm_grid(system, a1: float = 0.6836, a2_ang: float = 1.5045,
     a2 = a2_ang * param.ANGSTROM_TO_BOHR
     rvdw = a1 * rc + a2
 
-    # damped pairwise energy over the lattice (reference :645-705)
     maxc6 = c6.max()
     rmax = (maxc6 / ecut) ** (1.0 / 6.0)
     pos_env, spc_env, cidx_env = c.atomic_environment(rmax)
     xc_at = np.asarray(c.x_cart)
+    nat_ = nat
     etotal = 0.0
-    forces = np.zeros((nat, 3))
+    forces = np.zeros((nat_, 3))
     ehadd = {6: 0.0, 8: 0.0, 10: 0.0}
     cn_by_order = {6: c6, 8: c8, 10: c10}
-    for ii in range(nat):
+    for ii in range(nat_):
         d = pos_env - xc_at[ii][None, :]
         ri = np.linalg.norm(d, axis=1)
         sel = (ri > 1e-10) & (ri < rmax)
@@ -254,3 +261,71 @@ def xdm_grid(system, a1: float = 0.6836, a2_ang: float = 1.5045,
     return XDMResult(volumes=avol, vfree=vfree, moments=ml, alpha=alpha,
                      c6=c6, c8=c8, c10=c10, rc=rc, rvdw=rvdw,
                      energy=float(etotal), forces=forces, ehadd=ehadd)
+
+
+def xdm_wfn(system, a1: float = 0.6836, a2_ang: float = 1.5045,
+            upto: int = 10, ecut: float = 1e-11, lvl: str = "good",
+            block: int = 1 << 13) -> XDMResult:
+    """Molecular XDM from the wavefunction on a Becke mesh (reference
+    xdm_wfn, src/xdm@proc.f90:1014-1164): BR hole displacement b from
+    the exact rho/grad/lap/tau, Hirshfeld weights from free-atom radial
+    densities, and <M_l^2> moments integrated per atom on the mesh."""
+    import jax.numpy as jnp
+
+    from .mesh import becke_mesh
+    from ..fields.grid1 import RadialTableSet
+    from ..fields.promol import _radial_interp, promol_tables
+
+    c = system.crystal
+    f = system.ref
+    if f.type != "wfn":
+        raise ValueError("XDM (molecular) needs a wavefunction "
+                         "reference field")
+    if f.wfn.wfntyp != "rhf":
+        raise ValueError("XDM: open-shell wavefunctions not supported "
+                         "(as in the reference)")
+    m = becke_mesh(c, lvl)
+    npts = m.n
+    rho = np.empty(npts)
+    b = np.empty(npts)
+    for lo in range(0, npts, block):
+        xT = jnp.asarray(m.x[lo:lo + block].T)
+        ex = f.wfn.extras_soa(xT)
+        r_ = np.asarray(ex["rho"])
+        g_ = np.sqrt(np.asarray((ex["grad"] ** 2).sum(0)))
+        l_ = np.asarray(ex["h6"][0] + ex["h6"][1] + ex["h6"][2])
+        t_ = np.asarray(ex["gkin"])
+        rho[lo:lo + len(r_)] = r_
+        b[lo:lo + len(r_)] = np.asarray(
+            br_hole_b(jnp.asarray(r_), jnp.asarray(g_), jnp.asarray(l_),
+                      jnp.asarray(t_)))
+
+    zs = np.asarray(c.zatoms)
+    nat = c.ncel
+    zq = sorted({(int(z), 0) for z in zs})
+    ts = RadialTableSet.build(zq)
+    tab = promol_tables(ts)
+    zq_index = {t: q for q, t in enumerate(zq)}
+    xc_at = np.asarray(c.x_cart)
+
+    # free atomic densities at the mesh points
+    rfree = np.zeros((nat, npts))
+    for iat in range(nat):
+        r = np.linalg.norm(m.x - xc_at[iat][None, :], axis=1)
+        sidx = np.full(npts, zq_index[(int(zs[iat]), 0)], dtype=np.int32)
+        rf, _, _ = _radial_interp(tab, jnp.asarray(sidx), jnp.asarray(r))
+        rfree[iat] = np.maximum(np.asarray(rf), 0.0)
+    promol = np.maximum(rfree.sum(0), 1e-40)
+
+    ml = np.zeros((nat, 3))
+    avol = np.zeros(nat)
+    for iat in range(nat):
+        r = np.linalg.norm(m.x - xc_at[iat][None, :], axis=1)
+        hw = np.maximum(rfree[iat], 1e-40) / promol
+        w = m.w * hw * rho
+        rb = np.maximum(r - b, 0.0)
+        for L in (1, 2, 3):
+            ml[iat, L - 1] = (w * (r ** L - rb ** L) ** 2).sum()
+        avol[iat] = (w * r ** 3).sum()
+
+    return _xdm_coefs_energy(c, zs, ml, avol, a1, a2_ang, upto, ecut)

@@ -529,8 +529,9 @@ class Repl:
     # ------------------------------------------------------------------
     def cmd_auto(self, args, lines):
         """AUTO [GRADEPS e] [CPEPS e] [NUCEPS e] [NUCEPSH e] [DRY]
-        [SEED WS|PAIR|TRIPLET|LINE|SPHERE|OH|POINT [DEPTH n] [RADIUS r]
-        [NPTS n] [NTHETA n] [NPHI n] [NR n] [X0 x y z]] [GRAPH]
+        [SEED WS|PAIR|TRIPLET|LINE|SPHERE|OH|POINT|MESH [DEPTH n]
+        [RADIUS r] [NPTS n] [NTHETA n] [NPHI n] [NR n] [X0 x y z]]
+        [CLIP CUBE x0 x1 | CLIP SPHERE x0 rad] [GRAPH]
         (reference autocritic options, src/autocp@proc.f90:155-445)."""
         from .analysis.autocp import Seed, autocp, makegraph
 
@@ -542,6 +543,13 @@ class Repl:
                           ("epsdegen", "hdegen")):
             if key in low:
                 kw[name] = float(args[low.index(key) + 1])
+        if "clip" in low:
+            i = low.index("clip")
+            kind = low[i + 1]
+            vals = [float(v) for v in args[i + 2:i + 2 + (6 if kind ==
+                                                          "cube" else 4)]]
+            kw["clip"] = ((kind, vals[0:3], vals[3:6]) if kind == "cube"
+                          else (kind, vals[0:3], vals[3]))
         seeds = []
         i = 0
         while i < len(low):
@@ -607,6 +615,23 @@ class Repl:
     def cmd_cpreport(self, args, lines):
         if self.cpl is None:
             raise CliError("no CP list (run AUTO)")
+        low = [a.lower() for a in args]
+        if low and low[0] == "shells":
+            # reference CPREPORT SHELLS n -> critshell
+            # (src/autocp@proc.f90:826-829, :962-1051)
+            from .analysis.autocp import critshell
+
+            n = int(args[1]) if len(args) > 1 else 10
+            dist, nneig, wcp = critshell(self.need_system(), self.cpl, n)
+            self.write("# cp  shell   dist(bohr)  mult  neighbor-cp")
+            for i, cp in enumerate(self.cpl.cps):
+                for sl in range(n):
+                    if dist[i, sl] > 1e29:
+                        break
+                    self.write(f"{cp.name:>5s} {sl + 1:5d}  "
+                               f"{dist[i, sl]:11.6f} {nneig[i, sl]:5d}"
+                               f" {wcp[i, sl]:5d}")
+            return
         # file output: obj/ply/off scenes (reference CPREPORT writers)
         if args and args[0].lower().endswith((".obj", ".ply", ".off")):
             from .analysis.flux import cpreport_scene
@@ -854,7 +879,7 @@ class Repl:
         self.write(res.table())
 
     def cmd_xdm(self, args, lines):
-        from .analysis.xdm import xdm_grid
+        from .analysis.xdm import xdm_grid, xdm_wfn
 
         sy = self.need_system()
         kw = {}
@@ -864,7 +889,12 @@ class Repl:
                 kw["a2_ang"] = float(args[1])
             except ValueError:
                 pass
-        res = xdm_grid(sy, **kw)
+        # molecular wavefunction reference -> mesh variant (reference
+        # xdm_wfn, src/xdm@proc.f90:1014)
+        if sy.ref.type == "wfn":
+            res = xdm_wfn(sy, **kw)
+        else:
+            res = xdm_grid(sy, **kw)
         self.write(f"+ XDM: Evdw = {res.energy:.10e} Ha")
         for nn, v in res.ehadd.items():
             self.write(f"  Evdw{nn} = {v:.10e} Ha")

@@ -83,3 +83,33 @@ def test_autocp_water_molecule():
     assert b == 2  # two O-H bonds
     # molecule PH: n - b + r - c = 1
     assert cpl.poincare_hopf() == 1
+
+
+def test_autocp_clip_and_mesh_seed():
+    """CLIP seed filtering (reference iclip, src/autocp@proc.f90:594-655)
+    and the molecular-mesh seed strategy (styp_mesh :498)."""
+    import numpy as np
+
+    from critic2_tpu.analysis.autocp import Seed, autocp, critshell
+    from critic2_tpu.crystal.seed import read_structure
+    from critic2_tpu.system import System
+    import os, tempfile
+
+    d = tempfile.mkdtemp()
+    with open(os.path.join(d, "h2o.xyz"), "w") as fh:
+        fh.write("3\nwater\nO 0.0 0.0 0.1173\nH 0.0 0.7572 -0.4692\n"
+                 "H 0.0 -0.7572 -0.4692\n")
+    s = System.from_structure(os.path.join(d, "h2o.xyz"), mol=True)
+    cpl = autocp(s, seeds=[Seed(typ="mesh")])
+    counts = cpl.counts()
+    assert counts[0] == 3 and counts[1] >= 2    # nuclei + O-H bonds
+    # clip to an empty cube -> no new CPs beyond the nuclei
+    cpl2 = autocp(s, seeds=[Seed(typ="mesh")],
+                  clip=("cube", [0.0, 0.0, 0.0], [0.01, 0.01, 0.01]))
+    assert cpl2.counts()[1] == 0
+    # shell distances are symmetric for the two equivalent O-H bond CPs
+    dist, nneig, wcp = critshell(s, cpl, 3)
+    bonds = [i for i, cp in enumerate(cpl.cps) if cp.typ == -1]
+    if len(bonds) == 2:
+        np.testing.assert_allclose(dist[bonds[0], 0], dist[bonds[1], 0],
+                                   atol=1e-6)

@@ -85,3 +85,22 @@ def test_xdm_grid_argon_crystal():
     assert (res.rvdw > res.rc * 0.68).all()
     # forces vanish by symmetry in fcc
     assert np.abs(res.forces).max() < 1e-6
+
+
+@pytest.mark.slow
+def test_xdm_wfn_h2o():
+    """Molecular XDM on the Becke mesh (reference xdm_wfn,
+    src/xdm@proc.f90:1014): sensible volumes/alpha and a small negative
+    dispersion energy for a single water molecule."""
+    from critic2_tpu.analysis.xdm import xdm_wfn
+    from critic2_tpu.system import System
+
+    path = "/root/reference/tests_libxc/h2o.wfx"
+    s = System.from_structure(path)
+    s.load_field(path)
+    res = xdm_wfn(s, lvl="small")
+    assert res.energy < 0.0
+    assert 15.0 < res.volumes[0] < 30.0       # O
+    assert 2.0 < res.volumes[1] < 10.0        # H
+    assert (res.alpha > 0).all() and (res.alpha < 10).all()
+    assert res.c6[0, 0] > res.c6[1, 1]        # C6(O) > C6(H)
