@@ -11,7 +11,7 @@ import numpy as np
 from ..io.graphics import Scene
 from ..ops.ode import trace_paths_recorded
 
-__all__ = ["fluxprint", "cpreport_scene"]
+__all__ = ["fluxprint", "cpreport_scene", "write_cml"]
 
 _CPCOLOR = {-3: (0.2, 0.7, 0.2), -1: (0.9, 0.1, 0.1),
             1: (0.9, 0.9, 0.1), 3: (0.2, 0.2, 0.9)}
@@ -60,10 +60,56 @@ def cpreport_scene(system, cpl, file: str, graph: bool = True,
     return scene
 
 
+def write_cml(system, path_points, file):
+    """CML path writer (reference flux cml output,
+    src/flux@proc.f90:683-691, 799-812): the structure's atoms plus the
+    gradient-path points as Xz pseudo-atoms; fractional coordinates for
+    crystals, Angstrom x3/y3/z3 for molecules."""
+    from .. import param
+
+    c = system.crystal
+    lines = ['<molecule>', ' <atomArray>']
+    zs = np.asarray(c.zatoms)
+    sym = [c.species[s].name for s in np.asarray(c.species_of)]
+    for i in range(c.ncel):
+        if c.ismolecule:
+            x = (np.asarray(c.x_cart[i])
+                 + (np.asarray(c.molx0) if c.molx0 is not None else 0.0)) \
+                * param.BOHR_TO_ANGSTROM
+            lines.append(f'  <atom id="s{i + 1}" elementType="{sym[i]}" '
+                         f'x3="{x[0]:.10f}" y3="{x[1]:.10f}" '
+                         f'z3="{x[2]:.10f}"/>')
+        else:
+            x = np.asarray(c.x_frac[i])
+            lines.append(f'  <atom id="s{i + 1}" elementType="{sym[i]}" '
+                         f'xFract="{x[0]:.10f}" yFract="{x[1]:.10f}" '
+                         f'zFract="{x[2]:.10f}"/>')
+    k = 0
+    for pts in path_points:
+        for x in np.atleast_2d(pts):
+            k += 1
+            if c.ismolecule:
+                xm = (x + (np.asarray(c.molx0) if c.molx0 is not None
+                           else 0.0)) * param.BOHR_TO_ANGSTROM
+                lines.append(f'  <atom id="a{k}" elementType="Xz" '
+                             f'x3="{xm[0]:.10f}" y3="{xm[1]:.10f}" '
+                             f'z3="{xm[2]:.10f}"/>')
+            else:
+                xf = np.asarray(c.c2x(x))
+                lines.append(f'  <atom id="a{k}" elementType="Xz" '
+                             f'xFract="{xf[0]:.10f}" '
+                             f'yFract="{xf[1]:.10f}" '
+                             f'zFract="{xf[2]:.10f}"/>')
+    lines += [' </atomArray>', '</molecule>', '']
+    with open(file, 'w') as fh:
+        fh.write('\n'.join(lines))
+
+
 def fluxprint(system, seeds_cart, iup: int = 1, file: str | None = None,
               nrec: int = 300, structure: bool = True) -> Scene:
     """Trace and plot gradient paths from Cartesian seed points
-    (reference fluxprint, src/flux@proc.f90:59)."""
+    (reference fluxprint, src/flux@proc.f90:59). Output format follows
+    the file extension: obj/ply/off scenes or cml."""
     import jax.numpy as jnp
 
     scene = Scene()
@@ -75,5 +121,8 @@ def fluxprint(system, seeds_cart, iup: int = 1, file: str | None = None,
     for p in paths:
         scene.path(p, color=(0.9, 0.4, 0.1) if iup > 0 else (0.1, 0.4, 0.9))
     if file:
-        scene.write(file)
+        if file.lower().endswith(".cml"):
+            write_cml(system, paths, file)
+        else:
+            scene.write(file)
     return scene

@@ -118,6 +118,15 @@ class Repl:
         c = self.sy.crystal
         self.write(f"+ crystal: {args[0]} | {c.ncel} atoms | "
                    f"volume {c.volume:.4f} bohr^3")
+        try:
+            from .crystal.fragment import list_molecules
+
+            frags, ismol = list_molecules(c)
+            if ismol:
+                self.write(f"+ molecular crystal: {len(frags)} "
+                           "molecule(s) per cell")
+        except Exception:       # connectivity report is best-effort
+            pass
 
     def cmd_molecule(self, args, lines):
         if not args:

@@ -69,3 +69,27 @@ def test_stm_slab():
     assert rc.image.min() > 0.2
     assert rc.image.max() <= rc.ztop + 1e-9
     assert rc.image.std() > 1e-4
+
+
+def test_fluxprint_cml(tmp_path):
+    """CML gradient-path output (reference flux cml writer,
+    src/flux@proc.f90:683-691)."""
+    import os
+
+    import numpy as np
+
+    from critic2_tpu.analysis.flux import fluxprint
+    from critic2_tpu.crystal.crystal import Crystal, Species
+    from critic2_tpu.system import System
+
+    c = Crystal(m_x2c=np.diag([6.0, 6.0, 6.0]),
+                x_frac=np.array([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]]),
+                species_of=np.array([0, 1]),
+                species=[Species("Na", 11), Species("Cl", 17)])
+    s = System.from_structure(c)
+    out = os.path.join(tmp_path, "paths.cml")
+    fluxprint(s, np.array([[1.0, 1.0, 1.0]]), iup=1, file=out, nrec=40)
+    text = open(out).read()
+    assert "<molecule>" in text and "</molecule>" in text
+    assert 'elementType="Na"' in text and 'elementType="Xz"' in text
+    assert text.count("xFract") >= 3
