@@ -157,12 +157,12 @@ def basin_integral(system, center_frac, expr: str = None, level: int = 2,
     and quadratures each ray only over [rbeta, r_IAS] (reference
     beta-sphere split, :383-529).
     """
-    from .mesh import product_sphere
+    from ..ops.lebedev import lebedev
 
     c = system.crystal
-    # angular nodes with weights (product Gauss sphere, deg ~ level map)
-    deg = {1: 11, 2: 17, 3: 29, 4: 41}.get(level, 17)
-    sph, wang = product_sphere(deg)
+    # Lebedev angular nodes per level (reference INT_LEBEDEV sizes)
+    nleb = {1: 74, 2: 194, 3: 302, 4: 590}.get(level, 194)
+    sph, wang = lebedev(nleb)
     r_ias = bisect_basin(system, center_frac, sph, rmax=rmax)
     x0 = c.x2c(np.asarray(center_frac))
 
@@ -213,10 +213,10 @@ def sphere_integral(system, center_frac, radius: float, expr: str = None,
     """Integral of the field/expr over a sphere surface x radius^2
     (reference SPHEREINTEGRALS): returns the solid-angle average times
     4 pi r^2."""
-    from .mesh import product_sphere
+    from ..ops.lebedev import lebedev, good_lebedev
 
     c = system.crystal
-    sph, wang = product_sphere(deg)
+    sph, wang = lebedev(good_lebedev((deg + 1) ** 2 // 2))
     x0 = c.x2c(np.asarray(center_frac))
     pts = x0[None, :] + radius * sph
     if expr is None:

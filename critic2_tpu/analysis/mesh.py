@@ -5,8 +5,9 @@ radial x angular product grids with Becke's fuzzy-cell partition weights
 (JCP 88, 2547), radial maps rmesh_postg (r = rmid q/(1-q), rmid =
 Z^(-1/3)) and rmesh_franchini, size tables z2nr/z2nang per quality level.
 
-Divergence from the reference: the angular factor is a Gauss-Legendre x
-uniform-phi product sphere instead of Lebedev tables (the reference's own
+The angular factor uses the reference's own Lebedev-Laikov rules
+(ops/lebedev, tables extracted from src/tools_math@lebedev.f90); the
+Gauss-Legendre x uniform-phi product sphere remains available (the
 gauleg_mquad alternative, src/integration@proc.f90:383). Node counts are
 chosen to match or exceed the Lebedev degree of each quality level, so
 integrals converge at least as fast; Lebedev tables can drop in later as
@@ -169,8 +170,9 @@ def franchini_mesh(crystal, lvl="good", rthres: float = 12.0) -> Mesh:
         if z < 1:
             continue
         nr = z2nr(int(z), lvl)
-        deg = _lebedev_degree(z2nang(int(z), lvl))
-        sph, wang = product_sphere(deg)
+        from ..ops.lebedev import lebedev
+
+        sph, wang = lebedev(z2nang(int(z), lvl))
         r, wr = rmesh_franchini(nr, int(z))
         fscal = 0.3 if z == 1 else 1.0
         pts = atpos[i][None, None, :] + r[:, None, None] * sph[None, :, :]
@@ -195,8 +197,9 @@ def becke_mesh(crystal, lvl="good") -> Mesh:
         if z < 1:
             continue
         nr = z2nr(int(z), lvl)
-        deg = _lebedev_degree(z2nang(int(z), lvl))
-        sph, wang = product_sphere(deg)
+        from ..ops.lebedev import lebedev
+
+        sph, wang = lebedev(z2nang(int(z), lvl))
         r, wr = rmesh_postg(nr, int(z))
         pts = atpos[i][None, None, :] + r[:, None, None] * sph[None, :, :]
         wt = wr[:, None] * wang[None, :]

@@ -22,7 +22,8 @@ import numpy as np
 
 from .. import param
 
-__all__ = ["powder", "rdf", "compare", "coordination", "packing_ratio"]
+__all__ = ["powder", "rdf", "compare", "rmsd_walker",
+           "coordination", "packing_ratio"]
 
 _SCATT = None
 
@@ -179,13 +180,74 @@ def _crosscorr_triangle(h, f, g, l):
     return total * h * h
 
 
+def rmsd_walker(x1, x2):
+    """Least-RMSD superposition of two point sets (3, n) or (n, 3)
+    after centroid alignment, by the quaternion method of Walker, Shao
+    & Volz, CVGIP 54 (1991) 358 (reference rmsd_walker,
+    src/tools_math@proc.f90:244-...). Returns the RMSD in bohr."""
+    x1 = np.asarray(x1, dtype=float)
+    x2 = np.asarray(x2, dtype=float)
+    if x1.shape[0] != 3:
+        x1 = x1.T
+    if x2.shape[0] != 3:
+        x2 = x2.T
+    n = x1.shape[1]
+    if x2.shape[1] != n:
+        raise ValueError("rmsd_walker: inconsistent number of points")
+    x1 = x1 - x1.mean(axis=1, keepdims=True)
+    x2 = x2 - x2.mean(axis=1, keepdims=True)
+
+    def wmat(x):
+        return np.array([
+            [x[3], x[2], -x[1], x[0]],
+            [-x[2], x[3], x[0], x[1]],
+            [x[1], -x[0], x[3], x[2]],
+            [-x[0], -x[1], -x[2], x[3]]])
+
+    def qmat(x):
+        return np.array([
+            [x[3], -x[2], x[1], x[0]],
+            [x[2], x[3], -x[0], x[1]],
+            [-x[1], x[0], x[3], x[2]],
+            [-x[0], -x[1], -x[2], x[3]]])
+
+    c1 = np.zeros((4, 4))
+    c3 = np.zeros((4, 4))
+    for i in range(n):
+        w = wmat(np.array([*x1[:, i], 0.0]))
+        q = qmat(np.array([*x2[:, i], 0.0]))
+        c1 -= q.T @ w
+        c3 += w - q
+    a = (c3.T @ c3) * (0.5 * n) - c1
+    eval_, evec = np.linalg.eig(a)
+    v = np.real(evec[:, np.argmax(np.real(eval_))])
+    v = v / np.linalg.norm(v)
+    rot = (wmat(v).T @ qmat(v))[:3, :3]
+    return float(np.sqrt(((rot @ x1 - x2) ** 2).sum() / n))
+
+
 def compare(crystals, method: str | None = None, **kw) -> np.ndarray:
     """Pairwise structure similarity (reference struct_compare,
     src/struct_drivers@proc.f90:1062-1311): POWDIFF = 1 -
-    c_fg / sqrt(c_ff c_gg) over powder patterns (crystals) or RDFs
-    (molecules). Returns the (n, n) distance matrix."""
+    c_fg / sqrt(c_ff c_gg) over powder patterns (crystals), RDF
+    fingerprints on request, or least-RMSD superposition for molecules
+    (the reference's molecular default, :1267-1284, in bohr).
+    Returns the (n, n) distance matrix."""
     if method is None:
-        method = "rdf" if crystals[0].ismolecule else "powder"
+        method = "rmsd" if crystals[0].ismolecule else "powder"
+    if method == "rmsd":
+        n = len(crystals)
+        out = np.zeros((n, n))
+        for i in range(n):
+            for j in range(i + 1, n):
+                ci, cj = crystals[i], crystals[j]
+                if ci.ncel == cj.ncel:
+                    d = rmsd_walker(np.asarray(ci.x_cart).T,
+                                    np.asarray(cj.x_cart).T)
+                else:
+                    d = -1.0
+                out[i, j] = out[j, i] = d
+        return out
     pats = []
     for c in crystals:
         if method == "powder":

@@ -154,6 +154,7 @@ def test_continuity(field):
     assert np.max(np.abs(np.asarray(fin) - np.asarray(fout))) < 1e-5
 
 
+@pytest.mark.slow
 def test_derivatives(field):
     pts = np.array([[0.9, 0.3, 0.2],
                     [1.2, 0.4, 1.0],
@@ -174,6 +175,7 @@ def test_nuclear_gradient_null(field):
     assert np.allclose(np.asarray(gf)[:, 0], 0.0)
 
 
+@pytest.mark.slow
 def test_system_integration(tmp_path):
     _write_geometry(tmp_path / "GEOMETRY.OUT")
     _write_state(tmp_path / "STATE.OUT")

@@ -155,3 +155,30 @@ def test_bincube_siesta_roundtrip(tmp_path):
     g3 = Grid3.read_siesta(str(ps))
     np.testing.assert_allclose(np.asarray(g3.f), np.asarray(g.f),
                                atol=1e-6)
+
+
+def test_compare_molecules_rmsd():
+    """Molecular COMPARE uses least-RMSD superposition (reference
+    struct_compare molecules branch,
+    src/struct_drivers@proc.f90:1267-1284)."""
+    from critic2_tpu.analysis.struct import compare
+    from critic2_tpu.crystal.crystal import Crystal, Species
+
+    def mol(coords):
+        coords = np.asarray(coords, dtype=float)
+        return Crystal(m_x2c=np.diag([30.0] * 3),
+                       x_frac=(coords + 15.0) / 30.0,
+                       species_of=np.arange(len(coords)) % 2,
+                       species=[Species("O", 8), Species("H", 1)],
+                       ismolecule=True)
+
+    a = [[0, 0, 0], [0, 0, 1.8], [0, 1.7, -0.5], [1.2, 0, -0.6]]
+    th = 0.9
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+    b = (np.asarray(a) @ R.T) + [2.0, 1.0, -1.0]
+    d = compare([mol(a), mol(b)])
+    assert d[0, 1] < 1e-8
+    c = np.asarray(a) + [[0, 0, 0], [0, 0, 0.3], [0, 0, 0], [0, 0, 0]]
+    d2 = compare([mol(a), mol(c)])
+    assert 0.05 < d2[0, 1] < 0.3
