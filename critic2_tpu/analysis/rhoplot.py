@@ -110,10 +110,37 @@ def line(system, x0, x1, npts: int = 201, field=None, what: str = "f",
     return t, dist, vals
 
 
+def _write_gnu(root, mode, nx, ny, vals, nctr=20, logscale=False):
+    """Emit a gnuplot driver script next to the .dat (reference
+    contour/relief/colormap writers, src/rhoplot@proc.f90:1508-1699)."""
+    lines = [f'set output "{root}.eps"', "set terminal postscript eps"]
+    if mode == "contour":
+        lo, hi = float(np.nanmin(vals)), float(np.nanmax(vals))
+        if logscale and lo > 0:
+            levels = np.geomspace(max(lo, 1e-8), hi, nctr)
+        else:
+            levels = np.linspace(lo, hi, nctr)
+        lvl = ", ".join(f"{v:.6g}" for v in levels)
+        lines += ["set contour base", "unset surface",
+                  f"set cntrparam levels discrete {lvl}",
+                  "set view map", f'splot "{root}.dat" w l notitle']
+    elif mode == "relief":
+        lines += ["set hidden3d", "set view 60,30",
+                  f'splot "{root}.dat" w l notitle']
+    else:                        # colormap
+        lines += ["set view map", "set pm3d at b",
+                  f'splot "{root}.dat" w pm3d notitle']
+    with open(root + ".gnu", "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
 def plane(system, x0, x1, x2, nx: int = 101, ny: int = 101, field=None,
-          what: str = "f", file: str | None = None):
+          what: str = "f", file: str | None = None,
+          emit: str | None = None, nctr: int = 20,
+          logscale: bool = False):
     """Field values on a plane patch spanned by x1-x0, x2-x0 (reference
-    rhoplot_plane). Returns (u, v, vals (nx, ny)); optional gnuplot .dat.
+    rhoplot_plane). Returns (u, v, vals (nx, ny)); optional gnuplot .dat
+    plus a .gnu driver when emit is "contour"/"relief"/"colormap".
     """
     x0, x1, x2 = (np.asarray(v, dtype=float) for v in (x0, x1, x2))
     u = np.linspace(0, 1, nx)
@@ -131,6 +158,10 @@ def plane(system, x0, x1, x2, nx: int = 101, ny: int = 101, field=None,
                     fh.write(f"{u[i]:14.8f} {v[j]:14.8f} "
                              f"{vals[i, j]:18.10e}\n")
                 fh.write("\n")
+        if emit:
+            root = file[:-4] if file.endswith(".dat") else file
+            _write_gnu(root, emit, nx, ny, vals, nctr=nctr,
+                       logscale=logscale)
     return u, v, vals
 
 

@@ -511,6 +511,74 @@ class Repl:
                    f"[{vals.min():.6e}, {vals.max():.6e}]"
                    + (f" -> {file}" if file else ""))
 
+    def cmd_plane(self, args, lines):
+        """PLANE x0 y0 z0 x1 y1 z1 x2 y2 z2 [NPTS nx ny] [FIELD id]
+        [F|GX|...|LAP] [FILE root] [CONTOUR [LOG] [n]] [RELIEF]
+        [COLORMAP] (reference rhoplot_plane,
+        src/rhoplot@proc.f90:645-...)."""
+        from .analysis import rhoplot
+
+        sy = self.need_system()
+        vals = [float(v) for v in args[:9]]
+        x0, x1, x2 = vals[0:3], vals[3:6], vals[6:9]
+        low = [a.lower() for a in args]
+        nx = ny = 101
+        if "npts" in low:
+            i = low.index("npts")
+            nx, ny = int(args[i + 1]), int(args[i + 2])
+        field = None
+        if "field" in low:
+            field = args[low.index("field") + 1]
+        what = "f"
+        for w in ("f", "gx", "gy", "gz", "gmod", "lap"):
+            if w in low[9:]:
+                what = w
+        file = None
+        if "file" in low:
+            file = args[low.index("file") + 1]
+        emit = None
+        nctr = 20
+        logscale = False
+        for mode in ("contour", "relief", "colormap"):
+            if mode in low:
+                emit = mode
+                i = low.index(mode)
+                if i + 1 < len(low) and low[i + 1] == "log":
+                    logscale = True
+                    i += 1
+                if i + 1 < len(args) and args[i + 1].isdigit():
+                    nctr = int(args[i + 1])
+        if emit and not file:
+            file = "plane.dat"
+        u, v, pv = rhoplot.plane(sy, x0, x1, x2, nx, ny, field=field,
+                                 what=what, file=file, emit=emit,
+                                 nctr=nctr, logscale=logscale)
+        self.write(f"+ PLANE: {nx}x{ny}, {what} in "
+                   f"[{pv.min():.6e}, {pv.max():.6e}]"
+                   + (f" -> {file}" if file else ""))
+
+    def cmd_grdvec(self, args, lines):
+        """GRDVEC x0.. x1.. x2.. [NPTS nx ny] [NSEED n] [FILE root]
+        (reference grdvec, src/rhoplot@proc.f90:~1800)."""
+        from .analysis import rhoplot
+
+        sy = self.need_system()
+        vals = [float(v) for v in args[:9]]
+        low = [a.lower() for a in args]
+        kw = {}
+        if "npts" in low:
+            i = low.index("npts")
+            kw["nx"], kw["ny"] = int(args[i + 1]), int(args[i + 2])
+        if "nseed" in low:
+            kw["nseed"] = int(args[low.index("nseed") + 1])
+        file = None
+        if "file" in low:
+            file = args[low.index("file") + 1]
+        ctr, paths = rhoplot.grdvec(sy, vals[0:3], vals[3:6], vals[6:9],
+                                    cpl=self.cpl, file=file, **kw)
+        self.write(f"+ GRDVEC: {len(paths)} paths"
+                   + (f" -> {file}" if file else ""))
+
     def cmd_cube(self, args, lines):
         from .analysis import rhoplot
 
