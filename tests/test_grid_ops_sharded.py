@@ -116,3 +116,41 @@ def test_basin_reduce_matches_segment_sum(setup, rng):
     W[:, isb] = Wb
     ref = fields @ W.T
     np.testing.assert_allclose(out, ref, rtol=1e-10, atol=1e-10)
+
+
+def test_yt_sharded_matches_single_device(rng):
+    """The slab-parallel YT fixpoint reproduces the single-device YT
+    weights exactly (same linear recurrence, different solution order;
+    reference sweep src/yt@proc.f90:106-190)."""
+    import jax.numpy as jnp
+
+    from critic2_tpu.analysis.yt import yt_integrate
+    from critic2_tpu.crystal.crystal import Crystal, Species
+    from critic2_tpu.parallel.yt_sharded import yt_integrate_sharded
+
+    n = (16, 12, 10)
+    i, j, k = np.meshgrid(*[np.arange(x) for x in n], indexing="ij")
+    rho = (2.0 + np.cos(2 * np.pi * i / n[0]) * np.cos(2 * np.pi * j / n[1])
+           + 0.5 * np.cos(2 * np.pi * k / n[2]) + 0.01 * rng.random(n))
+    c = Crystal(m_x2c=np.diag([8.0, 7.0, 6.0]),
+                x_frac=np.array([[0.0, 0.0, 0.0]]),
+                species_of=np.array([0]), species=[Species("X", 10)])
+    mesh = make_mesh(8)
+    extra = rng.random((1, rho.size))
+    xattr, q, labels = yt_integrate_sharded(mesh, c, rho,
+                                            fields_flat=extra)
+    res = yt_integrate(c, jnp.asarray(rho))
+    assert len(xattr) == res.nattr
+    # match attractors by position, then compare charges basin by basin
+    perm = []
+    for xa in xattr:
+        d = res.xattr - xa[None, :]
+        d -= np.rint(d)
+        perm.append(int(np.argmin(np.linalg.norm(d, axis=1))))
+    assert sorted(perm) == list(range(res.nattr))
+    q_ref = np.asarray(res.integrate(jnp.asarray(rho)))
+    np.testing.assert_allclose(q[0], q_ref[perm], rtol=1e-10, atol=1e-10)
+    q2_ref = np.asarray(res.integrate(jnp.asarray(extra[0])))
+    np.testing.assert_allclose(q[1], q2_ref[perm], rtol=1e-10, atol=1e-10)
+    # partition of unity: basin sums recover the cell totals
+    assert abs(q[0].sum() - rho.sum()) < 1e-10

@@ -53,12 +53,17 @@ def _nacl_system(shape):
     return s, np.asarray(g)
 
 
-def run_parity(small: bool = False) -> dict:
+def run_parity(small: bool = False, deadline_s: float = 900.0) -> dict:
     import jax.numpy as jnp
 
     from critic2_tpu import native
     from critic2_tpu.analysis.autocp import autocp
     from critic2_tpu.analysis.yt import yt_integrate, _grid_ws_neighbors
+
+    tstart = time.perf_counter()
+
+    def over_budget():
+        return time.perf_counter() - tstart > deadline_s
 
     out = {}
     n = 24 if small else 48
@@ -84,6 +89,10 @@ def run_parity(small: bool = False) -> dict:
         qq = np.sort(q_seq)[::-1][:len(qs)]
         out["yt_parity_max_dq_e"] = float(np.max(np.abs(qs - qq)))
         out["yt_nattr_seq"] = int(len(q_seq))
+
+    if over_budget():
+        out["parity_truncated"] = "deadline before AUTO"
+        return out
 
     # --- AUTO ----------------------------------------------------------
     # parity leg on the analytic promolecular field (auto_simple_
@@ -117,6 +126,9 @@ def run_parity(small: bool = False) -> dict:
     out["auto_ncp_tol_bohr"] = round(2 * h, 6)
 
     # --- WFN mesh integral (tests_cint analogue) ----------------------
+    if over_budget():
+        out["parity_truncated"] = "deadline before WFN mesh"
+        return out
     if os.path.exists(_REF_FCHK):
         from critic2_tpu import System
         from critic2_tpu.analysis.molcalc import molcalc_nelec
