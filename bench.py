@@ -85,7 +85,11 @@ def _sweep_rate(n: int, dtype_name: str, nrep: int) -> float:
 
 
 def main():
+    import os
     import jax
+
+    t_start = time.perf_counter()
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 
     if "--cpu" in sys.argv:
         jax.config.update("jax_platforms", "cpu")
@@ -114,7 +118,8 @@ def main():
     # the BASELINE configs); soft-fail so the headline survives
     try:
         from tools.parity_bench import run_parity
-        extra.update(run_parity(small=small, deadline_s=600.0))
+        remaining = max(60.0, budget - (time.perf_counter() - t_start))
+        extra.update(run_parity(small=small, deadline_s=remaining))
     except Exception as exc:  # pragma: no cover
         extra["parity_error"] = f"{type(exc).__name__}: {exc}"
 

@@ -1,5 +1,6 @@
 """Gradient-path tracing and the AUTO bond-path graph."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from critic2_tpu import System
@@ -35,6 +36,7 @@ def test_trace_to_nucleus():
     assert (np.asarray(plen) > 0).all()
 
 
+@pytest.mark.slow
 def test_makegraph_bcp_connects_na_cl():
     s = _nacl()
     cpl = autocp(s)

@@ -87,6 +87,7 @@ def he_system():
     return System.from_structure(c)
 
 
+@pytest.mark.slow
 def test_basin_integral_qags_vs_gauleg(he_system):
     """Adaptive and fixed radial quadratures agree on a promolecular
     atomic basin; beta-sphere split agrees too."""
@@ -101,6 +102,7 @@ def test_basin_integral_qags_vs_gauleg(he_system):
     assert 9.0 < q1 < 13.0   # ~10 e + periodic image overlap in ray cones
 
 
+@pytest.mark.slow
 def test_qtree_keast_and_spheres(he_system):
     from critic2_tpu.analysis.qtree import qtree_integrate
 

@@ -17,7 +17,10 @@ pytestmark = pytest.mark.skipif(not os.path.exists(H2O),
                                 reason="no reference data")
 
 CASES = [
-    ("LDA", -8.957976118600001, "xc($1,1)+xc($1,8)", 2e-6),
+    # the "good" (302-pt Lebedev) mesh carries ~4e-6 quadrature error;
+    # the value converges onto the pinned libxc number at higher levels
+    # (amazing: 2.7e-7 - see test_lda_mesh_convergence)
+    ("LDA", -8.957976118600001, "xc($1,1)+xc($1,8)", 6e-6),
     ("PBE", -9.242634846200005, "xc($1,$1:g,101)+xc($1,$1:g,130)", 5e-5),
     ("BLYP", -9.307752149199999, "xc($1,$1:g,106)+xc($1,$1:g,131)", 1e-5),
     ("BP86", -9.328661428600000, "xc($1,$1:g,106)+xc($1,$1:g,132)", 2e-4),
@@ -39,3 +42,12 @@ def h2o():
 def test_xc_functional(h2o, name, ref, expr, tol):
     v = molcalc_integral(h2o, expr, lvl="good")
     assert abs(v - ref) < tol, f"{name}: {v} vs {ref}"
+
+
+@pytest.mark.slow
+def test_lda_mesh_convergence(h2o):
+    """The LDA integral converges onto the pinned libxc value as the
+    mesh improves - the integrand matches libxc; residuals at lower
+    levels are quadrature error."""
+    v = molcalc_integral(h2o, "xc($1,1)+xc($1,8)", lvl="amazing")
+    assert abs(v - (-8.957976118600001)) < 5e-7
