@@ -54,7 +54,7 @@ _CHEM = ("gtf", "vtf", "htf", "gtf_kir", "vtf_kir", "htf_kir", "gkin",
          "mep", "uslater", "nheff", "xhole", "stress")
 
 _MODS = ("", "v", "c", "x", "y", "z", "g", "xx", "xy", "xz", "yx", "yy",
-         "yz", "zx", "zy", "zz", "l", "lv", "lc")
+         "yz", "zx", "zy", "zz", "l", "lv", "lc", "up", "dn", "sp")
 
 _FIELD_RE = re.compile(r"\$(\w+)(?::(\w+))?")
 _SVAR_RE = re.compile(r"@(\w+)(?::(\w+))?")
@@ -170,6 +170,19 @@ class _Ctx:
         mod = mod.lower()
         if mod not in _MODS:
             raise ExprError(f"unknown field modifier :{mod}")
+        if mod in ("up", "dn", "sp"):
+            # spin channels (reference fieldeval up/dn/sp,
+            # src/arithmetic@proc.F90; wfn rho2 spin outputs)
+            fld = self.system.field(self.system.resolve_fid(fid))
+            if fld.type != "wfn":
+                raise ExprError(f":{mod} needs a wavefunction field "
+                                "providing spin channels")
+            r_up, r_dn = fld.wfn.rho_spin_soa(self.xT)
+            if mod == "up":
+                return r_up
+            if mod == "dn":
+                return r_dn
+            return r_up - r_dn
         if mod in ("", "v", "c"):
             f, _, _ = self.res(fid, 0)
             if mod == "":

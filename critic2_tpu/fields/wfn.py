@@ -457,6 +457,21 @@ class Wavefunction:
         chi = pw(dx[0], a) * pw(dx[1], b) * pw(dx[2], c) * ex
         return d["C"] @ chi
 
+    def rho_spin_soa(self, xT):
+        """(rho_up, rho_dn) at points xT (3, N) (reference rho2 spin
+        channels, src/wfn_private@proc.F90:2150-2176: RHF channels are
+        rho/2 each; UHF sums alpha MOs then beta MOs)."""
+        pts = np.asarray(xT).T if hasattr(xT, "T") else np.asarray(xT).T
+        mo = self.mo_values(jnp.asarray(pts))         # (M, N)
+        occ = jnp.asarray(self.occ)
+        if self.wfntyp == "uhf":
+            up = jnp.arange(self.nmo) < self.nalpha
+            r_up = (jnp.where(up, occ, 0.0)) @ (mo * mo)
+            r_dn = (jnp.where(~up, occ, 0.0)) @ (mo * mo)
+            return r_up, r_dn
+        rho = occ @ (mo * mo)
+        return 0.5 * rho, 0.5 * rho
+
     # ------------------------------------------------------------------
     # hole/potential properties (reference wfn_private@proc.F90
     # mep :2231, uslater :2311, xhole :2423)

@@ -46,6 +46,7 @@ def test_cpreport_scene(s, tmp_path):
     assert (tmp_path / "cps.ply").stat().st_size > 500
 
 
+@pytest.mark.slow
 def test_stm_slab():
     # a 'slab': one atom layer at z=0.2 in a tall cell, vacuum above
     c = Crystal(m_x2c=m_x2c_from_cellpar([6.0, 6.0, 20.0], [90, 90, 90]),

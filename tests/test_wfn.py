@@ -161,6 +161,7 @@ def test_wfx_edf_core_density():
         rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_uhf_hf_energy_consistency():
     """A UHF wavefunction with identical alpha/beta orbitals must give
     the RHF energy (same density, same exchange)."""
@@ -176,3 +177,30 @@ def test_uhf_hf_energy_consistency():
                       wfntyp="uhf", nalpha=w.nmo)
     res_uhf = rhf_energy(w2)
     assert abs(res_uhf["E_total"] - res_rhf["E_total"]) < 1e-8
+
+
+def test_spin_channel_modifiers(h2o):
+    """$f:up/:dn/:sp spin channels (reference fieldeval up/dn/sp and
+    rho2 spin outputs): RHF channels are rho/2; a synthetic UHF split
+    reproduces asymmetric channels."""
+    h2o.load_field(H2O_WFX)
+    pts = np.asarray(h2o.crystal.x2c(np.array([[0.52, 0.5, 0.55]])))
+    up = float(h2o.eval_expr("$1:up", pts)[0])
+    dn = float(h2o.eval_expr("$1:dn", pts)[0])
+    tot = float(h2o.eval_expr("$1", pts)[0])
+    assert abs(up + dn - tot) < 1e-10 * max(tot, 1.0)
+    assert abs(float(h2o.eval_expr("$1:sp", pts)[0])) < 1e-12
+
+    # UHF with an unpaired alpha orbital: sp > 0 somewhere
+    from critic2_tpu.fields.wfn import Wavefunction
+
+    w = Wavefunction.read_wfx(H2O_WFX)
+    w2 = Wavefunction(atpos=w.atpos, atz=w.atz, icenter=w.icenter,
+                      itype=w.itype, e=w.e,
+                      cmo=np.vstack([w.cmo, w.cmo[:-1]]),
+                      occ=np.concatenate([w.occ / 2,
+                                          (w.occ / 2)[:-1]]),
+                      wfntyp="uhf", nalpha=w.nmo)
+    r_up, r_dn = (np.asarray(v) for v in
+                  w2.rho_spin_soa(np.asarray(pts).T))
+    assert (r_up >= r_dn - 1e-14).all() and r_up.sum() > r_dn.sum()
