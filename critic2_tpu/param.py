@@ -96,3 +96,11 @@ def covalent_radius(z: int) -> float:
 
 
 VSMALL = 1e-40
+
+
+def atomic_mass(z: int) -> float:
+    """Atomic mass in amu (reference src/param.F90 atmass table)."""
+    t = _load_tables()["atmass"]
+    if 1 <= z <= len(t):
+        return float(t[z - 1])
+    return 0.0

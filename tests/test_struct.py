@@ -182,3 +182,35 @@ def test_compare_molecules_rmsd():
     c = np.asarray(a) + [[0, 0, 0], [0, 0, 0.3], [0, 0, 0], [0, 0, 0]]
     d2 = compare([mol(a), mol(c)])
     assert 0.05 < d2[0, 1] < 0.3
+
+
+def test_new_writers(tmp_path):
+    """abinit/elk/GULP/LAMMPS/DFTB-gen writers (reference write_abinit/
+    write_elk/write_gulp/write_lammps, src/crystalmod.f90:546-590); the
+    .gen output round-trips through the dftb-gen reader."""
+    import os
+
+    from critic2_tpu.crystal.crystal import Crystal, Species
+    from critic2_tpu.crystal.seed import read_structure
+    from critic2_tpu.io.writers import write_structure
+
+    c = Crystal(m_x2c=np.diag([6.0, 7.0, 8.0]),
+                x_frac=np.array([[0, 0, 0], [0.5, 0.5, 0.5]],
+                                dtype=float),
+                species_of=np.array([0, 1]),
+                species=[Species("Na", 11), Species("Cl", 17)])
+    for fn, marker in (("s.abin", "acell"), ("s.elk.in", "avec"),
+                       ("s.gin", "fractional"), ("s.lammps", "Masses")):
+        p = os.path.join(tmp_path, fn)
+        write_structure(c, p)
+        assert marker in open(p).read()
+    # gen round-trip
+    p = os.path.join(tmp_path, "s.gen")
+    write_structure(c, p)
+    c2 = read_structure(p)
+    assert c2.ncel == 2
+    np.testing.assert_allclose(np.asarray(c2.m_x2c),
+                               np.asarray(c.m_x2c), atol=1e-8)
+    np.testing.assert_allclose(np.sort(np.asarray(c2.x_frac), axis=0),
+                               np.sort(np.asarray(c.x_frac), axis=0),
+                               atol=1e-8)
