@@ -831,6 +831,146 @@ class Repl:
             v = molcalc_integral(sy, " ".join(args))
             self.write(f"+ MOLCALC integral = {v:.10e}")
 
+    def cmd_qat(self, args, lines):
+        return self.cmd_q(args, lines)
+
+    def cmd_clearsym(self, args, lines):
+        """CLEARSYM/CLEARSYMM: drop the symmetry operations, keep the
+        atoms (reference struct_clearsym, src/critic2.F90:131-137)."""
+        sy = self.need_system()
+        sy.crystal.nosym = True
+        sy.crystal._sg = None
+        self.write("+ symmetry cleared (P1)")
+
+    cmd_clearsymm = cmd_clearsym
+
+    def cmd_root(self, args, lines):
+        """ROOT <prefix>: default output-file prefix (reference
+        fileroot, src/critic2.F90:412-417)."""
+        if not args:
+            raise CliError("ROOT needs a prefix string")
+        self.fileroot = args[0]
+        self.write(f"+ root = {args[0]}")
+
+    def cmd_molcell(self, args, lines):
+        """MOLCELL [border]: molecular-cell border in fractional units
+        (reference struct_molcell, src/critic2.F90:125-128)."""
+        sy = self.need_system()
+        if not sy.crystal.ismolecule:
+            raise CliError("MOLCELL is molecules-only")
+        b = float(args[0]) if args else 0.1
+        sy.crystal.molborder = b
+        self.write(f"+ molcell border = {b}")
+
+    def cmd_atomlabel(self, args, lines):
+        """ATOMLABEL template: rename species; %aid = species index,
+        %s = symbol (reference struct_atomlabel)."""
+        sy = self.need_system()
+        if not args:
+            raise CliError("ATOMLABEL needs a template")
+        tmpl = args[0]
+        for i, sp in enumerate(sy.crystal.species):
+            sp.name = (tmpl.replace("%aid", str(i + 1))
+                       .replace("%s", sp.name))
+        self.write("+ species relabeled: "
+                   + " ".join(sp.name for sp in sy.crystal.species))
+
+    def cmd_sphfactor(self, args, lines):
+        """SPHFACTOR [z|at] f: qtree beta-sphere factor (reference
+        qtree_setsphfactor, src/critic2.F90:406-410)."""
+        if len(args) == 1:
+            self.opts["sphfactor"] = {0: float(args[0])}
+        else:
+            self.opts.setdefault("sphfactor", {})[args[0]] =                 float(args[1])
+        self.write(f"+ sphfactor = {self.opts['sphfactor']}")
+
+    def cmd_run(self, args, lines):
+        """RUN/SYSTEM <command>: shell escape (reference
+        src/critic2.F90:535-536)."""
+        import subprocess
+
+        cmd = " ".join(args)
+        r = subprocess.run(cmd, shell=True, capture_output=True,
+                           text=True)
+        if r.stdout:
+            self.write(r.stdout.rstrip())
+        if r.returncode != 0:
+            self.warn(f"RUN exited with {r.returncode}: "
+                      f"{r.stderr.strip()[:200]}")
+
+    cmd_system = cmd_run
+
+    def cmd_temp(self, args, lines):
+        pass                     # reference: testing no-op
+
+    def cmd_testrmt(self, args, lines):
+        """TESTRMT: muffin-tin continuity check for LAPW fields
+        (reference src/critic2.F90:505-512, wien/elk tolap): sample
+        each atom's RMT sphere just inside and outside and report the
+        maximum relative density jump."""
+        from .ops.lebedev import lebedev
+
+        sy = self.need_system()
+        f = sy.ref
+        if f.type not in ("wien", "elk"):
+            raise CliError("TESTRMT needs a WIEN2k/elk reference field")
+        import jax.numpy as jnp
+
+        c = sy.crystal
+        mt = f.mt
+        rmt_of = np.asarray(mt.rmt_of)
+        atpos = np.asarray(getattr(mt, "atpos", c.x_cart))
+        dirs, _ = lebedev(26)
+        eps = 1e-4
+        worst = 0.0
+        for ia in range(len(rmt_of)):
+            x0 = atpos[ia]
+            pin = x0[None, :] + (rmt_of[ia] * (1 - eps)) * dirs
+            pout = x0[None, :] + (rmt_of[ia] * (1 + eps)) * dirs
+            vin = np.asarray(f.grd(pin, nder=0).f)
+            vout = np.asarray(f.grd(pout, nder=0).f)
+            rel = np.abs(vin - vout) / np.maximum(np.abs(vin), 1e-14)
+            worst = max(worst, float(rel.max()))
+        self.write(f"+ TESTRMT: max relative rho jump at RMT = "
+                   f"{worst:.3e}")
+
+    def cmd_bundleplot(self, args, lines):
+        """BUNDLEPLOT x y z [DELTA d] [NPTS n] [FILE f.obj]: bundle of
+        gradient paths from a small sphere around the point (reference
+        bundleplot, src/bisect.f90)."""
+        from .analysis.flux import fluxprint
+
+        sy = self.need_system()
+        x0 = np.asarray([float(v) for v in args[:3]])
+        low = [a.lower() for a in args]
+        delta = 0.1
+        npts = 8
+        file = None
+        if "delta" in low:
+            delta = float(args[low.index("delta") + 1])
+        if "npts" in low:
+            npts = int(args[low.index("npts") + 1])
+        if "file" in low:
+            file = args[low.index("file") + 1]
+        import jax.numpy as jnp
+
+        from .ops.ode import trace_paths_recorded
+
+        rng = np.random.default_rng(0)
+        d = rng.standard_normal((npts, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        seeds = np.asarray(sy.crystal.x2c(x0))[None, :] + delta * d
+        scene = fluxprint(sy, seeds, iup=1, file=None)
+        fn = sy.ref.eval_fn(nder=2)
+        down, _, _ = trace_paths_recorded(fn, jnp.asarray(seeds),
+                                          nrec=300, iup=-1)
+        for p in down:
+            scene.path(p, color=(0.1, 0.4, 0.9))
+        if file:
+            scene.write(file)
+        self.write(f"+ BUNDLEPLOT: {npts} up+down paths, delta={delta}"
+                   + (f" -> {file}" if file else ""))
+
     def cmd_benchmark(self, args, lines):
         import time
 

@@ -188,7 +188,9 @@ def test_cli_wien(tmp_path):
     it = Repl(out=out)
     it.run_script(f"crystal {tmp_path}/syn.struct\n"
                   f"load {tmp_path}/syn.clmsum {tmp_path}/syn.struct\n"
-                  "point 0.5 0.5 0.5\n")
+                  "point 0.5 0.5 0.5\n"
+                  "testrmt\n")
     text = out.getvalue()
     assert "type wien" in text
+    assert "TESTRMT" in text
     assert it.nwarns == 0, text
