@@ -276,6 +276,14 @@ class Repl:
             name, ita = c.spg_name()
             if name:
                 self.write(f"+ space group: {name} (ITA no. {ita})")
+                letters = c.wyckoffs()
+                if letters:
+                    reps = np.asarray(sg.irr_idx)
+                    mult = np.asarray(sg.mult)
+                    tags = [f"{c.species[c.species_of[r]].name}:"
+                            f"{m}{w}" for r, m, w in
+                            zip(reps, mult, letters)]
+                    self.write("+ wyckoff positions: " + " ".join(tags))
 
     cmd_symm = cmd_sym
 

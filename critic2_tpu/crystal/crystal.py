@@ -199,6 +199,27 @@ class Crystal:
             self._spgname = (st.short, st.ita_number) if st else (None, 0)
         return self._spgname
 
+    def wyckoffs(self, symprec: float = 1e-4):
+        """Wyckoff letters of the nonequivalent atoms (spglib
+        site-symmetry database; see crystal/wyckoff.py). Returns a list
+        aligned with spacegroup.irr_idx, or None when the group/setting
+        cannot be resolved."""
+        if getattr(self, "_wyck", None) is None:
+            from .wyckoff import wyckoff_letters
+
+            _, ita = self.spg_name()
+            if not ita:
+                self._wyck = (None,)
+            else:
+                sg = self.spacegroup
+                reps = np.asarray(sg.irr_idx)
+                letters, _ = wyckoff_letters(
+                    sg.rotations, sg.translations,
+                    np.asarray(self.x_frac)[reps], ita, self.m_x2c,
+                    symprec=symprec)
+                self._wyck = (letters,)
+        return self._wyck[0]
+
     @property
     def ws(self) -> WignerSeitz:
         if self._ws is None:

@@ -97,3 +97,29 @@ def test_benzene_d6h():
     sym, ops = molecular_point_group(np.array(bz), np.array([6] * 6
                                                             + [1] * 6))
     assert sym == "D6h" and len(ops) == 24
+
+
+def test_wyckoff_letters():
+    """Wyckoff letters from the spglib site-symmetry database
+    (src/spglib/site_symmetry.c get_Wyckoff_notation): NaCl 4a/4b,
+    CsCl 1a/1b, rutile Ti 2a + O 4f."""
+    a = 5.64
+    x = np.array([[0, 0, 0], [.5, 0, 0], [0, .5, 0], [0, 0, .5],
+                  [.5, .5, 0], [.5, 0, .5], [0, .5, .5], [.5, .5, .5]])
+    nacl = Crystal(m_x2c=np.diag([a] * 3), x_frac=x,
+                   species_of=np.array([0, 1, 1, 1, 0, 0, 0, 1]),
+                   species=[Species("Na", 11), Species("Cl", 17)])
+    letters = nacl.wyckoffs()
+    reps = np.asarray(nacl.spacegroup.irr_idx)
+    by_name = {nacl.species[nacl.species_of[r]].name: w
+               for r, w in zip(reps, letters)}
+    assert by_name == {"Na": "a", "Cl": "b"}
+
+    u = 0.305
+    xr = np.array([[0, 0, 0], [.5, .5, .5], [u, u, 0],
+                   [(-u) % 1, (-u) % 1, 0], [.5 + u, .5 - u, .5],
+                   [.5 - u, .5 + u, .5]])
+    rutile = Crystal(m_x2c=np.diag([8.68, 8.68, 5.59]), x_frac=xr,
+                     species_of=np.array([0, 0, 1, 1, 1, 1]),
+                     species=[Species("Ti", 22), Species("O", 8)])
+    assert sorted(rutile.wyckoffs()) == ["a", "f"]
