@@ -80,6 +80,13 @@ def run_parity(small: bool = False, deadline_s: float = 900.0) -> dict:
     out["yt_wall_s"] = round(time.perf_counter() - t0, 3)
     out["yt_nattr"] = int(res.nattr)
     out["yt_punity_err_e"] = float(abs(q.sum() - g.sum() * dv))
+    # mixed precision: f32 basin construction, f64 accumulation (the
+    # SURVEY-recommended strategy) must stay inside the 1e-6 e bar
+    res32 = yt_integrate(c, jnp.asarray(g, dtype=jnp.float32))
+    q32 = np.asarray(res32.integrate(jnp.asarray(g))) * dv
+    qa = np.sort(q)[::-1][:min(len(q), len(q32))]
+    qb = np.sort(q32)[::-1][:len(qa)]
+    out["yt_f32_parity_max_dq_e"] = float(np.abs(qa - qb).max())
     if native.available():
         offs, wts = _grid_ws_neighbors(c, g.shape)
         _, q_seq = native.yt_charges(g, offs, wts, g)
