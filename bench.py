@@ -111,11 +111,17 @@ def main():
     n = 64 if small else 256
     nrep = 4 if small else 16
 
-    rate64 = _sweep_rate(n, "f64", nrep)
+    # headline first: if the remote compile service is slow, the f32
+    # number still lands before the budget runs out
     rate32 = _sweep_rate(n, "f32", nrep)
-
-    extra = {"f64_sweep_evals_per_s": round(rate64, 1),
-             "f64_vs_baseline": round(rate64 / BASELINE_EVALS_PER_S, 3)}
+    extra = {}
+    if time.perf_counter() - t_start < 0.6 * budget:
+        rate64 = _sweep_rate(n, "f64", nrep)
+        extra = {"f64_sweep_evals_per_s": round(rate64, 1),
+                 "f64_vs_baseline": round(rate64 / BASELINE_EVALS_PER_S,
+                                          3)}
+    else:
+        extra = {"f64_skipped": "compile budget exhausted"}
 
     # end-to-end driver wall-clocks + parity (promolecular analogues of
     # the BASELINE configs); soft-fail so the headline survives
