@@ -1043,6 +1043,11 @@ class Repl:
                 kw["keastnum"] = int(args[nxt])
         if "sphfactor" in low:
             kw["sphfactor"] = float(args[low.index("sphfactor") + 1])
+        elif self.opts.get("sphfactor"):
+            # standalone SPHFACTOR keyword set earlier (reference
+            # qtree_setsphfactor, src/critic2.F90:406-410)
+            kw["sphfactor"] = float(
+                list(self.opts["sphfactor"].values())[0])
         res = qtree_integrate(sy, maxl=maxl, **kw)
         self.write(f"+ QTREE (maxl={maxl}): {res.ntraced} paths traced")
         self.write(res.table())
