@@ -386,7 +386,16 @@ class Repl:
         from . import param
 
         pts = []
-        if args:
+        if args and len(args) >= 3 and all(
+                a.replace(".", "").replace("-", "").replace("e", "")
+                .replace("+", "").isdigit() for a in args[:3]):
+            # inline point(s): IDENTIFY x y z [x y z ...]
+            vals = [float(v) for v in args]
+            pts = np.asarray(vals).reshape(-1, 3)
+            cart = sy.crystal.ismolecule
+            if cart:
+                pts = pts * self._unit_scale()
+        elif args:
             path = args[0]
             with open(path) as fh:
                 n = int(fh.readline().split()[0])
