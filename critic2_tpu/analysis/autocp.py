@@ -518,6 +518,87 @@ def makegraph(system, cpl: CPList, change: float = 1e-2,
     return cpl
 
 
+def cell_cp_list(system, cpl: CPList):
+    """Complete (cell) CP list: every symmetry image of every
+    nonequivalent CP, with the generating operation (reference cpcel,
+    built in addcp, src/fieldmod@proc.f90:1876-1960).
+
+    Returns a list of (ineq, x_frac (3,), opidx) tuples."""
+    c = system.crystal
+    out = []
+    if c.ismolecule or getattr(c, "spacegroup", None) is None:
+        return [(i, np.asarray(cp.x, dtype=float), 0)
+                for i, cp in enumerate(cpl.cps)]
+    sg = c.spacegroup
+    for i, cp in enumerate(cpl.cps):
+        xs, ops = sg.orbit_ops(np.asarray(cp.x, dtype=float))
+        out.extend((i, x, int(op)) for x, op in zip(xs, ops))
+    return out
+
+
+def cp_long_report(system, cpl: CPList) -> str:
+    """CPREPORT LONG: the complete cell CP list with symmetry-operation
+    provenance and the bcp/rcp connectivity table (reference
+    cp_long_report, src/autocp@proc.f90:1567-1623)."""
+    letters = "nbrc"
+    lines = ["* Complete CP list",
+             "# (x symbols are the non-equivalent representatives)",
+             "#  cp   ncp  typ   position (cryst. coords.)       op."]
+    cel = cell_cp_list(system, cpl)
+    for icel, (ineq, x, op) in enumerate(cel):
+        neq = "x" if op == 0 else " "
+        cp = cpl.cps[ineq]
+        lines.append(f"{neq} {icel + 1:<6d} {ineq + 1:<4d} "
+                     f"{letters[cp.typind]}  "
+                     f"{x[0]:12.8f} {x[1]:12.8f} {x[2]:12.8f}  {op + 1:3d}")
+    lines.append("")
+    lines.append("* Complete CP list, bcp and rcp connectivity table")
+    lines.append("# cp   ncp  typ   position (cryst. coords.)"
+                 "         end1  end2")
+    for icel, (ineq, x, op) in enumerate(cel):
+        cp = cpl.cps[ineq]
+        base = (f"{icel + 1:<6d} {ineq + 1:<4d} {letters[cp.typind]}  "
+                f"{x[0]:13.8f} {x[1]:13.8f} {x[2]:13.8f}")
+        if abs(cp.typ) == 1 and cp.ipath:
+            e1 = cp.ipath[0] + 1 if cp.ipath[0] is not None else 0
+            e2 = (cp.ipath[1] + 1 if len(cp.ipath) > 1
+                  and cp.ipath[1] is not None else 0)
+            base += f"  {e1:4d}  {e2:4d}"
+        lines.append(base)
+    return "\n".join(lines)
+
+
+def cp_vlong_report(system, cpl: CPList) -> str:
+    """CPREPORT VERYLONG: per-CP property blocks + the flatness
+    rho_min/rho_{b,max} (reference cp_vlong_report,
+    src/autocp@proc.f90:1626-1664)."""
+    c = system.crystal
+    lines = ["* Additional properties at the critical points"]
+    minden, maxbden = 1e30, 1e-30
+    for i, cp in enumerate(cpl.cps):
+        lines.append(f"+ Critical point no. {i + 1} ({cp.name})")
+        if not c.ismolecule:
+            lines.append("  Crystallographic coordinates: "
+                         + " ".join(f"{v:.10f}" for v in cp.x))
+        lines.append("  Cartesian coordinates (bohr): "
+                     + " ".join(f"{v:.10f}" for v in cp.r))
+        lines.append(f"  Field value (f): {cp.f:.9e}")
+        lines.append(f"  Gradient norm (|grad f|): {cp.gfmod:.9e}")
+        lines.append(f"  Laplacian (del2 f): {cp.del2f:.9e}")
+        lines.append("  Hessian eigenvalues: "
+                     + " ".join(f"{v:.9e}" for v in np.asarray(cp.eig)))
+        if cp.typ == -1 and abs(cp.eig[1]) > 1e-30:
+            lines.append(f"  Ellipticity (l_1/l_2 - 1): "
+                         f"{cp.eig[0] / cp.eig[1] - 1.0:.9e}")
+        minden = min(minden, cp.f)
+        if cp.typ == -1:
+            maxbden = max(maxbden, cp.f)
+    if not c.ismolecule:
+        fness = minden / maxbden if maxbden > 1e-12 else 0.0
+        lines.append(f"+ Flatness (rho_min / rho_b,max): {fness:.6f}")
+    return "\n".join(lines)
+
+
 def critshell(system, cpl: CPList, shmax: int = 10):
     """Shells of critical points around each nonequivalent CP
     (reference critshell, src/autocp@proc.f90:962-1051): for every CP,

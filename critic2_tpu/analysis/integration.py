@@ -92,7 +92,8 @@ def _match_attractors(crystal, xattr, ratom):
 
 def intgrid(system, method: str = "yt", ratom: float = 1.0,
             fields: dict | None = None, block: int = 1 << 16,
-            grid_shape=None, bader_method: str = "neargrid"):
+            grid_shape=None, bader_method: str = "neargrid",
+            mesh=None):
     """Run grid basin integration on the reference field of `system`.
 
     method: "yt" or "bader" (bader_method selects the reference's
@@ -102,6 +103,9 @@ def intgrid(system, method: str = "yt", ratom: float = 1.0,
     rasterized to) a grid; its core-augmented variant is used as basin
     field when the field has usecore set (reference
     src/integration@proc.f90:176-183).
+    mesh: optional jax.sharding.Mesh with a "space" axis — runs the YT
+    weight construction slab-parallel across devices
+    (parallel.yt_sharded); identical weights, multi-chip scaling.
     """
     f = system.ref
     c = system.crystal
@@ -116,7 +120,11 @@ def intgrid(system, method: str = "yt", ratom: float = 1.0,
         shape = tuple(grid_shape or (64, 64, 64))
         rho = _rasterize_field(f, shape, block=block)
 
-    if method == "yt":
+    if method == "yt" and mesh is not None:
+        from ..parallel.yt_sharded import yt_integrate_sharded
+
+        res = yt_integrate_sharded(mesh, c, np.asarray(rho), result=True)
+    elif method == "yt":
         res = yt_integrate(c, rho, block=block)
     elif method == "bader":
         res = bader_integrate(c, rho, block=max(block, 1 << 16),

@@ -112,7 +112,20 @@ class Repl:
     # ------------------------------------------------------------------
     def cmd_crystal(self, args, lines):
         if not args:
-            raise CliError("CRYSTAL needs a file")
+            # inline CRYSTAL ... ENDCRYSTAL environment (reference
+            # parse_crystal_env, src/crystalseedmod@proc.f90:40-290)
+            from . import param
+            from .crystal.seed import parse_crystal_env
+
+            sc = {"ang": param.ANGSTROM_TO_BOHR,
+                  "bohr": 1.0}.get(self.opts["units"])
+            seed = parse_crystal_env(lines, mol=False, unit_scale=sc)
+            self.sy = System.from_structure(seed.to_crystal())
+            self.sy.vars.update(self.pending_vars)
+            c = self.sy.crystal
+            self.write(f"+ crystal: <input> | {c.ncel} atoms | "
+                       f"volume {c.volume:.4f} bohr^3")
+            return
         self.sy = System.from_structure(args[0])
         self.sy.vars.update(self.pending_vars)
         c = self.sy.crystal
@@ -130,11 +143,23 @@ class Repl:
 
     def cmd_molecule(self, args, lines):
         if not args:
-            raise CliError("MOLECULE needs a file")
-        self.sy = System.from_structure(args[0], mol=True) \
-            if args[0].endswith(".xyz") else System.from_structure(args[0])
-        self.sy.vars.update(self.pending_vars)
-        self.write(f"+ molecule: {args[0]} | {self.sy.crystal.ncel} atoms")
+            # inline MOLECULE ... ENDMOLECULE environment (reference
+            # parse_molecule_env, src/crystalseedmod@proc.f90:293-460)
+            from .crystal.seed import parse_crystal_env
+
+            seed = parse_crystal_env(lines, mol=True)
+            self.sy = System.from_structure(seed.to_crystal())
+            self.sy.vars.update(self.pending_vars)
+            self.write(f"+ molecule: <input> | {self.sy.crystal.ncel} "
+                       "atoms")
+            args = ["<input>"]
+        else:
+            self.sy = System.from_structure(args[0], mol=True) \
+                if args[0].endswith(".xyz") \
+                else System.from_structure(args[0])
+            self.sy.vars.update(self.pending_vars)
+            self.write(f"+ molecule: {args[0]} | "
+                       f"{self.sy.crystal.ncel} atoms")
         try:
             from .crystal.sympg import molecular_point_group
 
@@ -726,6 +751,16 @@ class Repl:
                                f"{dist[i, sl]:11.6f} {nneig[i, sl]:5d}"
                                f" {wcp[i, sl]:5d}")
             return
+        if low and low[0] in ("long", "verylong"):
+            # reference cp_long_report/:1567 and cp_vlong_report/:1626
+            from .analysis.autocp import cp_long_report, cp_vlong_report
+
+            fn = cp_long_report if low[0] == "long" else cp_vlong_report
+            self.write(fn(self.need_system(), self.cpl))
+            return
+        if low and low[0] == "short":
+            low = low[1:]
+            args = args[1:]
         # file output: obj/ply/off scenes (reference CPREPORT writers)
         if args and args[0].lower().endswith((".obj", ".ply", ".off")):
             from .analysis.flux import cpreport_scene

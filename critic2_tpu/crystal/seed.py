@@ -66,6 +66,166 @@ def _molecule_to_crystal(seed: CrystalSeed) -> Crystal:
     return c
 
 
+def _parse_symm_op(s: str):
+    """Parse a Jones-faithful triplet ('-x, y+1/2, -z') into (R, t)
+    (reference SYMM keyword, src/crystalseedmod@proc.f90:176-183 with
+    spgs-style op decoding)."""
+    comps = s.replace(" ", "").lower().split(",")
+    if len(comps) != 3 or not all(
+            re.fullmatch(r"[xyz0-9+\-*/.]*", c) for c in comps):
+        raise ValueError(f"bad SYMM op: {s}")
+    R = np.zeros((3, 3))
+    t = np.zeros(3)
+    for i, comp in enumerate(comps):
+        def f(vx, vy, vz, expr=comp):
+            return float(eval(expr, {"__builtins__": {}},
+                              {"x": vx, "y": vy, "z": vz}))
+        t[i] = f(0.0, 0.0, 0.0)
+        for j in range(3):
+            e = [0.0, 0.0, 0.0]
+            e[j] = 1.0
+            R[i, j] = f(*e) - t[i]
+    return R, t % 1.0
+
+
+def _expand_ops(xs, species_of, ops, symprec=1e-5):
+    """Expand representative atoms by (R, t) op list, deduped."""
+    out_x, out_s = [], []
+    for x, s in zip(xs, species_of):
+        for R, t in ops:
+            y = (R @ np.asarray(x, dtype=float) + t) % 1.0
+            if not any(s == so and
+                       np.linalg.norm((y - xo + 0.5) % 1.0 - 0.5) < symprec
+                       for xo, so in zip(out_x, out_s)):
+                out_x.append(y)
+                out_s.append(s)
+    return np.asarray(out_x), np.asarray(out_s, dtype=int)
+
+
+def parse_crystal_env(lines, mol: bool = False,
+                      unit_scale: float | None = None) -> CrystalSeed:
+    """Parse the inline CRYSTAL ... ENDCRYSTAL / MOLECULE ... ENDMOLECULE
+    input environment (reference parse_crystal_env / parse_molecule_env,
+    src/crystalseedmod@proc.f90:40-460): CELL a b c al be ga [ANG|BOHR],
+    CARTESIAN [scale] <3 rows> ENDCARTESIAN, SPG symbol, SYMM triplet,
+    NEQ x y z At / At x y z / Z x y z atom lines; molecules take
+    Cartesian coordinates (default angstrom) and CUBIC/BORDER b.
+
+    `lines` is an iterator of raw input lines; consumption stops at
+    ENDCRYSTAL/ENDMOLECULE/END.
+    """
+    m_x2c = None
+    cart_frame = False
+    xs, spof, species = [], [], []
+    spmap = {}
+    symm_ops = []
+    spg_id = None
+    border, cubic = 10.0, False
+    default_scale = (param.ANGSTROM_TO_BOHR if mol else 1.0) \
+        if unit_scale is None else unit_scale
+    endkw = ("end", "endmolecule" if mol else "endcrystal")
+
+    for raw in lines:
+        t = raw.split("#")[0].strip()
+        if not t:
+            continue
+        toks = t.split()
+        kw = toks[0].lower()
+        if kw in endkw:
+            break
+        if kw == "cell":
+            vals = [float(v) for v in toks[1:7]]
+            sc = default_scale
+            if len(toks) > 7:
+                u = toks[7].lower()
+                sc = param.ANGSTROM_TO_BOHR if u in ("ang", "angstrom") \
+                    else 1.0
+            m_x2c = m_x2c_from_cellpar([v * sc for v in vals[:3]], vals[3:])
+        elif kw == "cartesian":
+            scal = float(toks[1]) if len(toks) > 1 else 1.0
+            ascal = default_scale
+            rows = []
+            for raw2 in lines:
+                t2 = raw2.split("#")[0].strip().lower()
+                if not t2:
+                    continue
+                if t2 in ("ang", "angstrom"):
+                    ascal = param.ANGSTROM_TO_BOHR
+                elif t2 in ("bohr", "au"):
+                    ascal = 1.0
+                elif t2 in ("end", "endcartesian"):
+                    break
+                else:
+                    rows.append([float(v) for v in t2.split()[:3]])
+            m_x2c = np.asarray(rows).T * scal * ascal   # columns = vectors
+            cart_frame = True
+        elif kw in ("spg", "spgr"):
+            from . import spgs
+            spg_id = spgs.symbol_to_id(" ".join(toks[1:]))
+        elif kw == "symm":
+            symm_ops.append(_parse_symm_op(" ".join(toks[1:])))
+        elif kw in ("cubic", "cube") and mol:
+            cubic = True
+        elif kw == "border" and mol:
+            border = float(toks[1])
+        else:
+            # atom line: NEQ x y z At | At x y z | Z x y z
+            if kw == "neq":
+                x = [float(v) for v in toks[1:4]]
+                name = toks[4]
+            else:
+                try:
+                    z = int(toks[0])
+                    name = param.z_to_symbol(z)
+                except ValueError:
+                    name = toks[0]
+                x = [float(v) for v in toks[1:4]]
+            unit = toks[-1].lower() if toks[-1].lower() in (
+                "ang", "angstrom", "bohr", "au") else None
+            x = np.asarray(x, dtype=float)
+            if mol:
+                sc = param.ANGSTROM_TO_BOHR if unit in (
+                    None, "ang", "angstrom") else 1.0
+                if unit_scale is not None and unit is None:
+                    sc = unit_scale
+                x = x * sc
+            elif unit is not None:
+                if not cart_frame:
+                    raise ValueError("cartesian atom coords need "
+                                     "CARTESIAN lattice vectors")
+                sc = param.ANGSTROM_TO_BOHR if unit in ("ang", "angstrom") \
+                    else 1.0
+                x = np.linalg.solve(m_x2c, x * sc)
+            key = name.capitalize()
+            if key not in spmap:
+                z = param.symbol_to_z(key)
+                if z <= 0:
+                    raise ValueError(f"unknown atomic symbol {name}")
+                spmap[key] = len(species)
+                species.append(Species(key, z))
+            xs.append(x)
+            spof.append(spmap[key])
+
+    if not xs:
+        raise ValueError("no atoms in the inline structure environment")
+    xs = np.asarray(xs, dtype=float)
+    spof = np.asarray(spof, dtype=int)
+    if mol:
+        return CrystalSeed(x_frac=xs, species_of=spof, species=species,
+                           ismolecule=True, border=border, cubic=cubic)
+    if m_x2c is None:
+        raise ValueError("inline CRYSTAL needs CELL or CARTESIAN")
+    ops = [(np.eye(3), np.zeros(3))] + list(symm_ops) if symm_ops else []
+    if spg_id is not None:
+        from . import spgs
+        R, T = spgs.setting(spg_id).full_ops()
+        ops += list(zip(R, T))
+    if ops:
+        xs, spof = _expand_ops(np.mod(xs, 1.0), spof, ops)
+    return CrystalSeed(m_x2c=m_x2c, x_frac=np.mod(xs, 1.0),
+                       species_of=spof, species=species)
+
+
 # ---------------------------------------------------------------------------
 # format detection
 # ---------------------------------------------------------------------------

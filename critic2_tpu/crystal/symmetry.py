@@ -91,6 +91,19 @@ class SpaceGroup:
                 out.append(y)
         return np.asarray(out)
 
+    def orbit_ops(self, x_frac, symprec: float = 1e-4):
+        """(images (k,3), opidx (k,)) — like orbit(), but also the index
+        of the first operation generating each distinct image (reference
+        cpcel()%ir bookkeeping, src/autocp@proc.f90:1589-1594)."""
+        out, ops = [], []
+        for i, (W, t) in enumerate(zip(self.rotations, self.translations)):
+            y = (W @ x_frac + t) % 1.0
+            if not any(np.linalg.norm(((y - o) - np.rint(y - o)))
+                       < symprec for o in out):
+                out.append(y)
+                ops.append(i)
+        return np.asarray(out), np.asarray(ops, dtype=int)
+
 
 def _crystal_system(nrot: int, rotations) -> str:
     """Crystal system from the point-group order and rotation types."""

@@ -29,18 +29,42 @@ import numpy as np
 from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-__all__ = ["yt_integrate_sharded"]
+__all__ = ["yt_integrate_sharded", "ShardedYTResult"]
+
+
+class ShardedYTResult:
+    """Duck-type of analysis.yt.YTResult over the dense sharded weights,
+    so intgrid/multipoles can consume the multi-device path unchanged."""
+
+    def __init__(self, crystal, shape, nattr, xattr, iattr, labels, wflat):
+        self.crystal = crystal
+        self.shape = shape
+        self.nattr = nattr
+        self.xattr = xattr
+        self.iattr = iattr
+        self.labels = labels
+        self._wflat = wflat          # (nattr, N) device array (sharded)
+
+    def integrate(self, field_flat) -> np.ndarray:
+        """sum_i w_i(b) f_i per basin (NOT scaled by Omega/N)."""
+        f = jnp.asarray(field_flat).reshape(-1)
+        return np.asarray(self._wflat @ f)
+
+    def weights(self, b: int) -> np.ndarray:
+        return np.asarray(self._wflat[b]).reshape(self.shape)
 
 
 def yt_integrate_sharded(mesh, crystal, rho, fields_flat=None,
-                         max_iters: int | None = None):
+                         max_iters: int | None = None,
+                         result: bool = False):
     """YT basin charges over a slab-sharded grid.
 
     mesh: device mesh with a "space" axis; rho (n1, n2, n3) with n1
     divisible by the space axis. fields_flat: optional (nf, N) extra
     integrands. Returns (xattr (nattr, 3) fractional, charges (nf+1,
     nattr) basin sums of rho and the integrands, labels (n1, n2, n3)
-    argmax assignment).
+    argmax assignment) — or, with result=True, a ShardedYTResult that
+    plugs into analysis.integration.intgrid in place of YTResult.
     """
     from ..analysis.yt import _grid_ws_neighbors
 
@@ -173,4 +197,7 @@ def yt_integrate_sharded(mesh, crystal, rho, fields_flat=None,
             integrands.append(jnp.asarray(f).reshape(-1))
     charges = np.stack([np.asarray(wflat @ f) for f in integrands])
     labels = np.asarray(jnp.argmax(wflat, axis=0)).reshape(shape)
+    if result:
+        return ShardedYTResult(crystal, shape, nattr, xattr, iattr,
+                               labels, wflat)
     return xattr, charges, labels

@@ -113,3 +113,35 @@ def test_autocp_clip_and_mesh_seed():
     if len(bonds) == 2:
         np.testing.assert_allclose(dist[bonds[0], 0], dist[bonds[1], 0],
                                    atol=1e-6)
+
+
+def test_cpreport_long_verylong():
+    """LONG expands the cell CP list by symmetry with op provenance;
+    VERYLONG prints per-CP property blocks and the flatness
+    (reference cp_long_report/cp_vlong_report,
+    src/autocp@proc.f90:1567-1664)."""
+    from critic2_tpu.analysis.autocp import (cell_cp_list, cp_long_report,
+                                             cp_vlong_report)
+
+    s = cosine_system()
+    cpl = autocp(s, seeds=[Seed(typ="ws", depth=1)])
+    cel = cell_cp_list(s, cpl)
+    # cell list size = sum of multiplicities (1+3+3+1 = 8 for cosine)
+    assert len(cel) == sum(cp.mult for cp in cpl.cps)
+    # first image of every orbit is the identity op
+    firsts = {}
+    for ineq, x, op in cel:
+        if ineq not in firsts:
+            firsts[ineq] = op
+            assert op == 0
+            np.testing.assert_allclose(
+                (np.asarray(x) - cpl.cps[ineq].x + 0.5) % 1.0 - 0.5,
+                0.0, atol=1e-8)
+    rep = cp_long_report(s, cpl)
+    assert "Complete CP list" in rep and "connectivity" in rep
+    assert len(rep.splitlines()) >= len(cel) + 4
+    vrep = cp_vlong_report(s, cpl)
+    assert "Flatness" in vrep
+    assert "Hessian eigenvalues" in vrep
+    for cp in cpl.cps:
+        assert cp.name in vrep

@@ -41,6 +41,23 @@ def test_intgrid_yt_promolecular_charges():
     assert q["Cl"] > q["Na"] > 0
 
 
+def test_intgrid_yt_sharded_matches_single_device():
+    """intgrid(mesh=...) runs the slab-parallel YT (parallel.yt_sharded)
+    and must reproduce the single-device charges and volumes."""
+    from critic2_tpu.parallel.mesh import make_mesh
+
+    s = _nacl_system(shape=(16, 16, 16))
+    ref = intgrid(s, method="yt")
+    res = intgrid(s, method="yt", mesh=make_mesh(8))
+    assert sorted(r.name for r in res.rows) == \
+        sorted(r.name for r in ref.rows)
+    q0 = {r.name: r.pop for r in ref.rows}
+    v0 = {r.name: r.volume for r in ref.rows}
+    for r in res.rows:
+        assert abs(r.pop - q0[r.name]) < 1e-8
+        assert abs(r.volume - v0[r.name]) < 1e-8
+
+
 def test_intgrid_bader_agrees_roughly_with_yt():
     s = _nacl_system()
     r_yt = intgrid(s, method="yt")

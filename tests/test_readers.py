@@ -206,3 +206,60 @@ def test_abinit_cli_roundtrip(tmp_path):
     r.run_script(f"crystal {p}\nload {p}\n")
     assert r.sy.field(1).type == "grid"
     assert tuple(r.sy.field(1).grid.n) == ngfft
+
+
+def test_parse_crystal_env_inline():
+    """Inline CRYSTAL/MOLECULE environments (reference parse_crystal_env
+    / parse_molecule_env, src/crystalseedmod@proc.f90:40-460): CELL+NEQ,
+    SPG orbit expansion, SYMM triplets, and molecular input."""
+    import numpy as np
+    from critic2_tpu.crystal.seed import parse_crystal_env
+
+    # CELL + SPG expands NaCl representatives to the 8-atom cell
+    txt = """ cell 10.658 10.658 10.658 90 90 90
+ spg f m -3 m
+ neq 0. 0. 0. na
+ neq 0.5 0.5 0.5 cl
+endcrystal"""
+    seed = parse_crystal_env(iter(txt.splitlines()))
+    assert len(seed.x_frac) == 8
+    c = seed.to_crystal()
+    assert c.spacegroup.nops == 192
+    zs = sorted(c.species[s].z for s in c.species_of)
+    assert zs == [11] * 4 + [17] * 4
+
+    # SYMM Jones-faithful triplet expansion
+    txt2 = """ cell 8 8 8 90 90 90
+ symm -x,-y,z
+ symm -x,y,-z
+ C 0.1 0.2 0.3
+end"""
+    # SYMM lines are a complete operator list (CIF-style), applied as
+    # given (the reference stores sline and expands once per op, no
+    # group closure — that is find_symmetry's job)
+    s2 = parse_crystal_env(iter(txt2.splitlines()))
+    assert len(s2.x_frac) == 3
+    got = {tuple(np.round(x, 6)) for x in s2.x_frac}
+    assert (0.9, 0.8, 0.3) in got and (0.9, 0.2, 0.7) in got
+
+    # CARTESIAN frame + angstrom atom coords
+    txt3 = """ cartesian
+ bohr
+ 8 0 0
+ 0 8 0
+ 0 0 8
+ endcartesian
+ He 4.0 4.0 4.0 bohr
+endcrystal"""
+    s3 = parse_crystal_env(iter(txt3.splitlines()))
+    np.testing.assert_allclose(s3.x_frac[0], [0.5, 0.5, 0.5], atol=1e-12)
+
+    # molecule: coordinates in angstrom by default
+    txtm = """ O 0.0 0.0 0.1173
+ H 0.0 0.7572 -0.4692
+ H 0.0 -0.7572 -0.4692
+endmolecule"""
+    sm = parse_crystal_env(iter(txtm.splitlines()), mol=True)
+    assert sm.ismolecule and len(sm.x_frac) == 3
+    d = np.linalg.norm(sm.x_frac[1] - sm.x_frac[0])
+    assert abs(d - 0.9578 * 1.8897261246) < 1e-3
