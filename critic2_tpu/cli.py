@@ -126,6 +126,19 @@ class Repl:
             self.write(f"+ crystal: <input> | {c.ncel} atoms | "
                        f"volume {c.volume:.4f} bohr^3")
             return
+        if args[0].lower() == "library":
+            # CRYSTAL LIBRARY entry (reference read_library)
+            from .crystal.library import load_library_entry
+
+            seed = load_library_entry(
+                " ".join(args[1:]), mol=False,
+                path=self.opts.get("clib"))
+            self.sy = System.from_structure(seed.to_crystal())
+            self.sy.vars.update(self.pending_vars)
+            c = self.sy.crystal
+            self.write(f"+ crystal: library {seed.name} | {c.ncel} atoms"
+                       f" | volume {c.volume:.4f} bohr^3")
+            return
         self.sy = System.from_structure(args[0])
         self.sy.vars.update(self.pending_vars)
         c = self.sy.crystal
@@ -153,6 +166,15 @@ class Repl:
             self.write(f"+ molecule: <input> | {self.sy.crystal.ncel} "
                        "atoms")
             args = ["<input>"]
+        elif args[0].lower() == "library":
+            from .crystal.library import load_library_entry
+
+            seed = load_library_entry(" ".join(args[1:]), mol=True,
+                                      path=self.opts.get("mlib"))
+            self.sy = System.from_structure(seed.to_crystal())
+            self.sy.vars.update(self.pending_vars)
+            self.write(f"+ molecule: library {seed.name} | "
+                       f"{self.sy.crystal.ncel} atoms")
         else:
             self.sy = System.from_structure(args[0], mol=True) \
                 if args[0].endswith(".xyz") \
@@ -347,6 +369,17 @@ class Repl:
 
     def cmd_prune_distance(self, args, lines):
         self.opts["prune_distance"] = float(args[0])
+
+    def cmd_library(self, args, lines):
+        """LIBRARY CRYSTAL path | LIBRARY MOLECULE path: override the
+        structure library files (reference critic_setvariables LIBRARY,
+        src/global@proc.f90)."""
+        if len(args) >= 2 and args[0].lower() in ("crystal", "molecule"):
+            key = "clib" if args[0].lower() == "crystal" else "mlib"
+            self.opts[key] = args[1]
+            self.write(f"+ {args[0].lower()} library: {args[1]}")
+        else:
+            raise CliError("LIBRARY CRYSTAL/MOLECULE path")
 
     def _unit_scale(self):
         """Input-coordinate factor to bohr for cartesian inputs."""

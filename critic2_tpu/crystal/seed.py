@@ -66,6 +66,19 @@ def _molecule_to_crystal(seed: CrystalSeed) -> Crystal:
     return c
 
 
+def _num(s: str) -> float:
+    """Numeric token with arithmetic (the library files use '1/3',
+    sometimes quoted; reference eval_next runs the full expression
+    evaluator on the unquoted token)."""
+    s = s.strip("'\"")
+    try:
+        return float(s)
+    except ValueError:
+        if re.fullmatch(r"[0-9.+\-*/eE()]+", s):
+            return float(eval(s, {"__builtins__": {}}, {}))
+        raise
+
+
 def _parse_symm_op(s: str):
     """Parse a Jones-faithful triplet ('-x, y+1/2, -z') into (R, t)
     (reference SYMM keyword, src/crystalseedmod@proc.f90:176-183 with
@@ -134,7 +147,7 @@ def parse_crystal_env(lines, mol: bool = False,
         if kw in endkw:
             break
         if kw == "cell":
-            vals = [float(v) for v in toks[1:7]]
+            vals = [_num(v) for v in toks[1:7]]
             sc = default_scale
             if len(toks) > 7:
                 u = toks[7].lower()
@@ -142,7 +155,7 @@ def parse_crystal_env(lines, mol: bool = False,
                     else 1.0
             m_x2c = m_x2c_from_cellpar([v * sc for v in vals[:3]], vals[3:])
         elif kw == "cartesian":
-            scal = float(toks[1]) if len(toks) > 1 else 1.0
+            scal = _num(toks[1]) if len(toks) > 1 else 1.0
             ascal = default_scale
             rows = []
             for raw2 in lines:
@@ -156,7 +169,7 @@ def parse_crystal_env(lines, mol: bool = False,
                 elif t2 in ("end", "endcartesian"):
                     break
                 else:
-                    rows.append([float(v) for v in t2.split()[:3]])
+                    rows.append([_num(v) for v in t2.split()[:3]])
             m_x2c = np.asarray(rows).T * scal * ascal   # columns = vectors
             cart_frame = True
         elif kw in ("spg", "spgr"):
@@ -167,11 +180,11 @@ def parse_crystal_env(lines, mol: bool = False,
         elif kw in ("cubic", "cube") and mol:
             cubic = True
         elif kw == "border" and mol:
-            border = float(toks[1])
+            border = _num(toks[1])
         else:
             # atom line: NEQ x y z At | At x y z | Z x y z
             if kw == "neq":
-                x = [float(v) for v in toks[1:4]]
+                x = [_num(v) for v in toks[1:4]]
                 name = toks[4]
             else:
                 try:
@@ -179,7 +192,7 @@ def parse_crystal_env(lines, mol: bool = False,
                     name = param.z_to_symbol(z)
                 except ValueError:
                     name = toks[0]
-                x = [float(v) for v in toks[1:4]]
+                x = [_num(v) for v in toks[1:4]]
             unit = toks[-1].lower() if toks[-1].lower() in (
                 "ang", "angstrom", "bohr", "au") else None
             x = np.asarray(x, dtype=float)

@@ -263,3 +263,22 @@ endmolecule"""
     assert sm.ismolecule and len(sm.x_frac) == 3
     d = np.linalg.norm(sm.x_frac[1] - sm.x_frac[0])
     assert abs(d - 0.9578 * 1.8897261246) < 1e-3
+
+
+def test_structure_library():
+    """CRYSTAL/MOLECULE LIBRARY entries (reference dat/lib/*.dat +
+    read_library): every shipped entry must parse; spot-check MgO and
+    wurtzite (quoted '1/3' fractional tokens)."""
+    import numpy as np
+    from critic2_tpu.crystal.library import (library_entries,
+                                             load_library_entry)
+
+    for e in library_entries(mol=False):
+        s = load_library_entry(e[0], mol=False)
+        assert len(s.x_frac) >= 1, e
+    mgo = load_library_entry("mgo").to_crystal()
+    assert mgo.ncel == 8
+    b4 = load_library_entry("zincite").to_crystal()
+    assert b4.ncel == 4          # wurtzite: 2 Zn + 2 O
+    bz = load_library_entry("benzene", mol=True)
+    assert bz.ismolecule and len(bz.x_frac) == 12
