@@ -103,11 +103,15 @@ class DelocResult:
         amap = np.asarray(attr_map)
         fa = np.zeros((self.nspin, nrows, nrows, self.nlat))
         for a in range(self.fa.shape[1]):
+            if amap[a] < 0:      # DISCARDed attractor
+                continue
             for b in range(self.fa.shape[2]):
-                fa[:, amap[a], amap[b], :] += self.fa[:, a, b, :]
+                if amap[b] >= 0:
+                    fa[:, amap[a], amap[b], :] += self.fa[:, a, b, :]
         xat = np.zeros((nrows, 3))
         for a in range(self.fa.shape[1]):
-            xat[amap[a]] = self.xattr[a]
+            if amap[a] >= 0:
+                xat[amap[a]] = self.xattr[a]
         return DelocResult(nspin=self.nspin, fspin=self.fspin, nk=self.nk,
                            nbndw=self.nbndw, sij=[], fa=fa, xattr=xat,
                            rvec=self.rvec)

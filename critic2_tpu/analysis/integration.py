@@ -93,7 +93,8 @@ def _match_attractors(crystal, xattr, ratom):
 def intgrid(system, method: str = "yt", ratom: float = 1.0,
             fields: dict | None = None, block: int = 1 << 16,
             grid_shape=None, bader_method: str = "neargrid",
-            mesh=None):
+            mesh=None, nnm: bool = True, noatoms: bool = False,
+            discard: str | None = None):
     """Run grid basin integration on the reference field of `system`.
 
     method: "yt" or "bader" (bader_method selects the reference's
@@ -106,6 +107,16 @@ def intgrid(system, method: str = "yt", ratom: float = 1.0,
     mesh: optional jax.sharding.Mesh with a "space" axis — runs the YT
     weight construction slab-parallel across devices
     (parallel.yt_sharded); identical weights, multi-chip scaling.
+
+    Attractor-to-atom assignment follows the reference keyword logic
+    (src/integration@proc.f90:166-175): nnm=False assigns every
+    attractor to its nearest atom regardless of distance (ratom
+    effectively infinite); nnm=True keeps attractors farther than
+    `ratom` (bohr) from any atom as non-nuclear maxima; noatoms=True
+    treats ALL attractors as NNM. discard: an expression string —
+    attractors where it evaluates non-zero are dropped with their
+    basin's charge and volume (reference bas%expr,
+    src/yt@proc.f90:160-166).
     """
     f = system.ref
     c = system.crystal
@@ -162,7 +173,17 @@ def intgrid(system, method: str = "yt", ratom: float = 1.0,
         for name, arr in fields.items():
             extras[name] = res.integrate(jnp.asarray(arr).reshape(-1)) * scale
 
-    iat = _match_attractors(c, res.xattr, ratom)
+    if noatoms:
+        iat = np.full(res.nattr, -1, dtype=int)
+    else:
+        iat = _match_attractors(c, res.xattr,
+                                ratom if nnm else 1e40)
+
+    dropped = np.zeros(res.nattr, dtype=bool)
+    if discard:
+        xc_attr = (np.asarray(c.m_x2c) @ np.asarray(res.xattr).T).T
+        vals = np.asarray(system.eval_expr(discard, xc_attr)).reshape(-1)
+        dropped = np.abs(vals) > 1e-30
 
     # merge attractors mapped to the same atom (reference keeps one row
     # per attractor-atom; multiple maxima inside one atomic basin merge)
@@ -170,6 +191,9 @@ def intgrid(system, method: str = "yt", ratom: float = 1.0,
     used = {}
     attr_map = []
     for a in range(res.nattr):
+        if dropped[a]:
+            attr_map.append(-1)
+            continue
         key = ("atom", iat[a]) if iat[a] >= 0 else ("nnm", a)
         if key in used:
             r = rows[used[key]]
@@ -219,6 +243,8 @@ def multipoles(system, intres: IntegrationResult, lmax: int = 4):
     out = np.zeros((len(intres.rows), nlm(lmax)))
     for a in range(res.nattr):
         row = intres.attr_map[a]
+        if row < 0:              # DISCARDed attractor
+            continue
         center = intres.rows[row].xfrac
         d = xf - center[None, :]
         d -= np.rint(d)

@@ -31,6 +31,7 @@ class Repl:
         self.quiet = quiet
         self.cpl = None
         self.nwarns = 0
+        self.fileroot = "critic2"   # ROOT prefix for derived output files
         # variables assigned before any CRYSTAL/MOLECULE line; folded into
         # system.vars when a system appears
         self.pending_vars: dict[str, float] = {}
@@ -811,6 +812,40 @@ class Repl:
                        f" {cp.del2f: .6e}  {cp.x[0]:.6f} {cp.x[1]:.6f}"
                        f" {cp.x[2]:.6f}")
 
+    def _write_wcubes(self, sy, res):
+        """WCUBE: per-row basin weight grids as cube files (reference
+        int_gridbasins wcube branch, src/integration@proc.f90:2463-2482)."""
+        from .io.cube import write_cube
+
+        c = sy.crystal
+        shape = res.grid_shape
+        xmat = np.asarray(c.m_x2c) @ np.diag(1.0 / np.asarray(shape))
+        zs = np.asarray(c.zatoms)
+        pos = np.asarray(c.x_frac) @ np.asarray(c.m_x2c).T
+        amap = np.asarray(res.attr_map)
+        for row in range(len(res.rows)):
+            w = np.zeros(shape)
+            for a in np.where(amap == row)[0]:
+                w += res.decomp.weights(int(a))
+            fn = f"{self.fileroot}_wcube_{row + 1:02d}.cube"
+            write_cube(fn, w, np.zeros(3), xmat, zs, pos,
+                       comment2=f"basin weight {res.rows[row].name}")
+        self.write(f"+ Weights written to {self.fileroot}_wcube_*.cube")
+
+    def _write_basins(self, sy, res, fmt, nwant):
+        """BASINS [fmt] [n]: basin surfaces around each attractor row
+        (reference int_gridbasins, src/integration@proc.f90:2380-2460;
+        here via the IAS ray-bisection surface of bisect.basinplot)."""
+        from .analysis.bisect import basinplot
+
+        rows = res.rows if nwant < 0 else res.rows[:1] \
+            if nwant == 0 else [r for r in res.rows if r.idx == nwant]
+        for r in rows:
+            fn = f"{self.fileroot}_basin_{r.idx:02d}.{fmt}"
+            basinplot(sy, np.asarray(r.xfrac), level=2, file=fn)
+        self.write(f"+ Basin surfaces written to "
+                   f"{self.fileroot}_basin_*.{fmt}")
+
     def cmd_yt(self, args, lines):
         self._intgrid("yt", args)
 
@@ -818,17 +853,50 @@ class Repl:
         self._intgrid("bader", args)
 
     def _intgrid(self, method, args):
+        """YT/BADER keyword options (reference intgrid_driver,
+        src/integration@proc.f90:96-160): NNM, NOATOMS, RATOM r, WCUBE,
+        BASINS [obj|ply|off] [n], DISCARD expr; BADER adds ONGRID."""
         from .analysis.integration import intgrid
 
         sy = self.need_system()
-        kw = {}
-        if method == "bader":
-            # reference BADER options: NEARGRID (default) / ONGRID
-            kw["bader_method"] = "ongrid" if any(
-                a.lower() == "ongrid" for a in args) else "neargrid"
+        kw = {"nnm": False}
+        wcube = False
+        basins_fmt, basins_n = None, -1
+        i = 0
+        while i < len(args):
+            a = args[i].lower()
+            if a == "nnm":
+                kw["nnm"] = True
+            elif a == "noatoms":
+                kw["noatoms"] = True
+            elif a == "ratom":
+                kw["nnm"] = True
+                kw["ratom"] = float(args[i + 1]) * self._unit_scale()
+                i += 1
+            elif a == "wcube":
+                wcube = True
+            elif a == "basins":
+                basins_fmt = "obj"
+                if i + 1 < len(args) and args[i + 1].lower() in (
+                        "obj", "ply", "off"):
+                    basins_fmt = args[i + 1].lower()
+                    i += 1
+                if i + 1 < len(args) and args[i + 1].lstrip("-").isdigit():
+                    basins_n = int(args[i + 1])
+                    i += 1
+            elif a == "discard":
+                kw["discard"] = args[i + 1]
+                i += 1
+            elif a == "ongrid" and method == "bader":
+                kw["bader_method"] = "ongrid"
+            i += 1
         res = intgrid(sy, method=method, **kw)
         self.write(f"+ {method.upper()}: {res.nattr_raw} attractors")
         self.write(res.table())
+        if wcube:
+            self._write_wcubes(sy, res)
+        if basins_fmt is not None:
+            self._write_basins(sy, res, basins_fmt, basins_n)
         for req in getattr(sy, "deloc_requests", []):
             from .analysis.deloc import deloc_wannier
 
@@ -1386,6 +1454,10 @@ def main(argv=None):
     repl = Repl(quiet=quiet)
     if argv:
         text = open(argv[0]).read()
+        # default output prefix = input basename (reference fileroot,
+        # src/critic2.F90:412-417); ROOT overrides
+        import os as _os
+        repl.fileroot = _os.path.splitext(argv[0])[0]
     else:
         text = sys.stdin.read()
     try:

@@ -118,3 +118,25 @@ def test_bader_plateau_single_attractor():
     res = bader_integrate(c, jnp.asarray(rho))
     # 2 blobs + a handful of plateau representatives at most
     assert res.nattr <= 8, res.nattr
+
+
+def test_intgrid_attractor_options():
+    """NNM/NOATOMS/RATOM/DISCARD semantics (reference intgrid_driver,
+    src/integration@proc.f90:108-175 and yt DISCARD,
+    src/yt@proc.f90:160-166)."""
+    s = _nacl_system(shape=(16, 16, 16))
+    # default (nnm=False equivalent): everything assigned to atoms
+    res = intgrid(s, method="yt", nnm=False)
+    assert all(r.atom >= 0 for r in res.rows)
+    # noatoms: every attractor is a NNM row
+    res_na = intgrid(s, method="yt", noatoms=True)
+    assert all(r.atom < 0 for r in res_na.rows)
+    assert abs(sum(r.pop for r in res_na.rows)
+               - sum(r.pop for r in res.rows)) < 1e-8
+    # discard with an always-false condition keeps everything
+    res_d0 = intgrid(s, method="yt", discard="$1 < 0")
+    assert len(res_d0.rows) == len(res.rows)
+    # discard everything with rho above a threshold at the attractor
+    # (all attractors are nuclei here -> all dropped)
+    res_d = intgrid(s, method="yt", discard="$1 > 1e-6")
+    assert len(res_d.rows) == 0
