@@ -261,6 +261,30 @@ def cube(system, n=(64, 64, 64), origin=(0.0, 0.0, 0.0), lengths=None,
                                         cart[lo:lo + block])
     data = out.reshape(n1, n2, n3)
     if file:
+        write_grid_file(system.crystal, data, file, origin=origin,
+                        lengths=lengths, what=what)
+    return data
+
+
+def write_grid_file(c, data, file, origin=(0.0, 0.0, 0.0),
+                    lengths=(1.0, 1.0, 1.0), what: str = "f"):
+    """Grid output dispatch by extension (reference rhoplot_cube FILE
+    outputs, src/rhoplot@proc.f90:356-645): .cube, .bincube, .xsf, and
+    VASP CHGCAR-style files."""
+    n1, n2, n3 = data.shape
+    origin = np.asarray(origin, dtype=float)
+    lengths = np.asarray(lengths, dtype=float)
+    low = file.lower()
+    base = low.rsplit("/", 1)[-1]
+    if low.endswith(".bincube"):
+        from ..fields.grid3 import Grid3
+
+        Grid3(np.asarray(data)).write_bincube(file, crystal=c)
+    elif low.endswith(".xsf"):
+        _write_xsf_grid(c, data, file, what)
+    elif low.endswith((".vasp", "chgcar")) or base.startswith("chgcar"):
+        _write_chgcar(c, data, file)
+    else:
         from ..io.cube import write_cube
 
         xmat = np.asarray(c.m_x2c) * (lengths / np.array([n1, n2, n3]))
@@ -268,4 +292,65 @@ def cube(system, n=(64, 64, 64), origin=(0.0, 0.0, 0.0), lengths=None,
         write_cube(file, data, origin @ np.asarray(c.m_x2c).T, xmat, zs,
                    np.asarray(c.x_cart),
                    comment1=f"critic2-tpu CUBE {what}")
-    return data
+
+
+def _write_xsf_grid(c, data, path, what="f"):
+    """XCrySDen xsf with a 3D datagrid (reference grid xsf writer;
+    node-centered grid is written with the periodic endpoint repeated)."""
+    from .. import param
+
+    m = np.asarray(c.m_x2c) * param.BOHR_TO_ANGSTROM
+    d = np.asarray(data)
+    dp = np.pad(d, ((0, 1), (0, 1), (0, 1)), mode="wrap")
+    with open(path, "w") as f:
+        f.write("CRYSTAL\nPRIMVEC\n")
+        for v in m.T:
+            f.write(f" {v[0]:.10f} {v[1]:.10f} {v[2]:.10f}\n")
+        f.write(f"PRIMCOORD\n{c.ncel} 1\n")
+        pos = np.asarray(c.x_cart) * param.BOHR_TO_ANGSTROM
+        for z, p in zip(c.zatoms, pos):
+            f.write(f" {int(z)} {p[0]:.10f} {p[1]:.10f} {p[2]:.10f}\n")
+        f.write("BEGIN_BLOCK_DATAGRID_3D\n critic2_tpu\n"
+                " BEGIN_DATAGRID_3D\n")
+        f.write(f" {dp.shape[0]} {dp.shape[1]} {dp.shape[2]}\n")
+        f.write(" 0.0 0.0 0.0\n")
+        for v in m.T:
+            f.write(f" {v[0]:.10f} {v[1]:.10f} {v[2]:.10f}\n")
+        flat = dp.transpose(2, 1, 0).reshape(-1)
+        for lo in range(0, len(flat), 6):
+            f.write(" " + " ".join(f"{v:.10e}"
+                                   for v in flat[lo:lo + 6]) + "\n")
+        f.write(" END_DATAGRID_3D\nEND_BLOCK_DATAGRID_3D\n")
+
+
+def _write_chgcar(c, data, path):
+    """VASP CHGCAR-style grid: POSCAR header + rho*Omega in Fortran
+    order (the reference multiplies by the cell volume on write, inverse
+    of the divide-on-read, src/grid3mod@proc.f90:577-617)."""
+    from .. import param
+
+    m = np.asarray(c.m_x2c) * param.BOHR_TO_ANGSTROM
+    names, counts, order = [], [], []
+    for isp in range(len(c.species)):
+        idx = np.where(np.asarray(c.species_of) == isp)[0]
+        if len(idx):
+            names.append(c.species[isp].name)
+            counts.append(len(idx))
+            order.extend(idx.tolist())
+    d = np.asarray(data)
+    with open(path, "w") as f:
+        f.write("critic2-tpu CHGCAR\n1.0\n")
+        for v in m.T:
+            f.write(f" {v[0]:.10f} {v[1]:.10f} {v[2]:.10f}\n")
+        f.write(" ".join(names) + "\n")
+        f.write(" ".join(str(n) for n in counts) + "\n")
+        f.write("Direct\n")
+        xf = np.asarray(c.x_frac)
+        for i in order:
+            f.write(f" {xf[i, 0]:.10f} {xf[i, 1]:.10f} {xf[i, 2]:.10f}\n")
+        f.write("\n")
+        f.write(f" {d.shape[0]} {d.shape[1]} {d.shape[2]}\n")
+        flat = d.transpose(2, 1, 0).reshape(-1) * c.volume
+        for lo in range(0, len(flat), 5):
+            f.write(" " + " ".join(f"{v:.11e}"
+                                   for v in flat[lo:lo + 5]) + "\n")

@@ -656,24 +656,60 @@ class Repl:
                    + (f" -> {file}" if file else ""))
 
     def cmd_cube(self, args, lines):
+        """CUBE [x0 y0 z0 x1 y1 z1 | CELL] [GRID n1 n2 n3] [FILE out]
+        [FIELD id|expr] [F|GX..GZ|GMOD|HXX..HZZ|LAP] [HEADER]
+        (reference rhoplot_cube, src/rhoplot@proc.f90:356-645; output
+        extension selects cube/bincube/xsf/CHGCAR)."""
         from .analysis import rhoplot
 
         sy = self.need_system()
         n = (64, 64, 64)
         file = None
         what = "f"
+        origin = (0.0, 0.0, 0.0)
+        lengths = None
+        header = False
+        sel = {"f", "gx", "gy", "gz", "gmod", "lap",
+               "hxx", "hxy", "hxz", "hyy", "hyz", "hzz"}
         i = 0
         while i < len(args):
             a = args[i].lower()
             if a == "grid" and i + 3 < len(args):
                 n = tuple(int(v) for v in args[i + 1:i + 4]); i += 4
+            elif a == "cell":
+                origin, lengths = (0.0, 0.0, 0.0), None; i += 1
+            elif a == "header":
+                header = True; i += 1
             elif a == "file":
                 file = args[i + 1]; i += 2
             elif a == "field":
                 what = args[i + 1]; i += 2
+            elif a in sel:
+                what = a[1:] if a.startswith("h") else a; i += 1
+            elif i + 5 < len(args):
+                try:
+                    v = [float(x) for x in args[i:i + 6]]
+                except ValueError:
+                    i += 1
+                    continue
+                origin = tuple(v[:3])
+                lengths = tuple(b - a0 for a0, b in zip(v[:3], v[3:]))
+                i += 6
             else:
                 i += 1
-        data = rhoplot.cube(sy, n=n, what=what, file=file)
+        if header:
+            # HEADER: geometry-only cube, zero data (reference :389)
+            import numpy as _np
+
+            data = _np.zeros((2, 2, 2))
+            if file:
+                rhoplot.write_grid_file(sy.crystal, data, file,
+                                        origin=origin,
+                                        lengths=lengths or (1, 1, 1))
+            self.write(f"+ CUBE header -> {file}")
+            return
+        data = rhoplot.cube(sy, n=n, origin=origin, lengths=lengths,
+                            what=what, file=file)
         self.write(f"+ CUBE {n}: [{data.min():.6e}, {data.max():.6e}]"
                    + (f" -> {file}" if file else ""))
 

@@ -76,3 +76,43 @@ def test_grdvec(s, tmp_path):
     assert vals.shape == (21, 21)
     assert len(paths) >= 2
     assert f.exists() and f.stat().st_size > 1000
+
+
+def test_write_grid_file_formats(tmp_path):
+    """CUBE FILE output dispatch (reference rhoplot_cube writers,
+    src/rhoplot@proc.f90:356-645): cube/bincube/xsf/CHGCAR written and
+    read back by this package's own readers."""
+    import numpy as np
+    from critic2_tpu.analysis.rhoplot import write_grid_file
+    from critic2_tpu.fields.grid3 import Grid3
+    from critic2_tpu.crystal.crystal import Crystal, Species
+    from critic2_tpu.crystal.seed import read_structure
+
+    c = Crystal(m_x2c=np.diag([8.0, 9.0, 10.0]),
+                x_frac=np.array([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]]),
+                species_of=np.array([0, 1]),
+                species=[Species("Na", 11), Species("Cl", 17)])
+    rng = np.random.default_rng(3)
+    data = rng.random((6, 5, 4)) + 0.5
+
+    p = tmp_path / "t.bincube"
+    write_grid_file(c, data, str(p))
+    np.testing.assert_allclose(np.asarray(Grid3.from_file(str(p)).f),
+                               data, atol=0)
+
+    p = tmp_path / "CHGCAR"
+    write_grid_file(c, data, str(p))
+    g = Grid3.from_file(str(p))
+    np.testing.assert_allclose(np.asarray(g.f), data, rtol=1e-9)
+    cc = read_structure(str(p))
+    assert cc.ncel == 2 and abs(cc.volume - 720.0) < 1e-6
+
+    p = tmp_path / "t.xsf"
+    write_grid_file(c, data, str(p))
+    txt = p.read_text()
+    assert "BEGIN_DATAGRID_3D" in txt and "7 6 5" in txt
+
+    p = tmp_path / "t.cube"
+    write_grid_file(c, data, str(p))
+    np.testing.assert_allclose(np.asarray(Grid3.from_file(str(p)).f),
+                               data, rtol=1e-5)   # text precision
