@@ -663,19 +663,28 @@ class Repl:
         from .analysis import rhoplot
 
         sy = self.need_system()
-        n = (64, 64, 64)
+        n = None
         file = None
         what = "f"
         origin = (0.0, 0.0, 0.0)
         lengths = None
         header = False
+        step = None
         sel = {"f", "gx", "gy", "gz", "gmod", "lap",
                "hxx", "hxy", "hxz", "hyy", "hyz", "hzz"}
         i = 0
         while i < len(args):
             a = args[i].lower()
-            if a == "grid" and i + 3 < len(args):
-                n = tuple(int(v) for v in args[i + 1:i + 4]); i += 4
+            if a == "grid":
+                # use the reference field's own grid dims (reference
+                # dogrid branch); "GRID n1 n2 n3" also accepted
+                if i + 3 < len(args) and all(
+                        v.isdigit() for v in args[i + 1:i + 4]):
+                    n = tuple(int(v) for v in args[i + 1:i + 4]); i += 4
+                else:
+                    if sy.ref.type == "grid":
+                        n = tuple(int(v) for v in sy.ref.grid.f.shape)
+                    i += 1
             elif a == "cell":
                 origin, lengths = (0.0, 0.0, 0.0), None; i += 1
             elif a == "header":
@@ -686,17 +695,34 @@ class Repl:
                 what = args[i + 1]; i += 2
             elif a in sel:
                 what = a[1:] if a.startswith("h") else a; i += 1
-            elif i + 5 < len(args):
-                try:
-                    v = [float(x) for x in args[i:i + 6]]
-                except ValueError:
-                    i += 1
-                    continue
-                origin = tuple(v[:3])
-                lengths = tuple(b - a0 for a0, b in zip(v[:3], v[3:]))
-                i += 6
             else:
-                i += 1
+                v = []
+                for x in args[i:i + 6]:
+                    try:
+                        v.append(float(x))
+                    except ValueError:
+                        break
+                if len(v) >= 6:         # x0 x1 fractional ranges
+                    origin = tuple(v[:3])
+                    lengths = tuple(b - a0
+                                    for a0, b in zip(v[:3], v[3:6]))
+                    i += 6
+                elif len(v) >= 3 and all(
+                        float(x).is_integer() for x in v[:3]):
+                    n = tuple(int(x) for x in v[:3]); i += 3
+                elif v:                 # single number: step in bohr
+                    step = v[0]; i += 1
+                else:
+                    i += 1
+        if n is None:
+            if step is not None:
+                lens = np.linalg.norm(np.asarray(sy.crystal.m_x2c)
+                                      * (np.asarray(lengths)
+                                         if lengths is not None
+                                         else 1.0), axis=0)
+                n = tuple(int(round(ln / step)) + 1 for ln in lens)
+            else:
+                n = (64, 64, 64)
         if header:
             # HEADER: geometry-only cube, zero data (reference :389)
             import numpy as _np
