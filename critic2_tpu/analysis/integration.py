@@ -154,13 +154,16 @@ def intgrid(system, method: str = "yt", ratom: float = 1.0,
         xc = np.asarray(c.m_x2c) @ xf
         from ..arithmetic import compile_expr
 
-        for expr in system.integrables:
+        for item in system.integrables:
+            # entries are expression strings, or (expr, label) pairs
+            # from INTEGRABLE ... NAME (reference propty NAME option)
+            expr, label = item if isinstance(item, tuple) else (item, item)
             fn = compile_expr(expr, system)
             out = np.empty(xc.shape[1])
             for lo in range(0, xc.shape[1], block):
                 chunk = jnp.asarray(xc[:, lo:lo + block])
                 out[lo:lo + chunk.shape[1]] = np.asarray(fn(chunk))
-            fields[expr] = out.reshape(shape)
+            fields[label] = out.reshape(shape)
 
     omega = c.volume
     npts = float(np.prod(shape))

@@ -955,6 +955,17 @@ class Repl:
         res = intgrid(sy, method=method, **kw)
         self.write(f"+ {method.upper()}: {res.nattr_raw} attractors")
         self.write(res.table())
+        lmax = getattr(sy, "multipole_lmax", None)
+        if lmax is not None:
+            from .analysis.integration import multipoles
+            from .ops.rlm import nlm
+
+            mp = multipoles(sy, res, lmax=lmax)
+            self.write(f"# atomic multipoles Q_lm (lmax={lmax}, "
+                       "-m..m per l)")
+            for r, row in zip(res.rows, mp):
+                self.write(f"  {r.name:>4s} " + " ".join(
+                    f"{v: .6e}" for v in row[:nlm(min(lmax, 2))]))
         if wcube:
             self._write_wcubes(sy, res)
         if basins_fmt is not None:
@@ -1462,16 +1473,18 @@ class Repl:
         sy.pointprops.append(" ".join(args))
 
     def cmd_integrable(self, args, lines):
+        """INTEGRABLE fid|expr [F|FVAL|GMOD|LAP|LAPVAL] [NAME label]
+        [MULTIPOLE|MULTIPOLES lmax] [DELOC ...] | CLEAR (reference
+        systemmod propty parser, src/systemmod@proc.f90:771-924)."""
         sy = self.need_system()
         if args and args[0].lower() == "clear":
             sy.integrables.clear()
             if hasattr(sy, "deloc_requests"):
                 sy.deloc_requests.clear()
+            sy.multipole_lmax = None
             return
         low = [a.lower() for a in args]
         if "deloc" in low:
-            # INTEGRABLE fid DELOC [WANCUT w] [NOU] (reference systemmod
-            # propty parser, src/systemmod@proc.f90:771-924)
             fid = int(args[0]) if args[0].lstrip("-").isdigit() else args[0]
             req = {"fid": fid, "useu": "nou" not in low, "wancut": None}
             if "wancut" in low:
@@ -1480,7 +1493,31 @@ class Repl:
                 sy.deloc_requests = []
             sy.deloc_requests.append(req)
             return
-        sy.integrables.append(" ".join(args))
+        if "multipole" in low or "multipoles" in low:
+            i = low.index("multipole" if "multipole" in low
+                          else "multipoles")
+            sy.multipole_lmax = int(args[i + 1]) if i + 1 < len(args) \
+                else 4
+            return
+        # derivative selector on a field id -> expression with modifier
+        selmap = {"f": "", "fval": ":v", "gmod": ":g", "lap": ":l",
+                  "lapval": ":lv"}
+        name = None
+        if "name" in low:
+            i = low.index("name")
+            name = args[i + 1]
+            args = args[:i] + args[i + 2:]
+            low = low[:i] + low[i + 2:]
+        if args and (args[0].lstrip("-").isdigit()
+                     or args[0] in getattr(sy, "field_names", {})):
+            mod = ""
+            for a in low[1:]:
+                if a in selmap:
+                    mod = selmap[a]
+            expr = f"${args[0]}{mod}"
+        else:
+            expr = " ".join(args)
+        sy.integrables.append((expr, name) if name else expr)
 
     def cmd_list(self, args, lines):
         sy = self.need_system()
