@@ -280,6 +280,24 @@ class Repl:
             if interp:
                 sy.field(fid).set_options(interp=interp)
         f = sy.field(fid)
+        # post-load options (reference fieldseed_parse_options,
+        # src/fieldseedmod@proc.f90:463-): CORE/NOCORE, TYPNUC,
+        # NORMALIZE n
+        low = [a.lower() for a in args]
+        if "core" in low:
+            f.usecore = True
+        if "nocore" in low:
+            f.usecore = False
+        if "typnuc" in low:
+            f.typnuc = int(args[low.index("typnuc") + 1])
+        if "normalize" in low and f.type == "grid":
+            import jax.numpy as jnp
+
+            nwant = float(args[low.index("normalize") + 1])
+            cur = float(np.asarray(f.grid.f).sum()) \
+                * sy.crystal.volume / f.grid.f.size
+            f.grid.f = jnp.asarray(f.grid.f) * (nwant / cur)
+            self.write(f"+ normalized: {cur:.6f} -> {nwant:.6f} e")
         self.write(f"+ field {fid} <- {f.name} (type {f.type})"
                    + (f" grid {tuple(f.grid.n)}" if f.type == "grid" else ""))
 

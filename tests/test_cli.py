@@ -216,3 +216,23 @@ auto gradeps 1e-10 cpeps 0.01
 """)
     assert "AUTO DRY" in text and "seeds generated" in text
     assert "Poincare-Hopf" in text
+
+
+def test_load_post_options(tmp_path):
+    """LOAD ... NORMALIZE n / TYPNUC / NOCORE post-options (reference
+    fieldseed_parse_options, src/fieldseedmod@proc.f90:463-)."""
+    import io
+
+    import numpy as np
+
+    from critic2_tpu.cli import Repl
+
+    out = io.StringIO()
+    r = Repl(out=out, quiet=True)
+    r.run_script("crystal library mgo\n"
+                 'load as "$0" 8 8 8 normalize 20.0 typnuc -1\n')
+    f = r.sy.field(1)
+    assert f.typnuc == -1
+    tot = float(np.asarray(f.grid.f).sum()) * r.sy.crystal.volume \
+        / f.grid.f.size
+    assert abs(tot - 20.0) < 1e-9
