@@ -498,7 +498,12 @@ class Repl:
         if len(pts) == 0:
             return
         icrd = param.ICRD_CART if cart else param.ICRD_CRYS
-        ids, dist = sy.crystal.identify_atom(np.asarray(pts), icrd=icrd,
+        pts = np.asarray(pts, dtype=float)
+        if cart and sy.crystal.ismolecule:
+            # user molecule frame -> internal frame (reference shifts by
+            # molx0, src/crystalmod@proc.f90 struct_identify)
+            pts = pts - np.asarray(sy.crystal.molx0)
+        ids, dist = sy.crystal.identify_atom(pts, icrd=icrd,
                                              distmax=1e-2)
         self.write("# point  ->  atom (dist, bohr)")
         for k, (i, d) in enumerate(zip(np.atleast_1d(ids),
@@ -1034,6 +1039,44 @@ class Repl:
                 kw["rhoparam2"] = float(t[1])
             elif k == "void":
                 kw["rho_void"] = float(t[1])
+            elif k == "srhorange":
+                # sign(l2)*rho window for the dat pairs (reference
+                # src/nci@proc.f90:240-255)
+                vals = [float(v) for v in t[1:3]]
+                kw["srhorange"] = (min(vals), max(vals)) \
+                    if len(vals) == 2 else (-abs(vals[0]), abs(vals[0]))
+            elif k == "nochk":
+                pass                      # checkpoint files are not used
+            elif k == "fragment":
+                # FRAGMENT file.xyz | FRAGMENT ... ENDFRAGMENT block of
+                # Cartesian coords (angstrom), matched to cell atoms
+                frags = kw.setdefault("fragments", [])
+                if len(t) > 1:
+                    coords = []
+                    with open(t[1]) as fh:
+                        nat = int(fh.readline().split()[0])
+                        fh.readline()
+                        for _ in range(nat):
+                            w = fh.readline().split()
+                            coords.append([float(v) for v in w[1:4]])
+                else:
+                    coords = []
+                    for raw2 in lines:
+                        t2 = raw2.split("#")[0].split()
+                        if not t2:
+                            continue
+                        if t2[0].lower() in ("endfragment", "end"):
+                            break
+                        coords.append([float(v) for v in t2[:3]])
+                from . import param as _p
+
+                pts = np.asarray(coords) * _p.ANGSTROM_TO_BOHR
+                if sy.crystal.ismolecule:
+                    pts = pts - np.asarray(sy.crystal.molx0)
+                ids, _ = sy.crystal.identify_atom(
+                    pts, icrd=_p.ICRD_CART, distmax=0.5)
+                frags.append([int(i) for i in np.atleast_1d(ids)
+                              if i >= 0])
             else:
                 self.warn(f"NCIPLOT: ignored option {t[0]}")
         res = nciplot(sy, oname=oname, write_files=True, **kw)

@@ -236,3 +236,51 @@ def test_load_post_options(tmp_path):
     tot = float(np.asarray(f.grid.f).sum()) * r.sy.crystal.volume \
         / f.grid.f.size
     assert abs(tot - 20.0) < 1e-9
+
+
+def test_identify_and_nci_fragments_molecule_frame():
+    """Cartesian user inputs for molecules are in the input frame and
+    must be shifted by molx0 before atom matching (reference
+    struct_identify / nci FRAGMENT); regression for the frame offset."""
+    import io
+
+    from critic2_tpu.cli import Repl
+
+    script = """molecule
+ O 0.0 0.0 0.0
+ H 0.0 0.76 0.59
+ H 0.0 -0.76 0.59
+ O 0.0 0.0 2.95
+ H 0.0 0.76 3.54
+ H 0.0 -0.76 3.54
+endmolecule
+identify 0.0 0.76 0.59
+nciplot
+ nstep 20 20 20
+ fragment
+  0.0 0.0 0.0
+  0.0 0.76 0.59
+  0.0 -0.76 0.59
+ endfragment
+ fragment
+  0.0 0.0 2.95
+  0.0 0.76 3.54
+  0.0 -0.76 3.54
+ endfragment
+endnciplot
+"""
+    out = io.StringIO()
+    r = Repl(out=out, quiet=True)
+    import os, tempfile
+    cwd = os.getcwd()
+    with tempfile.TemporaryDirectory() as d:
+        os.chdir(d)
+        try:
+            r.run_script(script)
+        finally:
+            os.chdir(cwd)
+    txt = out.getvalue()
+    assert " H " in txt and "0.000000" in txt        # identified atom
+    import re
+    m = re.search(r"NCIPLOT: grid .*?, (\d+) dat points", txt)
+    assert m and 0 < int(m.group(1)) < 8000 * 3      # inter-fragment only
