@@ -79,7 +79,8 @@ def nciplot(system, oname: str | None = None, outdir: str | None = None,
             nstep=None, xinc: float = 0.1, rthres: float = 2.0,
             fragments=None, rhoparam: float = 0.95, rhoparam2: float = 0.75,
             rho_void: float = -1.0, isden: bool = True,
-            block: int = 1 << 15, write_files: bool = False) -> NCIResult:
+            block: int = 1 << 15, write_files: bool = False,
+            molmotif: bool = False) -> NCIResult:
     """Run the NCI analysis on the reference field of `system`."""
     if dimcut is None:
         dimcut = 2.0 if isden else 1.0
@@ -212,9 +213,65 @@ def nciplot(system, oname: str | None = None, outdir: str | None = None,
                    comment1="reduced density gradient")
         np.savetxt(root + ".dat", dat, fmt="%15.7E")
         _write_vmd(root, oname, rhoplot, dimplot)
+        _write_cell_xyz(c, root + "_cell.xyz", x0, xmat,
+                        (n1, n2, n3), molmotif=molmotif)
         res.files = [root + s for s in ("-dens.cube", "-grad.cube", ".dat",
-                                        ".vmd")]
+                                        ".vmd", "_cell.xyz")]
     return res
+
+
+def _write_cell_xyz(c, path, x0, xmat, nstep, molmotif: bool = False,
+                    margin: float = 1.0):
+    """Geometry for the NCI visualization: atoms (all lattice images)
+    inside the plot box + `margin` bohr; MOLMOTIF completes molecules
+    crossing the box boundary (reference _cell.xyz emission,
+    src/nci@proc.f90:625-668)."""
+    from .. import param
+
+    hi = np.asarray(x0) + np.asarray(xmat) @ np.asarray(nstep, float)
+    lo = np.minimum(np.asarray(x0), hi) - margin
+    hi = np.maximum(np.asarray(x0), hi) + margin
+    m = np.asarray(c.m_x2c)
+    corners = np.array([[i, j, k] for i in (0, 1) for j in (0, 1)
+                        for k in (0, 1)])
+    box_f = np.stack([np.linalg.solve(m, lo + cc * (hi - lo))
+                      for cc in corners])
+    imin = np.floor(box_f.min(0)).astype(int) - 1
+    imax = np.ceil(box_f.max(0)).astype(int) + 1
+    kept = set()
+    xf = np.asarray(c.x_frac)
+    for i in range(imin[0], imax[0] + 1):
+        for j in range(imin[1], imax[1] + 1):
+            for k in range(imin[2], imax[2] + 1):
+                xc = (xf + np.array([i, j, k])) @ m.T
+                ok = np.all((xc > lo) & (xc < hi), axis=1)
+                for a in np.where(ok)[0]:
+                    kept.add((int(a), i, j, k))
+    if molmotif and not c.ismolecule:
+        from ..crystal.fragment import list_molecules
+
+        frags, _ = list_molecules(c)
+        for fr in frags:
+            mem = list(zip(np.asarray(fr.at_idx, dtype=int),
+                           np.asarray(fr.lvec, dtype=int)))
+            for a0, i, j, k in list(kept):
+                for am, lvm in mem:
+                    if am == a0:
+                        base = np.array([i, j, k]) - lvm
+                        for a2, lv2 in mem:
+                            kept.add((int(a2), *(base + lv2)))
+                        break
+    rows = []
+    for a, i, j, k in sorted(kept):
+        xc = (xf[a] + np.array([i, j, k])) @ m.T
+        if c.ismolecule:
+            xc = xc + np.asarray(getattr(c, "molx0", 0.0))
+        rows.append((c.species[c.species_of[a]].name,
+                     xc * param.BOHR_TO_ANGSTROM))
+    with open(path, "w") as f:
+        f.write(f"{len(rows)}\ncritic2-tpu nci cell\n")
+        for nm, p in rows:
+            f.write(f"{nm} {p[0]:.8f} {p[1]:.8f} {p[2]:.8f}\n")
 
 
 def _write_vmd(root, oname, rhoplot, dimplot):

@@ -1047,6 +1047,8 @@ class Repl:
                     if len(vals) == 2 else (-abs(vals[0]), abs(vals[0]))
             elif k == "nochk":
                 pass                      # checkpoint files are not used
+            elif k == "molmotif":
+                kw["molmotif"] = True
             elif k == "fragment":
                 # FRAGMENT file.xyz | FRAGMENT ... ENDFRAGMENT block of
                 # Cartesian coords (angstrom), matched to cell atoms

@@ -60,3 +60,22 @@ def test_nci_periodic_box():
     assert res.crho.shape == (16, 16, 16)
     # sign(lambda2)*rho is negative at the density peak (all eigs < 0)
     assert res.crho[0, 0, 0] < 0
+
+
+def test_nci_cell_xyz_and_molmotif(tmp_path):
+    """_cell.xyz geometry emission + MOLMOTIF molecule completion
+    (reference src/nci@proc.f90:625-668)."""
+    from critic2_tpu.analysis.nci import nciplot
+    from critic2_tpu.crystal.library import load_library_entry
+    from critic2_tpu.system import System
+
+    c = load_library_entry("benzene").to_crystal()
+    s = System.from_structure(c)
+    nciplot(s, nstep=(10, 10, 10), write_files=True, oname="p",
+            outdir=str(tmp_path))
+    n_plain = int((tmp_path / "p_cell.xyz").read_text().split("\n")[0])
+    nciplot(s, nstep=(10, 10, 10), write_files=True, oname="m",
+            outdir=str(tmp_path), molmotif=True)
+    n_mot = int((tmp_path / "m_cell.xyz").read_text().split("\n")[0])
+    assert n_mot >= n_plain > 0
+    assert n_mot % 12 == 0          # whole benzene molecules only
