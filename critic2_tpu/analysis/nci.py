@@ -264,8 +264,8 @@ def _write_cell_xyz(c, path, x0, xmat, nstep, molmotif: bool = False,
     rows = []
     for a, i, j, k in sorted(kept):
         xc = (xf[a] + np.array([i, j, k])) @ m.T
-        if c.ismolecule:
-            xc = xc + np.asarray(getattr(c, "molx0", 0.0))
+        if c.ismolecule and getattr(c, "molx0", None) is not None:
+            xc = xc + np.asarray(c.molx0)
         rows.append((c.species[c.species_of[a]].name,
                      xc * param.BOHR_TO_ANGSTROM))
     with open(path, "w") as f:
