@@ -1507,14 +1507,50 @@ class Repl:
                    f"{packing_ratio(self.need_system().crystal):.4f} %")
 
     def cmd_basinplot(self, args, lines):
+        """BASINPLOT [CUBE|TRIANG|SPHERE lvl] [OBJ|PLY|OFF] [CP id]
+        [x y z] (reference basinplot, src/bisect@proc.f90: defaults to
+        every nonequivalent maximum; CP selects one; the level sets the
+        sphere-triangulation subdivision)."""
         from .analysis.bisect import basinplot
 
         sy = self.need_system()
-        x = [float(v) for v in args[:3]]
-        file = args[3] if len(args) > 3 else "basin.obj"
-        _, faces, r = basinplot(sy, x, file=file)
-        self.write(f"+ BASINPLOT: {len(faces)} faces, r in "
-                   f"[{r.min():.4f}, {r.max():.4f}] -> {file}")
+        low = [a.lower() for a in args]
+        fmt = "obj"
+        for f3 in ("obj", "ply", "off"):
+            if f3 in low:
+                fmt = f3
+        level = 2
+        for kwd in ("cube", "triang", "sphere"):
+            if kwd in low:
+                i = low.index(kwd)
+                if i + 1 < len(args) and args[i + 1].isdigit():
+                    level = int(args[i + 1])
+        centers = []
+        if "cp" in low:
+            icp = int(args[low.index("cp") + 1]) - 1
+            src = (self.cpl.cps[icp].x if self.cpl is not None
+                   else sy.crystal.x_frac[icp])
+            centers = [(icp + 1, np.asarray(src))]
+        else:
+            nums = [a for a in args if a.replace(".", "").replace(
+                "-", "").isdigit()]
+            if len(nums) >= 3 and "cube" not in low and \
+                    "triang" not in low and "sphere" not in low:
+                centers = [(1, np.asarray([float(v)
+                                           for v in nums[:3]]))]
+        if not centers:
+            if self.cpl is not None:
+                typnuc = sy.ref.typnuc
+                centers = [(i + 1, cp.x) for i, cp in
+                           enumerate(self.cpl.cps) if cp.typ == typnuc]
+            else:
+                centers = [(i + 1, x) for i, x in
+                           enumerate(np.asarray(sy.crystal.x_frac))]
+        for idx, x in centers:
+            file = f"{self.fileroot}-cp{idx}.{fmt}"
+            _, faces, r = basinplot(sy, x, level=level, file=file)
+            self.write(f"+ BASINPLOT cp {idx}: {len(faces)} faces, r in"
+                       f" [{r.min():.4f}, {r.max():.4f}] -> {file}")
 
     def cmd_fluxprint(self, args, lines):
         from .analysis.flux import fluxprint
