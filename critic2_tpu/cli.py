@@ -1485,11 +1485,68 @@ class Repl:
                    "(charges = Z unless Q set)")
 
     def cmd_environ(self, args, lines):
+        """ENVIRON [DIST d] [POINT x y z | ATOM id] [BY spname]
+        [SHELLS]: neighbor environments around atoms or a point
+        (reference struct_environ, src/struct_drivers@proc.f90; shells
+        group neighbors at the same distance and species)."""
         sy = self.need_system()
         c = sy.crystal
-        rmax = float(args[0]) if args else 10.0
-        pos, spc, cidx = c.atomic_environment(rmax)
-        self.write(f"+ ENVIRON: {len(pos)} atom images within {rmax} bohr")
+        low = [a.lower() for a in args]
+        rmax = 10.0
+        if args and args[0].replace(".", "").isdigit():
+            rmax = float(args[0])
+        if "dist" in low:
+            rmax = float(args[low.index("dist") + 1])
+        byname = args[low.index("by") + 1].capitalize() \
+            if "by" in low else None
+        shells = "shells" in low
+        centers = []
+        if "point" in low:
+            i = low.index("point")
+            x = np.asarray([float(v) for v in args[i + 1:i + 4]])
+            if c.ismolecule:
+                x = x * self._unit_scale() - np.asarray(c.molx0)
+                x = c.c2x(x)
+            centers = [("point", x)]
+        elif "atom" in low:
+            ia = int(args[low.index("atom") + 1]) - 1
+            centers = [(f"atom {ia + 1} "
+                        f"({c.species[c.species_of[ia]].name})",
+                        np.asarray(c.x_frac[ia]))]
+        else:
+            reps = (np.asarray(c.spacegroup.irr_idx)
+                    if not c.ismolecule and c.spacegroup.irr_idx
+                    is not None else range(c.ncel))
+            centers = [(f"atom {int(i) + 1} "
+                        f"({c.species[c.species_of[int(i)]].name})",
+                        np.asarray(c.x_frac[int(i)])) for i in reps]
+        for label, x in centers:
+            eid, dist, _ = c.list_near_atoms(x, up2d=rmax)
+            self.write(f"+ ENVIRON {label}: {len(eid)} neighbors "
+                       f"within {rmax:.4f} bohr")
+            agg = {}
+            for e, d in zip(eid, dist):
+                if d < 1e-10:
+                    continue
+                nm = c.species[c.species_of[int(e)]].name
+                if byname and nm != byname:
+                    continue
+                key = (round(float(d), 5), nm) if shells \
+                    else (float(d), nm, len(agg))
+                if key in agg:
+                    agg[key][2] += 1
+                else:
+                    agg[key] = [float(d), nm, 1]
+            groups = sorted(agg.values(), key=lambda g: (g[0], g[1]))
+            if shells:
+                self.write("#  shell   dist(bohr)  species  n")
+                for q, (d, nm, n) in enumerate(groups[:30]):
+                    self.write(f"  {q + 1:5d} {d:12.6f} {nm:>8s} {n:3d}")
+            else:
+                self.write("#     dist(bohr)  species")
+                for d, nm, n in groups[:30]:
+                    for _ in range(n):
+                        self.write(f"   {d:12.6f} {nm:>8s}")
 
     def cmd_coord(self, args, lines):
         from .analysis.struct import coordination

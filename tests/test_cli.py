@@ -284,3 +284,18 @@ endnciplot
     import re
     m = re.search(r"NCIPLOT: grid .*?, (\d+) dat points", txt)
     assert m and 0 < int(m.group(1)) < 8000 * 3      # inter-fragment only
+
+
+def test_environ_shells():
+    """ENVIRON SHELLS groups rock-salt neighbors correctly (reference
+    struct_environ): MgO first shells 6 O @ a/2, 12 Mg @ a/sqrt2."""
+    import io
+
+    from critic2_tpu.cli import Repl
+
+    out = io.StringIO()
+    r = Repl(out=out, quiet=True)
+    r.run_script("crystal library mgo\nenviron dist 6.0 shells\n")
+    txt = out.getvalue()
+    assert "3.978818        O   6" in txt
+    assert "5.626899       Mg  12" in txt
