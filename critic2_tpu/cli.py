@@ -1430,11 +1430,30 @@ class Repl:
                    f"range [{res.image.min():.6e}, {res.image.max():.6e}]")
 
     def cmd_powder(self, args, lines):
+        """POWDER [TH2INI t] [TH2END t] [LAMBDA l] [FPOL f] [SIGMA s]
+        [NPTS n] [ROOT name] (reference struct_powder,
+        src/struct_drivers@proc.f90; writes <root>_xrd.dat)."""
         from .analysis.struct import powder
 
         sy = self.need_system()
-        pat = powder(sy.crystal)
-        self.write("# 2theta   intensity (top peaks)")
+        low = [a.lower() for a in args]
+        kw = {}
+        for key, name, cast in (("th2ini", "th2ini", float),
+                                ("th2end", "th2end", float),
+                                ("lambda", "lambda_ang", float),
+                                ("l", "lambda_ang", float),
+                                ("fpol", "fpol", float),
+                                ("sigma", "sigma", float),
+                                ("npts", "npts", int)):
+            if key in low:
+                kw[name] = cast(args[low.index(key) + 1])
+        root = args[low.index("root") + 1] if "root" in low \
+            else self.fileroot
+        pat = powder(sy.crystal, **kw)
+        np.savetxt(f"{root}_xrd.dat", np.stack([pat.t, pat.ih], axis=1),
+                   fmt="%15.7E", header="2theta intensity")
+        self.write("# 2theta   intensity (top peaks)"
+                   f"   [profile -> {root}_xrd.dat]")
         order = np.argsort(-pat.peaks_i)[:10]
         for idx in sorted(order, key=lambda t: pat.peaks_t[t]):
             h, k, l = pat.peaks_hkl[idx]
@@ -1443,26 +1462,62 @@ class Repl:
                        f"   ({h} {k} {l})")
 
     def cmd_rdf(self, args, lines):
+        """RDF [RINI r] [REND r] [SIGMA s] [NPTS n] [ROOT name]
+        (reference struct_rdf; writes <root>_rdf.dat)."""
         from .analysis.struct import rdf
 
         sy = self.need_system()
-        rend = float(args[0]) if args else 25.0
-        pat = rdf(sy.crystal, rend=rend)
-        self.write(f"+ RDF: {len(pat.t)} points to {rend} bohr, "
-                   f"max {pat.ih.max():.4f}")
+        low = [a.lower() for a in args]
+        kw = {}
+        if args and args[0].replace(".", "").isdigit():
+            kw["rend"] = float(args[0])
+        for key, cast in (("rini", float), ("rend", float),
+                          ("sigma", float), ("npts", int)):
+            if key in low:
+                kw[key] = cast(args[low.index(key) + 1])
+        root = args[low.index("root") + 1] if "root" in low \
+            else self.fileroot
+        pat = rdf(sy.crystal, **kw)
+        np.savetxt(f"{root}_rdf.dat", np.stack([pat.t, pat.ih], axis=1),
+                   fmt="%15.7E", header="r(bohr) RDF")
+        self.write(f"+ RDF: {len(pat.t)} points to "
+                   f"{kw.get('rend', 25.0)} bohr, max {pat.ih.max():.4f}"
+                   f" -> {root}_rdf.dat")
 
     def cmd_compare(self, args, lines):
+        """COMPARE [POWDER|RDF|RMSD] [SIGMA s] [LAMBDA l] [TH2INI/END t]
+        file1 file2 ... ('.' = the current structure; reference
+        struct_compare, src/struct_drivers@proc.f90:1062-1311)."""
         from .analysis.struct import compare
         from .crystal.seed import read_structure
 
-        crystals = [read_structure(a) for a in args
-                    if not a.startswith("-")]
-        if self.sy is not None:
+        method = None
+        kw = {}
+        files = []
+        i = 0
+        while i < len(args):
+            a = args[i].lower()
+            if a in ("powder", "rdf", "rmsd"):
+                method = a
+            elif a in ("sigma", "lambda", "th2ini", "th2end", "rend"):
+                key = {"lambda": "lambda_ang"}.get(a, a)
+                kw[key] = float(args[i + 1]); i += 1
+            elif a == ".":
+                files.append(None)
+            else:
+                files.append(args[i])
+            i += 1
+        crystals = [self.need_system().crystal if f is None
+                    else read_structure(f) for f in files]
+        if not any(f is None for f in files) and self.sy is not None \
+                and len(crystals) < 2:
             crystals.insert(0, self.sy.crystal)
         if len(crystals) < 2:
             raise CliError("COMPARE needs at least two structures")
-        d = compare(crystals)
-        self.write("+ COMPARE (POWDIFF):")
+        d = compare(crystals, method=method, **kw)
+        label = method or ("rmsd" if crystals[0].ismolecule else
+                           "powdiff")
+        self.write(f"+ COMPARE ({label.upper()}):")
         for row in d:
             self.write("  " + " ".join(f"{v:10.6f}" for v in row))
 

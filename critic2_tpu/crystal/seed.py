@@ -246,7 +246,9 @@ def detect_format(path: str) -> str:
     base = os.path.basename(path)
     lower = base.lower()
     ext = os.path.splitext(lower)[1].lstrip(".")
-    if lower in ("poscar", "contcar") or lower.startswith(("poscar", "contcar")):
+    if lower in ("poscar", "contcar") or \
+            lower.startswith(("poscar", "contcar")) or \
+            lower.endswith((".poscar", ".contcar")):
         return "poscar"
     if lower.startswith(("chgcar", "chg", "elfcar", "aeccar")):
         return "vasp-grid"
