@@ -657,24 +657,67 @@ class Repl:
                    + (f" -> {file}" if file else ""))
 
     def cmd_grdvec(self, args, lines):
-        """GRDVEC x0.. x1.. x2.. [NPTS nx ny] [NSEED n] [FILE root]
+        """GRDVEC x0.. x1.. x2.. [NPTS nx ny] [NSEED n] [FILE root] —
+        or the reference block form GRDVEC ... ENDGRDVEC with PLANE,
+        NPTS, FILE, CP id, CPALL, BCPALL, RBCPALL sub-keywords
         (reference grdvec, src/rhoplot@proc.f90:~1800)."""
         from .analysis import rhoplot
 
         sy = self.need_system()
-        vals = [float(v) for v in args[:9]]
         low = [a.lower() for a in args]
         kw = {}
+        file = None
+        vals = None
+        cpfilter = None
+        if args and not args[0].lower() in ("plane", "file"):
+            vals = [float(v) for v in args[:9]]
+        else:
+            # block form
+            if not args:
+                for raw in lines:
+                    t = raw.split("#")[0].split()
+                    if not t:
+                        continue
+                    k = t[0].lower()
+                    if k in ("endgrdvec", "end"):
+                        break
+                    if k == "plane":
+                        vals = [float(v) for v in t[1:10]]
+                    elif k == "npts":
+                        kw["nx"], kw["ny"] = int(t[1]), int(t[2])
+                    elif k == "file":
+                        file = t[1]
+                    elif k == "cpall":
+                        cpfilter = (-3, -1, 1, 3)
+                    elif k == "bcpall":
+                        cpfilter = (-3, -1)
+                    elif k == "rbcpall":
+                        cpfilter = (-3, -1, 1, 3)
+                    elif k == "cp":
+                        cpfilter = ("id", int(t[1]) - 1)
+                    else:
+                        self.warn(f"GRDVEC: ignored option {t[0]}")
+            low = []
+        if vals is None:
+            raise CliError("GRDVEC needs a PLANE")
         if "npts" in low:
             i = low.index("npts")
             kw["nx"], kw["ny"] = int(args[i + 1]), int(args[i + 2])
         if "nseed" in low:
             kw["nseed"] = int(args[low.index("nseed") + 1])
-        file = None
         if "file" in low:
             file = args[low.index("file") + 1]
+        cpl = self.cpl
+        if cpl is not None and cpfilter is not None:
+            from .analysis.autocp import CPList
+
+            if cpfilter and cpfilter[0] == "id":
+                cps = [cpl.cps[cpfilter[1]]]
+            else:
+                cps = [cp for cp in cpl.cps if cp.typ in cpfilter]
+            cpl = CPList(crystal=cpl.crystal, cps=cps)
         ctr, paths = rhoplot.grdvec(sy, vals[0:3], vals[3:6], vals[6:9],
-                                    cpl=self.cpl, file=file, **kw)
+                                    cpl=cpl, file=file, **kw)
         self.write(f"+ GRDVEC: {len(paths)} paths"
                    + (f" -> {file}" if file else ""))
 
