@@ -579,12 +579,25 @@ class Repl:
     # point properties / plots
     # ------------------------------------------------------------------
     def cmd_point(self, args, lines):
+        """POINT x y z [FIELD id|expr] [ALL] (reference rhoplot_point,
+        src/rhoplot@proc.f90:68-146; ALL evaluates every loaded
+        field)."""
         from .analysis import rhoplot
 
         sy = self.need_system()
         x = [float(v) for v in args[:3]]
-        rep = rhoplot.point(sy, x)
-        self.write(str(rep))
+        low = [a.lower() for a in args]
+        fids = [None]
+        if "field" in low:
+            tok = args[low.index("field") + 1].lstrip("$")
+            fids = [int(tok) if tok.lstrip("-").isdigit() else tok]
+        elif "all" in low:
+            fids = sorted(sy.fields.keys(), key=str)
+        for fid in fids:
+            if fid is not None:
+                self.write(f"+ field {fid}:")
+            rep = rhoplot.point(sy, x, field=fid)
+            self.write(str(rep))
         if sy.pointprops:
             cart = np.asarray(x) @ np.asarray(sy.crystal.m_x2c).T
             for expr in sy.pointprops:
@@ -596,17 +609,36 @@ class Repl:
                     self.warn(f"pointprop {expr!r}: {exc}")
 
     def cmd_line(self, args, lines):
+        """LINE x0.. x1.. [npts] [FIELD id|expr]
+        [F|GX..GZ|GMOD|HXX..HZZ|LAP] [FILE out] (reference
+        rhoplot_line, src/rhoplot@proc.f90:148-354)."""
         from .analysis import rhoplot
 
         sy = self.need_system()
         x0 = [float(v) for v in args[:3]]
         x1 = [float(v) for v in args[3:6]]
-        npts = int(args[6]) if len(args) > 6 else 201
+        npts = int(args[6]) if len(args) > 6 and args[6].isdigit() \
+            else 201
+        low = [a.lower() for a in args]
         file = None
-        if "file" in [a.lower() for a in args]:
-            file = args[[a.lower() for a in args].index("file") + 1]
-        t, dist, vals = rhoplot.line(sy, x0, x1, npts, file=file)
-        self.write(f"+ LINE: {npts} points, f in "
+        if "file" in low:
+            file = args[low.index("file") + 1]
+        what = "f"
+        field = None
+        if "field" in low:
+            tok = args[low.index("field") + 1]
+            if tok.lstrip("$").lstrip("-").isdigit():
+                field = int(tok.lstrip("$"))
+            else:
+                what = tok
+        sel = {"f", "gx", "gy", "gz", "gmod", "lap", "hxx", "hxy",
+               "hxz", "hyy", "hyz", "hzz"}
+        for a in low[6:]:
+            if a in sel:
+                what = a[1:] if a.startswith("h") else a
+        t, dist, vals = rhoplot.line(sy, x0, x1, npts, field=field,
+                                     what=what, file=file)
+        self.write(f"+ LINE: {npts} points, {what} in "
                    f"[{vals.min():.6e}, {vals.max():.6e}]"
                    + (f" -> {file}" if file else ""))
 
