@@ -567,6 +567,9 @@ class Repl:
         self.write(f"+ reference field: {sy.iref}")
 
     def cmd_setfield(self, args, lines):
+        """SETFIELD [id] [TRILINEAR|TRICUBIC|TRISPLINE|NEAREST]
+        [CORE|NOCORE] [TYPNUC t] (reference setfield ->
+        fieldseed_parse_options, src/fieldseedmod@proc.f90:463-)."""
         sy = self.need_system()
         fid = int(args[0]) if args and args[0].isdigit() else sy.iref
         opts = [a.lower() for a in args[1:]]
@@ -574,6 +577,12 @@ class Repl:
         for mode in ("trilinear", "tricubic", "trispline", "nearest"):
             if mode in opts:
                 f.set_options(interp=mode)
+        if "core" in opts:
+            f.usecore = True
+        if "nocore" in opts:
+            f.usecore = False
+        if "typnuc" in opts:
+            f.typnuc = int(args[1 + opts.index("typnuc") + 1])
 
     # ------------------------------------------------------------------
     # point properties / plots
