@@ -1761,11 +1761,21 @@ class Repl:
         return self.cmd_molcalc(args, lines)
 
     def cmd_pointprop(self, args, lines):
+        """POINTPROP name|expr | CLEAR: named built-ins (GTF, VTF, HTF,
+        *_KIR, GKIN, KKIN, LAG, ELF, VIR, HE, LOL, LOL_KIR, STRESS)
+        register the chem function on the reference field (reference
+        systemmod pointprop, src/systemmod@proc.f90:926-1063)."""
         sy = self.need_system()
         if args and args[0].lower() == "clear":
             sy.pointprops.clear()
             return
-        sy.pointprops.append(" ".join(args))
+        named = {"gtf", "vtf", "htf", "gtf_kir", "vtf_kir", "htf_kir",
+                 "gkin", "kkin", "lag", "elf", "vir", "he", "lol",
+                 "lol_kir", "stress"}
+        if len(args) == 1 and args[0].lower() in named:
+            sy.pointprops.append(f"{args[0].lower()}()")
+        else:
+            sy.pointprops.append(" ".join(args))
 
     def cmd_integrable(self, args, lines):
         """INTEGRABLE fid|expr [F|FVAL|GMOD|LAP|LAPVAL] [NAME label]
