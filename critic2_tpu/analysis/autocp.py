@@ -11,8 +11,9 @@ the Newton searches run as ONE device batch over all seeds
 (critic2_tpu/ops/newton.py) instead of the reference's OpenMP loop over
 sequential scalar searches (src/autocp@proc.f90:690-723).
 
-Symmetry status: P1 (every CP has multiplicity 1); space-group-aware
-dedup/multiplicity arrives with the symmetry module.
+Dedup is symmetry-aware: a candidate is rejected if any image of its
+space-group orbit matches an existing CP, and its multiplicity is the
+orbit size (reference addcp/symeqv, src/fieldmod@proc.f90:1876-2016).
 """
 from __future__ import annotations
 
@@ -381,45 +382,71 @@ def autocp(system, seeds: list[Seed] | None = None, gfnormeps: float = 1e-12,
 
     # --- host dedup & add (reference addcp, src/fieldmod@proc.f90:1876);
     # symmetry-aware: a candidate is rejected if ANY image of its orbit
-    # matches an existing CP, and its multiplicity is the orbit size ---
+    # matches an existing CP, and its multiplicity is the orbit size.
+    # Vectorized: "orbit(cand) near cp" == "cand near orbit(cp)" (the ops
+    # form a group), so candidates are screened against the images of the
+    # accepted list in batch instead of per-candidate orbit loops ---
     cpl = cpl or init_cplist(system)
     zs = c.zatoms
     sg = None if c.ismolecule else c.spacegroup
-    for i in range(len(xfin)):
-        xc = c.c2x(xfin[i])
-        xc -= np.floor(xc)
-        xc[xc > 1.0 - 1e-10] = 0.0
-        if c.ismolecule:
-            b = c.molborder
-            if np.any(xc < b) or np.any(xc > 1.0 - b):
-                continue
-        # near an existing CP (any symmetry image)?
-        orbit = sg.orbit(xc) if sg is not None else xc[None, :]
-        dup = False
-        for y in orbit:
-            _, dcp = cpl.nearest(y)
-            if dcp < cpeps:
-                dup = True
-                break
-        if dup:
+
+    xc_all = c.c2x(xfin)
+    xc_all -= np.floor(xc_all)
+    xc_all[xc_all > 1.0 - 1e-10] = 0.0
+
+    alive = np.ones(len(xc_all), dtype=bool)
+    if c.ismolecule:
+        b = c.molborder
+        alive &= np.all((xc_all >= b) & (xc_all <= 1.0 - b), axis=1)
+    alive &= rr == 3                                 # degenerate out
+    # near a nucleus? (vectorized identify_atom)
+    if c.ncel:
+        nid, dnuc = c.identify_atom(xc_all, distmax=max(nuceps, nucepsh))
+        nid = np.atleast_1d(np.asarray(nid))
+        dnuc = np.atleast_1d(np.asarray(dnuc))
+        isnuc = (nid >= 0) & (
+            (dnuc < nuceps)
+            | ((zs[np.clip(nid, 0, None)] == 1) & (dnuc < nucepsh)))
+        alive &= ~isnuc
+
+    def _images(x):
+        """All symmetry images of fractional point x (with duplicates)."""
+        if sg is None:
+            return np.atleast_2d(x)
+        return (np.einsum("oij,j->oi", sg.rotations.astype(float), x)
+                + sg.translations) % 1.0
+
+    # screen against the existing CP list (nuclei etc.): candidates near
+    # any image of any existing CP are duplicates
+    if np.any(alive) and cpl.cps:
+        imgs = np.concatenate([_images(cp.x) for cp in cpl.cps])
+        alive[alive] &= c.distmat(xc_all[alive], imgs,
+                                  cutoff=cpeps).min(axis=1) >= cpeps
+
+    for i in np.nonzero(alive)[0]:
+        if not alive[i]:
             continue
-        # near a nucleus?
-        nid, dnuc = c.identify_atom(xc, distmax=max(nuceps, nucepsh))
-        if nid >= 0:
-            if dnuc < nuceps:
-                continue
-            if zs[nid] == 1 and dnuc < nucepsh:
-                continue
-        # degenerate?
-        if rr[i] != 3:
-            continue
+        xc = xc_all[i]
         if discard is not None and discard(xfin[i]):
+            alive[i] = False
             continue
+        imgs = _images(xc)
+        # orbit size = number of distinct images (multiplicity)
+        if len(imgs) > 1:
+            dmm = c.distmat(imgs, imgs, cutoff=cpeps)
+            mult = int(round(len(imgs) / np.mean(
+                (dmm < cpeps).sum(axis=1))))
+        else:
+            mult = 1
         cpl.cps.append(
             CP(x=xc, r=c.x2c(xc), typ=int(ss[i]), f=float(fv[i]),
                gfmod=float(gm[i]), del2f=float(lap[i]), eig=eigs[i],
-               mult=len(orbit))
+               mult=mult)
         )
+        # kill every remaining candidate inside this orbit
+        rest = np.nonzero(alive)[0]
+        dd = c.distmat(xc_all[rest], imgs, cutoff=cpeps).min(axis=1)
+        alive[rest[dd < cpeps]] = False
 
     # names: n1, b1, r1, c1, ... in type order of addition
     counters = [0, 0, 0, 0]

@@ -55,10 +55,21 @@ class BaderResult:
     labels: np.ndarray           # (n1,n2,n3) int32
 
     def integrate(self, field_flat) -> np.ndarray:
+        """Basin sums of one integrand (N,) or a stack (nprops, N)."""
         lab = jnp.asarray(self.labels).reshape(-1)
-        return np.asarray(jax.ops.segment_sum(
-            jnp.asarray(field_flat).reshape(-1), lab,
-            num_segments=self.nattr))
+        f = jnp.asarray(field_flat)
+        if f.size == lab.size:
+            return np.asarray(jax.ops.segment_sum(
+                f.reshape(-1), lab, num_segments=self.nattr))
+        return np.asarray(jax.vmap(
+            lambda row: jax.ops.segment_sum(
+                row, lab, num_segments=self.nattr))(
+            f.reshape(f.shape[0], -1)))
+
+    def basin_support(self, a: int, tol: float = 1e-15):
+        """(flat indices, unit weights) of basin `a` (argmax labels)."""
+        idx = np.where(np.asarray(self.labels).reshape(-1) == a)[0]
+        return idx, np.ones(idx.size)
 
 
 def _neargrid_roots(crystal, rho, maxiter: int | None = None):

@@ -138,25 +138,12 @@ class DelocResult:
 
 
 def _basin_support(decomp, a: int):
-    """(flat indices, weights) of the support of basin `a` in a YTResult
-    or BaderResult decomposition."""
-    lab = np.asarray(decomp._interior_label) if hasattr(decomp, "_interior_label") \
-        else None
-    if lab is not None:       # YT
-        idx = np.where(lab == a)[0]
-        w = np.ones(idx.size)
-        if decomp.nboundary:
-            Wb = np.asarray(decomp._Wb)
-            bidx = np.asarray(decomp._bidx)
-            bsel = np.where((lab < 0) & (Wb[a][np.clip(bidx, 0, Wb.shape[1] - 1)]
-                                         > 1e-15))[0]
-            if bsel.size:
-                idx = np.concatenate([idx, bsel])
-                w = np.concatenate([w, Wb[a][bidx[bsel]]])
-        return idx, w
-    labels = np.asarray(decomp.labels).reshape(-1)          # Bader
-    idx = np.where(labels == a)[0]
-    return idx, np.ones(idx.size)
+    """(flat indices, weights) of the support of basin `a`.
+
+    Every decomposition class (YTResult, BaderResult, ShardedYTResult)
+    exposes basin_support; YT variants return fractional boundary
+    weights, Bader returns unit weights on its argmax labels."""
+    return decomp.basin_support(a)
 
 
 def deloc_wannier(crystal, decomp, qe, useu: bool = True,

@@ -169,12 +169,15 @@ def intgrid(system, method: str = "yt", ratom: float = 1.0,
     npts = float(np.prod(shape))
     scale = omega / npts
 
-    vol = res.integrate(np.ones(int(npts))) * scale
-    pop = res.integrate(rho) * scale
-    extras = {}
-    if fields:
-        for name, arr in fields.items():
-            extras[name] = res.integrate(jnp.asarray(arr).reshape(-1)) * scale
+    # one batched adjoint sweep for every integrand (volume, charge,
+    # and the INTEGRABLE expressions) — the YT fixpoint amortizes
+    fnames = list(fields) if fields else []
+    stack = jnp.stack(
+        [jnp.ones(int(npts)), jnp.asarray(rho).reshape(-1)]
+        + [jnp.asarray(fields[name]).reshape(-1) for name in fnames])
+    qall = res.integrate(stack) * scale
+    vol, pop = qall[0], qall[1]
+    extras = {name: qall[2 + i] for i, name in enumerate(fnames)}
 
     if noatoms:
         iat = np.full(res.nattr, -1, dtype=int)
@@ -253,8 +256,8 @@ def multipoles(system, intres: IntegrationResult, lmax: int = 4):
         d -= np.rint(d)
         dc = (d @ np.asarray(c.m_x2c).T).T                # (3, N)
         rl = solid_harmonics(jnp.asarray(dc), lmax)       # (nlm, N)
-        for q in range(nlm(lmax)):
-            out[row, q] += float(res.integrate(rl[q] * rho_flat)[a]) * scale
+        qa = res.integrate(rl * rho_flat[None, :])        # (nlm, nattr)
+        out[row] += np.asarray(qa[:, a]) * scale
     return out
 
 

@@ -8,24 +8,31 @@ w_i(b) = sum_k chi_ik w_k(b), chi_ik ~ A_k (rho_k - rho_i) / l_k over the
 Wigner-Seitz facet neighbors of the grid-point lattice.
 
 The reference sweep is strictly sequential in sorted order. The TPU
-reformulation exploits that dependencies only point uphill (to earlier
-sorted ranks): process the sorted order in BLOCKS; all cross-block
-dependencies are already resolved, and intra-block chains resolve with a
-masked fixpoint iteration (jax.lax.while_loop) - each pass labels every
-point whose uphill neighbors are all labeled, so the iteration count is
-the longest monotone chain inside one block, not N.
+reformulation is a ROLL FIXPOINT: the uphill flux graph connects fixed
+lattice offsets, so one relaxation pass over the whole grid is K
+`jnp.roll`s + elementwise math (no gathers, no sequential blocks), and
+the flux operator R is nilpotent in sorted order, so the fixpoint is
+EXACT after (longest monotone chain) passes — a few hundred even at
+256^3, each pass a fused ~K*N-traffic program.  Everything runs inside
+a single `lax.while_loop`; convergence is detected by exact bitwise
+stationarity (once every path is exhausted the recomputation reproduces
+the same floats).
 
-Memory: interior points (the vast majority) never store weights - their
-weight row is one-hot(label), reconstructed on gather. Only boundary
-points (uphill flux into >1 basin) get dense weight rows (nattr, Nb).
-The reference stores the same information as its on-demand weight
-recurrence (src/yt@proc.f90:238-369); here it is held on device so every
-integrand is one weighted reduction.
+Two directions of the same linear recurrence cover all consumers:
 
-Tie-breaking at plateaus replicates the reference: the sort is stable
-with index keying, "uphill" means earlier sorted rank, and a point whose
-positive-flux set is empty attaches to its earliest-ranked uphill
-neighbor (src/yt@proc.f90:149-156).
+  * integrate(f): the ADJOINT sweep s = f + R^T s pushes f-mass uphill;
+    the basin sums are simply s at the attractors.  No weight matrix is
+    ever materialized — this replaces the reference's per-basin weight
+    regeneration (src/yt@proc.f90:238-369) at O(nprops * N) memory.
+  * weights(b)/labels: the FORWARD sweep w = onehot_b + R w floods
+    basin-b membership downhill; labels are the running argmax over
+    basins, computed lazily (plotting/deloc only — charges never need
+    them).
+
+Tie-breaking at plateaus replicates the reference: stable descending
+sort with index keying defines ranks; "uphill" means lower rank, and a
+point whose positive-flux set is empty attaches all its weight to its
+lowest-ranked uphill neighbor (src/yt@proc.f90:149-156).
 """
 from __future__ import annotations
 
@@ -53,6 +60,94 @@ def _grid_ws_neighbors(crystal, shape):
     return offs, np.asarray(ws.areas) / lens
 
 
+_AX = (0, 1, 2)
+
+
+@partial(jax.jit, static_argnames=("offs", "shape"))
+def _flux_tensors(rho3, rank3, wts, *, offs, shape):
+    """Per-neighbor normalized uphill flux chi' (K,)+shape, plus the
+    attractor mask.  chi'_k[x] is the weight fraction point x sends to
+    its neighbor x+o_k; rows sum to 1 except at attractors (all-zero)."""
+    K = len(offs)
+    N = int(np.prod(shape))
+    dt = rho3.dtype
+    chis = []
+    anyhi = jnp.zeros(shape, bool)
+    tot = jnp.zeros(shape, dt)
+    # lowest-ranked uphill neighbor (plateau fallback target)
+    best_rank = jnp.full(shape, N, rank3.dtype)
+    best_k = jnp.zeros(shape, jnp.int32)
+    for k, o in enumerate(offs):
+        sh = (-int(o[0]), -int(o[1]), -int(o[2]))
+        rho_k = jnp.roll(rho3, sh, _AX)
+        rank_k = jnp.roll(rank3, sh, _AX)
+        hi = rank_k < rank3
+        chi = jnp.where(hi, wts[k] * (rho_k - rho3), jnp.zeros((), dt))
+        chi = jnp.maximum(chi, 0.0)
+        chis.append(chi)
+        tot = tot + chi
+        anyhi = anyhi | hi
+        rk = jnp.where(hi, rank_k, N)
+        upd = rk < best_rank
+        best_rank = jnp.where(upd, rk, best_rank)
+        best_k = jnp.where(upd, k, best_k)
+    haspos = tot > 0
+    inv = jnp.where(haspos, 1.0 / jnp.where(haspos, tot, 1.0),
+                    jnp.zeros((), dt))
+    out = []
+    for k in range(K):
+        fallback = jnp.where(anyhi & (best_k == k), jnp.ones((), dt),
+                             jnp.zeros((), dt))
+        out.append(jnp.where(haspos, chis[k] * inv, fallback))
+    return jnp.stack(out), ~anyhi
+
+
+@partial(jax.jit, static_argnames=("offs",))
+def _adjoint_sweep(chiP, f3, *, offs):
+    """Exact fixpoint of s = f + R^T s (mass pushed uphill); f3 is
+    (nprops,)+shape.  R^T is nilpotent -> exact bitwise convergence."""
+    def apply(s):
+        acc = f3
+        for k, o in enumerate(offs):
+            sh = (int(o[0]), int(o[1]), int(o[2]))
+            acc = acc + jnp.roll(chiP[k] * s, sh, (1, 2, 3))
+        return acc
+
+    def body(carry):
+        s, _ = carry
+        s_new = apply(s)
+        return s_new, jnp.all(s_new == s)
+
+    def cond(carry):
+        return ~carry[1]
+
+    s, _ = jax.lax.while_loop(cond, body, (f3, jnp.asarray(False)))
+    return s
+
+
+@partial(jax.jit, static_argnames=("offs",))
+def _forward_sweep(chiP, seed3, *, offs):
+    """Exact fixpoint of w = seed + R w (basin membership flooded
+    downhill); seed3 is (nb,)+shape one-hot at the attractors."""
+    def apply(w):
+        acc = seed3
+        for k, o in enumerate(offs):
+            sh = (-int(o[0]), -int(o[1]), -int(o[2]))
+            acc = acc + chiP[k] * jnp.roll(w, sh, (1, 2, 3))
+        return acc
+
+    def body(carry):
+        w, _ = carry
+        w_new = apply(w)
+        return w_new, jnp.all(w_new == w)
+
+    def cond(carry):
+        return ~carry[1]
+
+    w, _ = jax.lax.while_loop(cond, body, (seed3, jnp.asarray(False)))
+    return w
+
+
 @dataclass
 class YTResult:
     crystal: object
@@ -60,219 +155,106 @@ class YTResult:
     nattr: int
     xattr: np.ndarray            # (nattr, 3) fractional attractor positions
     iattr: np.ndarray            # (nattr,) flat grid index of each attractor
-    labels: np.ndarray           # (n1,n2,n3) int32 basin per point (argmax)
-    # device internals for integration
-    _interior_label: jnp.ndarray = None   # (N,) int32; -1 where boundary
-    _bidx: jnp.ndarray = None             # (N,) int32 index into Wb cols
-    _Wb: jnp.ndarray = None               # (nattr, Nb) boundary weights
-    nboundary: int = 0
+    # device internals
+    _chiP: jnp.ndarray = None    # (K,)+shape normalized uphill flux
+    _offs: tuple = None          # K x (3,) neighbor offsets (static)
+    _labels: np.ndarray = None   # lazy (n1,n2,n3) int32 argmax-weight basin
+    _nboundary: int = None       # lazy count of fractional-weight points
+
+    @property
+    def labels(self) -> np.ndarray:
+        """Basin per point by max weight (reference sweep assignment,
+        src/yt@proc.f90:160).  Lazy: charges never need labels."""
+        if self._labels is None:
+            self._compute_labels()
+        return self._labels
+
+    @property
+    def nboundary(self) -> int:
+        if self._nboundary is None:
+            self._compute_labels()
+        return self._nboundary
+
+    def _basin_chunk(self, b0: int, nb: int) -> jnp.ndarray:
+        """(nb,)+shape weight grids of basins b0..b0+nb-1 (forward sweep)."""
+        dt = self._chiP.dtype
+        seed = jnp.zeros((nb,) + self.shape, dt)
+        i_at = self.iattr[b0:b0 + nb]
+        i1, i2, i3 = np.unravel_index(i_at, self.shape)
+        seed = seed.at[np.arange(nb), i1, i2, i3].set(1.0)
+        return _forward_sweep(self._chiP, seed, offs=self._offs)
+
+    def _compute_labels(self, chunk: int = 8):
+        wmax = jnp.full(self.shape, -1.0, self._chiP.dtype)
+        lab = jnp.zeros(self.shape, jnp.int32)
+        frac = jnp.zeros(self.shape, bool)
+        for b0 in range(0, self.nattr, chunk):
+            nb = min(chunk, self.nattr - b0)
+            w = self._basin_chunk(b0, nb)
+            cmax = w.max(0)
+            carg = b0 + jnp.argmax(w, 0).astype(jnp.int32)
+            upd = cmax > wmax
+            lab = jnp.where(upd, carg, lab)
+            wmax = jnp.where(upd, cmax, wmax)
+            frac = frac | ((w > 1e-15) & (w < 1.0 - 1e-12)).any(0)
+        self._labels = np.asarray(lab)
+        self._nboundary = int(np.asarray(frac).sum())
 
     def integrate(self, field_flat) -> np.ndarray:
-        """sum_i w_i(b) f_i for each basin (NOT scaled by Omega/N)."""
-        f = jnp.asarray(field_flat).reshape(-1)
-        lab = self._interior_label
-        interior = lab >= 0
-        qi = jax.ops.segment_sum(jnp.where(interior, f, 0.0),
-                                 jnp.where(interior, lab, 0),
-                                 num_segments=self.nattr)
-        if self.nboundary:
-            fb = jnp.where(~interior, f, 0.0)
-            qb = jax.ops.segment_sum(
-                fb, jnp.where(interior, self.nboundary, self._bidx),
-                num_segments=self.nboundary + 1)[:-1]
-            qi = qi + self._Wb @ qb
-        return np.asarray(qi)
+        """sum_i w_i(b) f_i for each basin (NOT scaled by Omega/N).
+
+        Accepts one integrand (N,) or a stack (nprops, N); the adjoint
+        sweep batches all integrands in one device program."""
+        f = jnp.asarray(field_flat)
+        single = f.size == int(np.prod(self.shape))
+        f3 = f.reshape((1 if single else f.shape[0],) + self.shape)
+        if not jnp.issubdtype(f3.dtype, jnp.floating):
+            f3 = f3.astype(self._chiP.dtype)
+        s = _adjoint_sweep(self._chiP, f3, offs=self._offs)
+        i1, i2, i3 = np.unravel_index(self.iattr, self.shape)
+        q = np.asarray(s[:, i1, i2, i3])
+        return q[0] if single else q
 
     def weights(self, b: int) -> np.ndarray:
         """Full weight grid of basin b (dense; for WCUBE-style output)."""
-        lab = self._interior_label
-        w = jnp.where(lab == b, 1.0, 0.0)
-        if self.nboundary:
-            w = jnp.where(lab < 0, self._Wb[b][jnp.clip(self._bidx, 0,
-                                                        self._Wb.shape[1] - 1)], w)
-        return np.asarray(w).reshape(self.shape)
+        return np.asarray(self._basin_chunk(int(b), 1)[0])
+
+    def basin_support(self, a: int, tol: float = 1e-15):
+        """(flat indices, weights) of every point with weight > tol in
+        basin `a` (deloc Sij support; reference yt_weights consumers)."""
+        w = self.weights(a).reshape(-1)
+        idx = np.where(w > tol)[0]
+        return idx, w[idx]
 
 
-def _neighbor_flat(idx, offs, shape):
-    """Flat indices (K, B) of the WS neighbors of flat indices idx (B,)."""
-    n1, n2, n3 = shape
-    x1 = idx // (n2 * n3)
-    r = idx - x1 * (n2 * n3)
-    x2 = r // n3
-    x3 = r - x2 * n3
-    o1 = (x1[None, :] + offs[:, 0:1]) % n1
-    o2 = (x2[None, :] + offs[:, 1:2]) % n2
-    o3 = (x3[None, :] + offs[:, 2:3]) % n3
-    return o1 * (n2 * n3) + o2 * n3 + o3
-
-
-def yt_integrate(crystal, rho, block: int = 1 << 16):
+def yt_integrate(crystal, rho, block: int | None = None):
     """Run the YT decomposition of grid `rho` ((n1,n2,n3), device array).
 
     Returns a YTResult; pair with `attractor_match` to map attractors to
-    atoms and `integrate` for the basin sums.
+    atoms and `integrate` for the basin sums.  `block` is accepted for
+    backward compatibility and ignored (the roll fixpoint is unblocked).
     """
     shape = tuple(int(s) for s in rho.shape)
     N = int(np.prod(shape))
     offs_np, wts_np = _grid_ws_neighbors(crystal, shape)
-    offs = jnp.asarray(offs_np)
-    wts = jnp.asarray(wts_np)
-    K = offs.shape[0]
+    offs = tuple(tuple(int(v) for v in o) for o in offs_np)
 
-    rho_flat = jnp.asarray(rho).reshape(-1)
+    rho3 = jnp.asarray(rho)
+    wts = jnp.asarray(wts_np, dtype=rho3.dtype)
     # stable descending sort with index tie-break (reference qcksort order)
-    order = jnp.argsort(-rho_flat, stable=True)        # rank -> flat idx
-    rank = jnp.argsort(order, stable=True)             # flat idx -> rank
+    order = jnp.argsort(-rho3.reshape(-1), stable=True)
+    rank3 = jnp.argsort(order, stable=True).astype(jnp.int32).reshape(shape)
 
-    # ---- vectorized attractor detection ------------------------------
-    # (blocked to bound the (K, N) temporaries)
-    nblk = (N + block - 1) // block
-    pad = nblk * block - N
-    all_idx = jnp.arange(N, dtype=jnp.int32)
+    chiP, is_attr = _flux_tensors(rho3, rank3, wts, offs=offs, shape=shape)
 
-    @jax.jit
-    def attr_block(idx):
-        nbr = _neighbor_flat(idx, offs, shape)
-        return ~(rank[nbr] < rank[idx][None, :]).any(0)
+    # attractor list in sorted (sweep-appearance) order
+    is_attr_np = np.asarray(is_attr).reshape(-1)
+    order_np = np.asarray(order)
+    iattr = order_np[is_attr_np[order_np]]
+    nattr = len(iattr)
 
-    is_attr = jnp.concatenate(
-        [attr_block(all_idx[b * block:(b + 1) * block]) for b in range(nblk)])
+    i1, i2, i3 = np.unravel_index(iattr, shape)
+    xattr = np.stack([i1 / shape[0], i2 / shape[1], i3 / shape[2]], axis=1)
 
-    iattr_sorted = np.asarray(order)[np.asarray(is_attr)[np.asarray(order)]]
-    nattr = len(iattr_sorted)
-    # labels of attractors: order of appearance in the sorted sweep
-    attr_label = jnp.full((N,), -1, jnp.int32).at[
-        jnp.asarray(iattr_sorted)].set(jnp.arange(nattr, dtype=jnp.int32))
-
-    # ---- pass 1: interior labels / boundary flags --------------------
-    # state[i]: -9 unprocessed, >=0 interior label, -2 boundary
-    UNSET, BND = jnp.int32(-9), jnp.int32(-2)
-    state0 = jnp.where(is_attr, attr_label, UNSET)
-
-    order_pad = jnp.concatenate([order, jnp.full((pad,), N - 1, order.dtype)])
-    blocks = order_pad.reshape(nblk, block)
-
-    @jax.jit
-    def label_block(state, pts):
-        nbr = _neighbor_flat(pts, offs, shape)           # (K, B)
-        rnk_p = rank[pts][None, :]
-        hi = rank[nbr] < rnk_p
-        drho = rho_flat[nbr] - rho_flat[pts][None, :]
-        chi = jnp.where(hi, wts[:, None] * drho, 0.0)
-        pos = chi > 0.0
-        haspos = pos.any(0)
-        # plateau fallback: earliest-ranked uphill neighbor only
-        rnk_hi = jnp.where(hi, rank[nbr], N)
-        kmin = jnp.argmin(rnk_hi, axis=0)
-        fallback = jax.nn.one_hot(kmin, K, dtype=bool).T
-        sel = jnp.where(haspos[None, :], pos, fallback & hi)
-
-        def body(st):
-            s = st
-            ls = s[nbr]                                   # (K, B)
-            known = jnp.where(sel, ls != UNSET, True).all(0)
-            cur = s[pts]
-            todo = (cur == UNSET) & known
-            # first selected neighbor label as the candidate
-            cand_k = jnp.argmax(sel, axis=0)
-            cand = ls[cand_k, jnp.arange(pts.shape[0])]
-            same = jnp.where(sel, ls == cand[None, :], True).all(0)
-            newlab = jnp.where(same & (cand >= 0), cand, BND)
-            return s.at[pts].set(jnp.where(todo, newlab, cur))
-
-        def cond(st):
-            return (st[pts] == UNSET).any()
-
-        return jax.lax.while_loop(cond, body, state)
-
-    state = state0
-    for b in range(nblk):
-        state = label_block(state, blocks[b])
-
-    interior_label = state                                # -2 marks boundary
-    is_bnd = np.asarray(state == BND)
-    nb = int(is_bnd.sum())
-
-    # boundary column index per flat point (sorted order for determinism)
-    bnd_sorted = np.asarray(order)[is_bnd[np.asarray(order)]]
-    bidx_np = np.full(N, nb, dtype=np.int32)
-    bidx_np[bnd_sorted] = np.arange(nb, dtype=np.int32)
-    bidx = jnp.asarray(bidx_np)
-
-    # ---- pass 2: boundary weight rows --------------------------------
-    Wb = jnp.zeros((nattr, nb + 1))
-    done0 = jnp.zeros((nb + 1,), bool).at[nb].set(True)
-    ilab = jnp.where(state == BND, -1, state)
-
-    @jax.jit
-    def weight_block(carry, pts):
-        Wb, done = carry
-        nbr = _neighbor_flat(pts, offs, shape)
-        rnk_p = rank[pts][None, :]
-        hi = rank[nbr] < rnk_p
-        drho = rho_flat[nbr] - rho_flat[pts][None, :]
-        chi = jnp.where(hi, wts[:, None] * drho, 0.0)
-        chi = jnp.maximum(chi, 0.0)
-        haspos = chi.sum(0) > 0.0
-        rnk_hi = jnp.where(hi, rank[nbr], N)
-        kmin = jnp.argmin(rnk_hi, axis=0)
-        fallback = jax.nn.one_hot(kmin, K, dtype=rho_flat.dtype).T
-        chi = jnp.where(haspos[None, :], chi, fallback * hi)
-        chi = chi / jnp.maximum(chi.sum(0), 1e-300)[None, :]
-
-        mybnd = ilab[pts] < 0
-        myb = bidx[pts]
-        nlab = ilab[nbr]                                  # (K, B)
-        nbix = bidx[nbr]
-
-        def body(carry):
-            Wb, done = carry
-            nb_int = nlab >= 0
-            ready = jnp.where(chi > 0, nb_int | done[nbix], True).all(0)
-            todo = mybnd & ~done[myb] & ready
-            # w row = sum_k chi_k * (one-hot or Wb column)
-            wnbr = jnp.where(nb_int[None, :, :],
-                             (jnp.arange(Wb.shape[0])[:, None, None] ==
-                              nlab[None, :, :]),
-                             Wb[:, nbix])                 # (nattr, K, B)
-            row = (wnbr * chi[None, :, :]).sum(1)          # (nattr, B)
-            col = jnp.where(todo, myb, nb)
-            Wb = Wb.at[:, col].set(jnp.where(todo[None, :], row, Wb[:, col]))
-            Wb = Wb.at[:, nb].set(0.0)
-            done = done.at[col].set(True)
-            done = done.at[nb].set(True)
-            return Wb, done
-
-        def cond(carry):
-            _, done = carry
-            return ~done[jnp.where(mybnd, myb, nb)].all()
-
-        return jax.lax.while_loop(cond, body, (Wb, done))
-
-    if nb:
-        carry = (Wb, done0)
-        for b in range(nblk):
-            carry = weight_block(carry, blocks[b])
-        Wb = carry[0][:, :nb]
-    else:
-        Wb = Wb[:, :0]
-
-    # integer labels for reporting: argmax weight for boundary points
-    if nb:
-        argmaxb = jnp.argmax(Wb, axis=0).astype(jnp.int32)
-        labels_full = jnp.where(state == BND,
-                                argmaxb[jnp.clip(bidx, 0, nb - 1)], state)
-    else:
-        labels_full = state
-
-    i_at = np.asarray(iattr_sorted)
-    x1 = i_at // (shape[1] * shape[2])
-    r = i_at - x1 * (shape[1] * shape[2])
-    x2 = r // shape[2]
-    x3 = r - x2 * shape[2]
-    xattr = np.stack([x1 / shape[0], x2 / shape[1], x3 / shape[2]], axis=1)
-
-    return YTResult(
-        crystal=crystal, shape=shape, nattr=nattr, xattr=xattr,
-        iattr=i_at, labels=np.asarray(labels_full).reshape(shape),
-        _interior_label=ilab, _bidx=bidx, _Wb=Wb, nboundary=nb)
+    return YTResult(crystal=crystal, shape=shape, nattr=nattr,
+                    xattr=xattr, iattr=iattr, _chiP=chiP, _offs=offs)

@@ -136,6 +136,26 @@ class Crystal:
         return np.linalg.norm(np.atleast_2d(d), axis=1) if np.asarray(d).ndim == 2 \
             else np.linalg.norm(d)
 
+    def distmat(self, x1_frac, x2_frac, cutoff: float | None = None):
+        """Minimum-image distance matrix (n, m) between two fractional
+        coordinate sets (n,3) and (m,3) — the vectorized form of
+        `distance` used by batch CP dedup.
+
+        With `cutoff` set, uses a wrap-only fast path (no neighbor-cell
+        expansion): exact for distances below half the shortest
+        reduced-lattice vector, possible overestimates beyond — correct
+        for threshold tests `d < cutoff` with small cutoffs."""
+        X = np.atleast_2d(np.asarray(x1_frac, dtype=float))
+        Y = np.atleast_2d(np.asarray(x2_frac, dtype=float))
+        dx = (X[:, None, :] - Y[None, :, :]).reshape(-1, 3)
+        if cutoff is not None and not self.ismolecule:
+            xr = dx @ self.m_x2xr.T
+            xr -= np.round(xr)
+            d = np.linalg.norm(xr @ self.m_xr2c.T, axis=1)
+            return d.reshape(len(X), len(Y))
+        sv = np.atleast_2d(self.shortest_vector(dx))
+        return np.linalg.norm(sv, axis=1).reshape(len(X), len(Y))
+
     def identify_atom(self, x, icrd=param.ICRD_CRYS, distmax=1e-5):
         """Index (0-based) of the cell atom within distmax of point x, or -1.
 

@@ -17,7 +17,8 @@ import subprocess
 
 import numpy as np
 
-__all__ = ["available", "hull", "ws_cell", "yt_labels", "build"]
+__all__ = ["available", "hull", "ws_cell", "yt_labels",
+           "yt_charges", "tricubic_batch", "omp_threads", "build"]
 
 _LIB = None
 _TRIED_BUILD = False
@@ -51,6 +52,8 @@ def _load():
         lib.c2n_ws_cell.restype = ctypes.c_int
         lib.c2n_yt_labels.restype = ctypes.c_int
         lib.c2n_yt_charges.restype = ctypes.c_int
+        lib.c2n_tricubic_batch.restype = None
+        lib.c2n_omp_threads.restype = ctypes.c_int
         _LIB = lib
         return lib
     return None
@@ -59,8 +62,8 @@ def _load():
 def build():
     """Compile the native library from native/critic2_native.cpp."""
     os.makedirs(os.path.dirname(_OUT), exist_ok=True)
-    subprocess.run(["g++", "-O2", "-fPIC", "-shared", "-std=c++17",
-                    _SRC, "-o", _OUT], check=True)
+    subprocess.run(["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+                    "-fopenmp", _SRC, "-o", _OUT], check=True)
     global _LIB
     _LIB = None
     return _load() is not None
@@ -172,6 +175,41 @@ def yt_charges(rho, offs, wts, field):
     if nattr < 0:
         raise RuntimeError("native yt sweep failed")
     return labels.reshape(rho.shape), charges[:nattr]
+
+
+def tricubic_batch(f, xfrac):
+    """Host tricubic value/gradient/Hessian for (N, 3) fractional points
+    on grid f (n1,n2,n3) — identical math and conventions to the device
+    kernel ops/interp.interp_soa; OpenMP across points.  The measured
+    CPU-baseline apparatus (reference BENCHMARK keyword workload,
+    src/fieldmod@proc.f90:1734-1830) and the independent verifier for CP
+    positions.  Returns (y (N,), grad (N,3), hess (N,6) in SYM6)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built "
+                           "(python -m critic2_tpu.native)")
+    f = np.ascontiguousarray(f, dtype=np.float64)
+    x = np.ascontiguousarray(xfrac, dtype=np.float64)
+    N = len(x)
+    y = np.empty(N)
+    grad = np.empty((N, 3))
+    hess = np.empty((N, 6))
+    lib.c2n_tricubic_batch(
+        ctypes.c_int(f.shape[0]), ctypes.c_int(f.shape[1]),
+        ctypes.c_int(f.shape[2]),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_longlong(N),
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        grad.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        hess.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return y, grad, hess
+
+
+def omp_threads() -> int:
+    """OpenMP thread count the native kernels run with (1 = serial)."""
+    lib = _load()
+    return int(lib.c2n_omp_threads()) if lib is not None else 1
 
 
 if __name__ == "__main__":

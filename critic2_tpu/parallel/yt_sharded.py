@@ -46,12 +46,22 @@ class ShardedYTResult:
         self._wflat = wflat          # (nattr, N) device array (sharded)
 
     def integrate(self, field_flat) -> np.ndarray:
-        """sum_i w_i(b) f_i per basin (NOT scaled by Omega/N)."""
-        f = jnp.asarray(field_flat).reshape(-1)
-        return np.asarray(self._wflat @ f)
+        """sum_i w_i(b) f_i per basin (NOT scaled by Omega/N).
+        Accepts one integrand (N,) or a stack (nprops, N)."""
+        f = jnp.asarray(field_flat)
+        if f.size == self._wflat.shape[1]:
+            return np.asarray(self._wflat @ f.reshape(-1))
+        return np.asarray(f.reshape(f.shape[0], -1) @ self._wflat.T)
 
     def weights(self, b: int) -> np.ndarray:
         return np.asarray(self._wflat[b]).reshape(self.shape)
+
+    def basin_support(self, a: int, tol: float = 1e-15):
+        """(flat indices, weights) of every point with weight > tol in
+        basin `a` — the dense YT fractional weights, NOT argmax labels."""
+        w = np.asarray(self._wflat[a]).reshape(-1)
+        idx = np.where(w > tol)[0]
+        return idx, w[idx]
 
 
 def yt_integrate_sharded(mesh, crystal, rho, fields_flat=None,

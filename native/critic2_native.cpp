@@ -21,6 +21,9 @@
 #include <numeric>
 #include <utility>
 #include <vector>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 extern "C" {
 
@@ -351,6 +354,105 @@ int c2n_yt_charges(int n1, int n2, int n3, const double* rho,
                    const double* field, double* charges) {
     return yt_sweep(n1, n2, n3, rho, K, offs, wts, labels, max_attr,
                     field, charges);
+}
+
+// ---------------------------------------------------------------------
+// Tricubic (Catmull-Rom tensor product) batch evaluation with value,
+// gradient and Hessian -- the CPU-measured counterpart of the device
+// kernel ops/interp.interp_soa and the independent verifier for CP
+// positions (reference workload: grinterp_tricubic,
+// src/grid3mod@proc.f90:1978-2143; BENCHMARK keyword apparatus,
+// src/fieldmod@proc.f90:1734-1830). Identical basis and derivative
+// conventions (d/dfrac scaled by n; Hessian in SYM6 order scaled by
+// n_i*n_j). OpenMP over points when compiled with -fopenmp.
+// ---------------------------------------------------------------------
+static inline void cr_w(double t, double* w, double* dw, double* sw) {
+    const double t2 = t * t, t3 = t2 * t;
+    w[0] = 0.5 * (-t3 + 2.0 * t2 - t);
+    w[1] = 0.5 * (3.0 * t3 - 5.0 * t2 + 2.0);
+    w[2] = 0.5 * (-3.0 * t3 + 4.0 * t2 + t);
+    w[3] = 0.5 * (t3 - t2);
+    dw[0] = 0.5 * (-3.0 * t2 + 4.0 * t - 1.0);
+    dw[1] = 0.5 * (9.0 * t2 - 10.0 * t);
+    dw[2] = 0.5 * (-9.0 * t2 + 8.0 * t + 1.0);
+    dw[3] = 0.5 * (3.0 * t2 - 2.0 * t);
+    sw[0] = 0.5 * (-6.0 * t + 4.0);
+    sw[1] = 0.5 * (18.0 * t - 10.0);
+    sw[2] = 0.5 * (-18.0 * t + 8.0);
+    sw[3] = 0.5 * (6.0 * t - 2.0);
+}
+
+void c2n_tricubic_batch(int n1, int n2, int n3, const double* f,
+                        long long N, const double* xfrac,
+                        double* y, double* grad, double* hess) {
+    const int nn[3] = {n1, n2, n3};
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (long long p = 0; p < N; ++p) {
+        double w[3][4], dw[3][4], sw[3][4];
+        int idx[3][4];
+        for (int a = 0; a < 3; ++a) {
+            double x = xfrac[3 * p + a];
+            x -= std::floor(x);
+            double xg = x * nn[a];
+            int i0 = (int)std::floor(xg);
+            if (i0 >= nn[a]) i0 = nn[a] - 1;
+            double t = xg - i0;
+            cr_w(t, w[a], dw[a], sw[a]);
+            for (int s = 0; s < 4; ++s)
+                idx[a][s] = ((i0 + s - 1) % nn[a] + nn[a]) % nn[a];
+        }
+        double v = 0, gx = 0, gy = 0, gz = 0;
+        double hxx = 0, hyy = 0, hzz = 0, hxy = 0, hxz = 0, hyz = 0;
+        for (int i = 0; i < 4; ++i)
+            for (int j = 0; j < 4; ++j) {
+                const double* base =
+                    f + ((long long)idx[0][i] * n2 + idx[1][j]) * n3;
+                double rz = 0, rdz = 0, rsz = 0;
+                for (int k = 0; k < 4; ++k) {
+                    const double g = base[idx[2][k]];
+                    rz += w[2][k] * g;
+                    rdz += dw[2][k] * g;
+                    rsz += sw[2][k] * g;
+                }
+                const double wij = w[0][i] * w[1][j];
+                v += wij * rz;
+                gx += dw[0][i] * w[1][j] * rz;
+                gy += w[0][i] * dw[1][j] * rz;
+                gz += wij * rdz;
+                hxx += sw[0][i] * w[1][j] * rz;
+                hyy += w[0][i] * sw[1][j] * rz;
+                hzz += wij * rsz;
+                hxy += dw[0][i] * dw[1][j] * rz;
+                hxz += dw[0][i] * w[1][j] * rdz;
+                hyz += w[0][i] * dw[1][j] * rdz;
+            }
+        y[p] = v;
+        grad[3 * p] = gx * n1;
+        grad[3 * p + 1] = gy * n2;
+        grad[3 * p + 2] = gz * n3;
+        hess[6 * p] = hxx * (double)n1 * n1;
+        hess[6 * p + 1] = hyy * (double)n2 * n2;
+        hess[6 * p + 2] = hzz * (double)n3 * n3;
+        hess[6 * p + 3] = hxy * (double)n1 * n2;
+        hess[6 * p + 4] = hxz * (double)n1 * n3;
+        hess[6 * p + 5] = hyz * (double)n2 * n3;
+    }
+}
+
+int c2n_omp_threads() {
+#ifdef _OPENMP
+    int n = 0;
+#pragma omp parallel
+    {
+#pragma omp single
+        n = omp_get_num_threads();
+    }
+    return n;
+#else
+    return 1;
+#endif
 }
 
 }  // extern "C"
