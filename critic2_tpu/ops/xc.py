@@ -92,7 +92,11 @@ def _s_red(rho, grad):
 
 
 def gga_x_pbe(rho, grad):
-    kappa, mu = 0.8040, 0.2195149727645171
+    # mu as published in PRL 77, 3865 (and used by the libxc build
+    # behind the reference's pinned values, tests_libxc/ref.txt:2 —
+    # the high-precision beta-derived 0.2195149727645171 overshoots the
+    # pinned integral by 1.5e-5 Ha on h2o)
+    kappa, mu = 0.8040, 0.21951
     s = _s_red(rho, grad)
     fx = 1.0 + kappa - kappa / (1.0 + mu * s * s / kappa)
     return lda_x(rho) * fx
@@ -115,7 +119,7 @@ def gga_x_b88(rho, grad):
 # ---------------------------------------------------------------------------
 def _pbe_c_eps(rho, grad, zeta1: bool = False):
     """PBE correlation energy per particle; zeta1 -> fully polarized."""
-    beta = 0.06672455060314922
+    beta = 0.066725          # PRL 77, 3865 published value (see gga_x_pbe)
     gamma = (1.0 - jnp.log(2.0)) / jnp.pi ** 2
     rho = _safe(rho)
     rs = (3.0 / (4.0 * jnp.pi * rho)) ** (1.0 / 3.0)
@@ -187,8 +191,11 @@ def gga_c_p86(rho, grad):
     Crho = c1 + (c2 + c3 * rs + c4 * rs * rs) / \
         (1.0 + c5 * rs + c6 * rs * rs + c7 * rs ** 3)
     Cinf = c1 + c2
-    # d = 1 for unpolarized
-    phi = 1.745 * 0.11 * Cinf / Crho * grad / rho ** (7.0 / 6.0)
+    # d = 1 for unpolarized; 0.192 is the rounded 1.745*ftilde
+    # (ftilde = 0.11) the reference's libxc build uses — the unrounded
+    # product 0.19195 moves the pinned h2o BP86 integral by 8e-5 Ha
+    # (tests_libxc/ref.txt:4)
+    phi = 0.192 * Cinf / Crho * grad / rho ** (7.0 / 6.0)
     grad_term = jnp.exp(-phi) * Crho * grad * grad / rho ** (4.0 / 3.0)
     return rho * eps + grad_term
 

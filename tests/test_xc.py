@@ -1,8 +1,11 @@
 """XC functionals against the reference's pinned libxc values
 (tests_libxc/ref.txt, h2o.wfx): LDA(SVWN), PBE, BLYP, BP86, TPSS.
 
-Residual differences vs libxc come from constant-precision details in
-PBE-C/P86 (~1e-5 Ha of ~9.3 Ha); LDA/BLYP/TPSS agree to mesh accuracy.
+All five agree to <=6.5e-6 Ha at the converged ("amazing") mesh — the
+same order as the pinned values' own quadrature uncertainty.  Matching
+at this level required the constants of the libxc build behind the
+pinned numbers: PBE mu = 0.21951 / beta = 0.066725 (the PRL 77, 3865
+published roundings) and P86 1.745*ftilde = 0.192.
 """
 import os
 
@@ -21,12 +24,12 @@ CASES = [
     # the value converges onto the pinned libxc number at higher levels
     # (amazing: 2.7e-7 - see test_lda_mesh_convergence)
     ("LDA", -8.957976118600001, "xc($1,1)+xc($1,8)", 6e-6),
-    ("PBE", -9.242634846200005, "xc($1,$1:g,101)+xc($1,$1:g,130)", 5e-5),
+    ("PBE", -9.242634846200005, "xc($1,$1:g,101)+xc($1,$1:g,130)", 1e-5),
     ("BLYP", -9.307752149199999, "xc($1,$1:g,106)+xc($1,$1:g,131)", 1e-5),
-    ("BP86", -9.328661428600000, "xc($1,$1:g,106)+xc($1,$1:g,132)", 2e-4),
+    ("BP86", -9.328661428600000, "xc($1,$1:g,106)+xc($1,$1:g,132)", 2e-5),
     ("TPSS", -9.331217985700007,
      "xc($1,$1:g,$1:l,0.5*gkin(1),202)+xc($1,$1:g,$1:l,0.5*gkin(1),231)",
-     2e-5),
+     1.2e-5),
 ]
 
 
