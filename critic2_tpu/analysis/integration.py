@@ -262,9 +262,12 @@ def multipoles(system, intres: IntegrationResult, lmax: int = 4):
 
 
 def _rasterize_field(f, shape, block: int = 1 << 16, nder: int = 0):
-    """Evaluate a field on the regular grid nodes (fractional (i/n))."""
-    import jax
+    """Evaluate a field on the regular grid nodes (fractional (i/n)).
 
+    All chunks are dispatched asynchronously at a uniform padded shape
+    (one compile, no per-chunk host sync): a 256^3 rasterize is 256
+    device programs whose latency pipelines instead of accumulating
+    one round-trip each (17 min -> seconds through the remote tunnel)."""
     c = f.crystal
     n1, n2, n3 = shape
     i, j, k = np.meshgrid(np.arange(n1), np.arange(n2), np.arange(n3),
@@ -273,11 +276,12 @@ def _rasterize_field(f, shape, block: int = 1 << 16, nder: int = 0):
     xc = np.asarray(c.m_x2c) @ xf
     fn = f.eval_fn(nder=nder)
     N = xc.shape[1]
-    out = np.empty(N)
-    for lo in range(0, N, block):
-        chunk = jnp.asarray(xc[:, lo:lo + block])
-        out[lo:lo + chunk.shape[1]] = np.asarray(fn(chunk)[0])
-    return jnp.asarray(out.reshape(shape))
+    if N % block:
+        pad = block - N % block
+        xc = np.concatenate([xc, xc[:, -1:].repeat(pad, 1)], axis=1)
+    outs = [fn(jnp.asarray(xc[:, lo:lo + block]))[0]
+            for lo in range(0, xc.shape[1], block)]
+    return jnp.concatenate(outs)[:N].reshape(shape)
 
 
 def _rasterize_env(crystal, env, shape, block: int = 1 << 16):

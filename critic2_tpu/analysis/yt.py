@@ -64,32 +64,40 @@ _AX = (0, 1, 2)
 
 
 @partial(jax.jit, static_argnames=("offs", "shape"))
-def _flux_tensors(rho3, rank3, wts, *, offs, shape):
+def _flux_tensors(rho3, idx3, wts, *, offs, shape):
     """Per-neighbor normalized uphill flux chi' (K,)+shape, plus the
     attractor mask.  chi'_k[x] is the weight fraction point x sends to
-    its neighbor x+o_k; rows sum to 1 except at attractors (all-zero)."""
+    its neighbor x+o_k; rows sum to 1 except at attractors (all-zero).
+
+    "Uphill" is the stable-descending-sort order WITHOUT the sort:
+    rank_k < rank_x iff (rho_k, idx_k) >lex (rho_x, -idx_x), i.e.
+    rho_k > rho_x, or rho_k == rho_x and idx_k < idx_x — a global
+    argsort of the 3D grid (seconds at 256^3 on TPU, plus inverting
+    the permutation) collapses to K rolled compares."""
     K = len(offs)
-    N = int(np.prod(shape))
     dt = rho3.dtype
     chis = []
     anyhi = jnp.zeros(shape, bool)
     tot = jnp.zeros(shape, dt)
-    # lowest-ranked uphill neighbor (plateau fallback target)
-    best_rank = jnp.full(shape, N, rank3.dtype)
+    # lowest-ranked (= lexicographically highest (rho, -idx)) uphill
+    # neighbor: plateau fallback target
+    best_rho = jnp.full(shape, -jnp.inf, dt)
+    best_idx = jnp.zeros(shape, idx3.dtype)
     best_k = jnp.zeros(shape, jnp.int32)
     for k, o in enumerate(offs):
         sh = (-int(o[0]), -int(o[1]), -int(o[2]))
         rho_k = jnp.roll(rho3, sh, _AX)
-        rank_k = jnp.roll(rank3, sh, _AX)
-        hi = rank_k < rank3
+        idx_k = jnp.roll(idx3, sh, _AX)
+        hi = (rho_k > rho3) | ((rho_k == rho3) & (idx_k < idx3))
         chi = jnp.where(hi, wts[k] * (rho_k - rho3), jnp.zeros((), dt))
         chi = jnp.maximum(chi, 0.0)
         chis.append(chi)
         tot = tot + chi
         anyhi = anyhi | hi
-        rk = jnp.where(hi, rank_k, N)
-        upd = rk < best_rank
-        best_rank = jnp.where(upd, rk, best_rank)
+        upd = hi & ((rho_k > best_rho)
+                    | ((rho_k == best_rho) & (idx_k < best_idx)))
+        best_rho = jnp.where(upd, rho_k, best_rho)
+        best_idx = jnp.where(upd, idx_k, best_idx)
         best_k = jnp.where(upd, k, best_k)
     haspos = tot > 0
     inv = jnp.where(haspos, 1.0 / jnp.where(haspos, tot, 1.0),
@@ -102,20 +110,29 @@ def _flux_tensors(rho3, rank3, wts, *, offs, shape):
     return jnp.stack(out), ~anyhi
 
 
-@partial(jax.jit, static_argnames=("offs",))
-def _adjoint_sweep(chiP, f3, *, offs):
-    """Exact fixpoint of s = f + R^T s (mass pushed uphill); f3 is
-    (nprops,)+shape.  R^T is nilpotent -> exact bitwise convergence."""
-    def apply(s):
-        acc = f3
-        for k, o in enumerate(offs):
-            sh = (int(o[0]), int(o[1]), int(o[2]))
+@partial(jax.jit, static_argnames=("offs", "adjoint"))
+def _apply_R(chiP, s, *, offs, adjoint=True):
+    """One application of the flux operator (XLA rolls, any dtype).
+    adjoint: out[x] = sum_k roll(chi_k * s, +o_k) (mass pushed uphill);
+    forward: out[x] = sum_k chi_k * roll(s, -o_k) (membership downhill)."""
+    acc = jnp.zeros_like(s)
+    for k, o in enumerate(offs):
+        sh = (int(o[0]), int(o[1]), int(o[2]))
+        if adjoint:
             acc = acc + jnp.roll(chiP[k] * s, sh, (1, 2, 3))
-        return acc
+        else:
+            acc = acc + chiP[k] * jnp.roll(s, (-sh[0], -sh[1], -sh[2]),
+                                           (1, 2, 3))
+    return acc
 
+
+@partial(jax.jit, static_argnames=("offs", "adjoint"))
+def _xla_sweep(chiP, f3, *, offs, adjoint=True):
+    """Exact fixpoint of s = f + R s via XLA rolls.  R is nilpotent in
+    sorted order -> exact bitwise convergence after depth passes."""
     def body(carry):
         s, _ = carry
-        s_new = apply(s)
+        s_new = f3 + _apply_R(chiP, s, offs=offs, adjoint=adjoint)
         return s_new, jnp.all(s_new == s)
 
     def cond(carry):
@@ -125,27 +142,62 @@ def _adjoint_sweep(chiP, f3, *, offs):
     return s
 
 
-@partial(jax.jit, static_argnames=("offs",))
-def _forward_sweep(chiP, seed3, *, offs):
-    """Exact fixpoint of w = seed + R w (basin membership flooded
-    downhill); seed3 is (nb,)+shape one-hot at the attractors."""
-    def apply(w):
-        acc = seed3
-        for k, o in enumerate(offs):
-            sh = (-int(o[0]), -int(o[1]), -int(o[2]))
-            acc = acc + chiP[k] * jnp.roll(w, sh, (1, 2, 3))
-        return acc
+def _pallas_sweep(chiP32, f3, offs, adjoint):
+    """f32 fixpoint via the fused Pallas pass (ops/yt_pass), chunked
+    over the property axis to bound per-step VMEM (the kernel holds
+    (2H+3)P + K pipelined planes)."""
+    from ..ops.yt_pass import yt_pass
 
-    def body(carry):
-        w, _ = carry
-        w_new = apply(w)
-        return w_new, jnp.all(w_new == w)
+    H = max(1, max(abs(int(o[0])) for o in offs))
+    K = len(offs)
+    pmax = max(1, (40 - K) // (2 * H + 3))     # ~40 f32 planes of VMEM
 
-    def cond(carry):
-        return ~carry[1]
+    @partial(jax.jit, static_argnames=("offs", "adjoint"))
+    def run(chiP32, f3, *, offs, adjoint):
+        def body(carry):
+            s, _ = carry
+            s_new = yt_pass(chiP32, s, f3, offs=offs, adjoint=adjoint)
+            return s_new, jnp.all(s_new == s)
 
-    w, _ = jax.lax.while_loop(cond, body, (seed3, jnp.asarray(False)))
-    return w
+        def cond(carry):
+            return ~carry[1]
+
+        s, _ = jax.lax.while_loop(cond, body, (f3, jnp.asarray(False)))
+        return s
+
+    if f3.shape[0] <= pmax:
+        return run(chiP32, f3, offs=offs, adjoint=adjoint)
+    return jnp.concatenate(
+        [run(chiP32, f3[lo:lo + pmax], offs=offs, adjoint=adjoint)
+         for lo in range(0, f3.shape[0], pmax)])
+
+
+def _solve_sweep(chiP, chiP32, f3, offs, adjoint=True, nrefine=3):
+    """Solve (I - R) s = f at f64 accuracy.
+
+    On TPU (where f64 vector ops are emulated ~10x off f32 and XLA
+    rolls run ~10x off roofline) the solve runs in f32 through the
+    fused Pallas pass with f64 iterative refinement: the residual
+    r = f + R s - s is evaluated with the exact f64 operator (one XLA
+    pass), and each correction solve shrinks the error by the f32
+    roundoff of one preconditioner application.  Elsewhere: plain f64
+    XLA fixpoint."""
+    if chiP32 is None:
+        return _xla_sweep(chiP, f3, offs=offs, adjoint=adjoint)
+    try:
+        s = _pallas_sweep(chiP32, f3.astype(jnp.float32), offs,
+                          adjoint).astype(f3.dtype)
+    except ValueError:      # no valid plane blocking for this grid
+        return _xla_sweep(chiP, f3, offs=offs, adjoint=adjoint)
+    fscale = float(jnp.max(jnp.abs(f3))) + 1e-300
+    for _ in range(nrefine):
+        r = f3 + _apply_R(chiP, s, offs=offs, adjoint=adjoint) - s
+        rmax = float(jnp.max(jnp.abs(r)))
+        if rmax <= 1e-14 * fscale:
+            break
+        s = s + _pallas_sweep(chiP32, r.astype(jnp.float32), offs,
+                              adjoint).astype(f3.dtype)
+    return s
 
 
 @dataclass
@@ -160,6 +212,29 @@ class YTResult:
     _offs: tuple = None          # K x (3,) neighbor offsets (static)
     _labels: np.ndarray = None   # lazy (n1,n2,n3) int32 argmax-weight basin
     _nboundary: int = None       # lazy count of fractional-weight points
+    _chiP32s: jnp.ndarray = None  # lazy f32 shifted flux (Pallas adjoint)
+    _chiP32f: jnp.ndarray = None  # lazy f32 flux (Pallas forward)
+
+    def _pallas_ok(self) -> bool:
+        from ..ops.yt_pass import supported
+        return supported() and self._chiP.dtype == jnp.float64
+
+    def _chi32_adjoint(self):
+        if not self._pallas_ok():
+            return None
+        if self._chiP32s is None:
+            shifted = jnp.stack([
+                jnp.roll(self._chiP[k], o, (0, 1, 2))
+                for k, o in enumerate(self._offs)])
+            self._chiP32s = shifted.astype(jnp.float32)
+        return self._chiP32s
+
+    def _chi32_forward(self):
+        if not self._pallas_ok():
+            return None
+        if self._chiP32f is None:
+            self._chiP32f = self._chiP.astype(jnp.float32)
+        return self._chiP32f
 
     @property
     def labels(self) -> np.ndarray:
@@ -182,7 +257,8 @@ class YTResult:
         i_at = self.iattr[b0:b0 + nb]
         i1, i2, i3 = np.unravel_index(i_at, self.shape)
         seed = seed.at[np.arange(nb), i1, i2, i3].set(1.0)
-        return _forward_sweep(self._chiP, seed, offs=self._offs)
+        return _solve_sweep(self._chiP, self._chi32_forward(), seed,
+                            self._offs, adjoint=False)
 
     def _compute_labels(self, chunk: int = 8):
         wmax = jnp.full(self.shape, -1.0, self._chiP.dtype)
@@ -210,7 +286,8 @@ class YTResult:
         f3 = f.reshape((1 if single else f.shape[0],) + self.shape)
         if not jnp.issubdtype(f3.dtype, jnp.floating):
             f3 = f3.astype(self._chiP.dtype)
-        s = _adjoint_sweep(self._chiP, f3, offs=self._offs)
+        s = _solve_sweep(self._chiP, self._chi32_adjoint(), f3,
+                         self._offs, adjoint=True)
         i1, i2, i3 = np.unravel_index(self.iattr, self.shape)
         q = np.asarray(s[:, i1, i2, i3])
         return q[0] if single else q
@@ -241,16 +318,15 @@ def yt_integrate(crystal, rho, block: int | None = None):
 
     rho3 = jnp.asarray(rho)
     wts = jnp.asarray(wts_np, dtype=rho3.dtype)
-    # stable descending sort with index tie-break (reference qcksort order)
-    order = jnp.argsort(-rho3.reshape(-1), stable=True)
-    rank3 = jnp.argsort(order, stable=True).astype(jnp.int32).reshape(shape)
+    idx3 = jnp.arange(N, dtype=jnp.int32).reshape(shape)
 
-    chiP, is_attr = _flux_tensors(rho3, rank3, wts, offs=offs, shape=shape)
+    chiP, is_attr = _flux_tensors(rho3, idx3, wts, offs=offs, shape=shape)
 
-    # attractor list in sorted (sweep-appearance) order
-    is_attr_np = np.asarray(is_attr).reshape(-1)
-    order_np = np.asarray(order)
-    iattr = order_np[is_attr_np[order_np]]
+    # attractor list in sweep-appearance order (descending rho, index
+    # tie-break); only the attractors are sorted — never the grid
+    iattr = np.flatnonzero(np.asarray(is_attr).reshape(-1))
+    rho_at = np.asarray(rho3.reshape(-1)[jnp.asarray(iattr)])
+    iattr = iattr[np.lexsort((iattr, -rho_at))]
     nattr = len(iattr)
 
     i1, i2, i3 = np.unravel_index(iattr, shape)

@@ -11,10 +11,15 @@ sorted sweep is just one solution order for the linear recurrence
 over UPHILL Wigner-Seitz facet neighbors k of i - an acyclic system
 (dependencies strictly increase rho, with the reference's stable-rank
 tie-break). Any fixpoint iteration converges to the same weights in at
-most longest-uphill-chain steps. Here every shard updates its slab's
-weight field (nattr, m, n2, n3) from its neighbors in lockstep, with
-`lax.ppermute` halo exchanges along the sharded axis - mathematically
-identical to the reference weights, fully data-parallel.
+most longest-uphill-chain steps. Here every shard holds its slab of the
+NORMALIZED flux tensors chi (computed once, identical semantics to the
+single-device analysis/yt._flux_tensors: plateau points attach their
+whole weight to the single lexicographically-best (max rho, min index)
+uphill neighbor — no epsilon fluxes) and updates its slab's weight
+field (nattr, m, n2, n3) in lockstep, with `lax.ppermute` halo
+exchanges along the sharded axis — mathematically identical to the
+reference weights, fully data-parallel.  Attractor detection runs on
+device inside the same sharded program (host cost: one bool grid).
 
 Memory note: this variant stores DENSE per-basin weights (nattr x local
 grid), the transparent choice when nattr is moderate (the single-device
@@ -87,113 +92,118 @@ def yt_integrate_sharded(mesh, crystal, rho, fields_flat=None,
         raise ValueError(f"n1={n1} not divisible by space={nspace}")
     m = n1 // nspace
 
-    offs, wts = _grid_ws_neighbors(crystal, shape)
-    offs = np.asarray(offs, dtype=np.int32)
-    wts = np.asarray(wts)
-    H = int(np.abs(offs[:, 0]).max())            # halo width along axis 0
+    offs_np, wts_np = _grid_ws_neighbors(crystal, shape)
+    offs = tuple(tuple(int(v) for v in o) for o in np.asarray(offs_np))
+    K = len(offs)
+    H = max(abs(o[0]) for o in offs)             # halo width along axis 0
     if H > m:
         raise ValueError("halo wider than slab; use fewer shards")
 
-    # ---- attractors on the host (global argmax semantics) ----------
-    # uphill measure replicates the reference: flux to strictly higher
-    # rho, ties broken by stable rank = flat index (yt@proc.f90:149-156)
-    flat = rho.reshape(-1)
-    nbr = np.empty((len(offs), N), dtype=np.int64)
-    i1, i2, i3 = np.unravel_index(np.arange(N), shape)
-    for k, o in enumerate(offs):
-        nbr[k] = np.ravel_multi_index(((i1 + o[0]) % n1, (i2 + o[1]) % n2,
-                                       (i3 + o[2]) % n3), shape)
-    higher = (flat[nbr] > flat[None, :]) | \
-        ((flat[nbr] == flat[None, :]) & (nbr < np.arange(N)[None, :]))
-    is_attr = ~higher.any(axis=0)
-    iattr = np.where(is_attr)[0]
-    nattr = len(iattr)
-    xattr = np.stack(np.unravel_index(iattr, shape), axis=1) \
-        / np.asarray(shape)
-
-    # ---- sharded fixpoint ------------------------------------------
-    attr_onehot = np.zeros((nattr, N))
-    attr_onehot[np.arange(nattr), iattr] = 1.0
-    attr_mask = is_attr.reshape(shape)
-
-    rho_j = jnp.asarray(rho)
-    offs_j = jnp.asarray(offs)
-    wts_j = jnp.asarray(wts)
+    dt = jnp.asarray(rho[:1]).dtype
+    rho_j = jax.device_put(jnp.asarray(rho),
+                           NamedSharding(mesh, P("space", None, None)))
+    wts_j = jnp.asarray(wts_np, dtype=dt)
+    fidx = jax.device_put(
+        jnp.arange(N, dtype=jnp.int32).reshape(shape),
+        NamedSharding(mesh, P("space", None, None)))
     slabspec = P(None, "space", None, None)
 
     nperm_fwd = [(i, (i + 1) % nspace) for i in range(nspace)]
     nperm_bwd = [(i, (i - 1) % nspace) for i in range(nspace)]
 
-    def halo_pad(w):
-        """w (nattr, m, n2, n3) -> padded (nattr, m + 2H, n2, n3)."""
-        left = lax.ppermute(w[:, -H:], "space", nperm_fwd)
-        right = lax.ppermute(w[:, :H], "space", nperm_bwd)
-        return jnp.concatenate([left, w, right], axis=1)
-
-    def rho_pad(r):
+    def halo3(r):
+        """(m, n2, n3) -> (m + 2H, n2, n3) with periodic slab halos."""
         left = lax.ppermute(r[-H:], "space", nperm_fwd)
         right = lax.ppermute(r[:H], "space", nperm_bwd)
         return jnp.concatenate([left, r, right], axis=0)
 
-    def sweep(rslab, wslab, amask, fidx):
-        """One fixpoint pass on the local slab."""
-        rp = rho_pad(rslab)                      # (m+2H, n2, n3)
-        wp = halo_pad(wslab)                     # (nattr, m+2H, n2, n3)
-        fp = rho_pad(fidx)                       # global flat indices
-        num = jnp.zeros_like(wslab)
-        den = jnp.zeros((m, n2, n3))
+    def halo4(w):
+        """(B, m, n2, n3) -> (B, m + 2H, n2, n3)."""
+        left = lax.ppermute(w[:, -H:], "space", nperm_fwd)
+        right = lax.ppermute(w[:, :H], "space", nperm_bwd)
+        return jnp.concatenate([left, w, right], axis=1)
+
+    # ---- flux tensors + attractor mask (device, sharded) -----------
+    # identical semantics to analysis/yt._flux_tensors: uphill means
+    # (rho_k, -idx_k) >lex (rho_0, -idx_0); plateau fallback sends all
+    # weight to the lexicographically best uphill neighbor
+    def chi_kernel(rslab, fslab):
+        rp = halo3(rslab)
+        fp = halo3(fslab)
         r0 = rp[H:H + m]
         f0 = fp[H:H + m]
-        for k in range(len(offs)):
-            o = offs[k]
-            rk = jnp.roll(rp, (-int(o[0]), -int(o[1]), -int(o[2])),
-                          axis=(0, 1, 2))[H:H + m]
-            wk = jnp.roll(wp, (-int(o[0]), -int(o[1]), -int(o[2])),
-                          axis=(1, 2, 3))[:, H:H + m]
-            fk = jnp.roll(fp, (-int(o[0]), -int(o[1]), -int(o[2])),
-                          axis=(0, 1, 2))[H:H + m]
-            up = (rk > r0) | ((rk == r0) & (fk < f0))
-            chi = jnp.where(up, wts_j[k] * jnp.maximum(rk - r0, 0.0), 0.0)
-            # pure tie-break neighbors carry flux with the reference's
-            # fallback: if no positive flux at all, attach to the
-            # earliest-ranked uphill neighbor; emulate by epsilon flux
-            chi = chi + jnp.where(up & (rk == r0), 1e-300, 0.0)
-            num = num + chi[None] * wk
-            den = den + chi
-        frac = num / jnp.maximum(den[None], 1e-300)
-        frac = jnp.where(den[None] > 0.0, frac, wslab)
-        return jnp.where(amask[None], wslab, frac)
+        chis = []
+        tot = jnp.zeros((m, n2, n3), dt)
+        anyhi = jnp.zeros((m, n2, n3), bool)
+        best_rho = jnp.full((m, n2, n3), -jnp.inf, dt)
+        best_idx = jnp.zeros((m, n2, n3), jnp.int32)
+        best_k = jnp.zeros((m, n2, n3), jnp.int32)
+        for k, o in enumerate(offs):
+            sh = (-o[0], -o[1], -o[2])
+            rk = jnp.roll(rp, sh, (0, 1, 2))[H:H + m]
+            fk = jnp.roll(fp, sh, (0, 1, 2))[H:H + m]
+            hi = (rk > r0) | ((rk == r0) & (fk < f0))
+            chi = jnp.maximum(jnp.where(hi, wts_j[k] * (rk - r0), 0.0), 0.0)
+            chis.append(chi)
+            tot = tot + chi
+            anyhi = anyhi | hi
+            upd = hi & ((rk > best_rho)
+                        | ((rk == best_rho) & (fk < best_idx)))
+            best_rho = jnp.where(upd, rk, best_rho)
+            best_idx = jnp.where(upd, fk, best_idx)
+            best_k = jnp.where(upd, k, best_k)
+        haspos = tot > 0
+        inv = jnp.where(haspos, 1.0 / jnp.where(haspos, tot, 1.0), 0.0)
+        out = []
+        for k in range(K):
+            fb = jnp.where(anyhi & (best_k == k), jnp.ones((), dt), 0.0)
+            out.append(jnp.where(haspos, chis[k] * inv, fb))
+        return jnp.stack(out), ~anyhi
 
-    def make_fidx():
-        i = jnp.arange(n1)[:, None, None]
-        j = jnp.arange(n2)[None, :, None]
-        k = jnp.arange(n3)[None, None, :]
-        return (i * (n2 * n3) + j * n3 + k).astype(jnp.int64)
+    chi_fn = jax.jit(jax.shard_map(
+        chi_kernel, mesh=mesh,
+        in_specs=(P("space", None, None), P("space", None, None)),
+        out_specs=(slabspec, P("space", None, None)), check_vma=False))
+    chiP, is_attr = chi_fn(rho_j, fidx)
 
-    fidx_global = make_fidx()
+    # small host transfers only: the bool mask and the attractor rhos
+    is_attr_np = np.asarray(is_attr).reshape(-1)
+    iattr = np.flatnonzero(is_attr_np)
+    rho_at = rho.reshape(-1)[iattr]
+    iattr = iattr[np.lexsort((iattr, -rho_at))]   # sweep-appearance order
+    nattr = len(iattr)
+    xattr = np.stack(np.unravel_index(iattr, shape), axis=1) \
+        / np.asarray(shape)
 
-    def run(w0, rslab, amask, fidx, niter):
+    # ---- sharded fixpoint w = seed + R w ---------------------------
+    seed = np.zeros((nattr, N))
+    seed[np.arange(nattr), iattr] = 1.0
+    seed = jax.device_put(jnp.asarray(seed.reshape(nattr, *shape), dt),
+                          NamedSharding(mesh, slabspec))
+
+    def run(chi_slab, seed_slab, w0, niter):
         def body(_, w):
-            return sweep(rslab, w, amask, fidx)
+            wp = halo4(w)
+            acc = seed_slab
+            for k, o in enumerate(offs):
+                sh = (-o[0], -o[1], -o[2])
+                acc = acc + chi_slab[k] * jnp.roll(
+                    wp, sh, (1, 2, 3))[:, H:H + m]
+            return acc
         return lax.fori_loop(0, niter, body, w0)
 
-    fn = jax.shard_map(
+    fn = jax.jit(jax.shard_map(
         run, mesh=mesh,
-        in_specs=(slabspec, P("space", None, None),
-                  P("space", None, None), P("space", None, None), P()),
-        out_specs=slabspec, check_vma=False)
-    fn = jax.jit(fn, static_argnums=())
+        in_specs=(slabspec, slabspec, slabspec, P()),
+        out_specs=slabspec, check_vma=False))
 
     if max_iters is None:
         max_iters = n1 + n2 + n3 + 16
-    w = jnp.asarray(attr_onehot.reshape(nattr, *shape))
-    w = jax.device_put(w, NamedSharding(mesh, slabspec))
-    amask = jnp.asarray(attr_mask)
-    # iterate in chunks, checking partition-of-unity convergence
     chunk = max(8, (n1 + n2 + n3) // 4)
     it = 0
+    w = seed
     while it < max_iters:
-        w = fn(w, rho_j, amask, fidx_global, jnp.int32(chunk))
+        w = fn(chiP, seed, w, jnp.int32(chunk))
         it += chunk
         punity = float(jnp.abs(w.sum(0) - 1.0).max())
         if punity < 1e-12:
