@@ -110,11 +110,28 @@ def _flux_tensors(rho3, idx3, wts, *, offs, shape):
     return jnp.stack(out), ~anyhi
 
 
+@partial(jax.jit, static_argnames=("nattr",))
+def _extract_attractors(rho3, is_attr, nattr):
+    """(flat index, rho) of the attractor points, one fused program.
+    i32 throughout (the grid is < 2^31 points)."""
+    flat = is_attr.reshape(-1)
+    slot = jnp.cumsum(flat.astype(jnp.int32), dtype=jnp.int32) - 1
+    idx = jnp.arange(flat.shape[0], dtype=jnp.int32)
+    tgt = jnp.where(flat, slot, nattr)           # dropped when == nattr
+    iattr = jnp.zeros(nattr, jnp.int32).at[tgt].set(idx, mode="drop")
+    return iattr, rho3.reshape(-1)[iattr]
+
+
 @partial(jax.jit, static_argnames=("offs", "adjoint"))
 def _apply_R(chiP, s, *, offs, adjoint=True):
     """One application of the flux operator (XLA rolls, any dtype).
     adjoint: out[x] = sum_k roll(chi_k * s, +o_k) (mass pushed uphill);
-    forward: out[x] = sum_k chi_k * roll(s, -o_k) (membership downhill)."""
+    forward: out[x] = sum_k chi_k * roll(s, -o_k) (membership downhill).
+
+    An optimization barrier after every accumulate keeps XLA from
+    mega-fusing the K multiply-roll-adds: the fused f64 loop runs 24x
+    slower than its parts on the v5e's emulated f64 ALU (measured 359
+    vs ~15 ms f32 at 256^3; unfused f64 steps are only ~1.5x f32)."""
     acc = jnp.zeros_like(s)
     for k, o in enumerate(offs):
         sh = (int(o[0]), int(o[1]), int(o[2]))
@@ -123,6 +140,8 @@ def _apply_R(chiP, s, *, offs, adjoint=True):
         else:
             acc = acc + chiP[k] * jnp.roll(s, (-sh[0], -sh[1], -sh[2]),
                                            (1, 2, 3))
+        if acc.dtype == jnp.float64:
+            acc = jax.lax.optimization_barrier(acc)
     return acc
 
 
@@ -142,27 +161,52 @@ def _xla_sweep(chiP, f3, *, offs, adjoint=True):
     return s
 
 
-def _pallas_sweep(chiP32, f3, offs, adjoint):
-    """f32 fixpoint via the fused Pallas pass (ops/yt_pass), chunked
-    over the property axis to bound per-step VMEM (the kernel holds
-    (2H+3)P + K pipelined planes)."""
-    from ..ops.yt_pass import yt_pass
+# module-level jit (a nested closure would be a fresh function object
+# per call -> full recompile, ~2 s each through the remote tunnel)
+@partial(jax.jit, static_argnames=("offs", "adjoint", "npair"))
+def _gs_pairs(chiP32, s, f3, *, offs, adjoint, npair):
+    """npair forward+backward GS sweep pairs; returns (s, last pair's
+    changed-anything flag).  The OUTER convergence loop runs on the
+    host with one i32 readback per batch: a device-side lax.while_loop
+    costs ~380 ms per iteration through the remote tunnel
+    (host-stepped), 10x the two sweeps it wraps."""
+    from ..ops.yt_pass import yt_gs_pass
 
+    def body(_, carry):
+        s, _ = carry
+        s1, c1 = yt_gs_pass(chiP32, s, f3, offs=offs,
+                            adjoint=adjoint, backward=False)
+        s2, c2 = yt_gs_pass(chiP32, s1, f3, offs=offs,
+                            adjoint=adjoint, backward=True)
+        return s2, c1[0, 0] + c2[0, 0]
+    return jax.lax.fori_loop(0, npair, body, (s, jnp.int32(1)))
+
+
+def _pallas_sweep(chiP32, f3, offs, adjoint):
+    """f32 fixpoint via the fused Pallas Gauss-Seidel sweeps
+    (ops/yt_pass.yt_gs_pass): alternate forward/backward plane-ordered
+    sweeps with exact in-plane sub-solves until bitwise stationarity —
+    a handful of sweeps instead of ~grid-diameter Jacobi passes.
+    Chunked over the property axis to bound per-step VMEM."""
     H = max(1, max(abs(int(o[0])) for o in offs))
     K = len(offs)
     pmax = max(1, (40 - K) // (2 * H + 3))     # ~40 f32 planes of VMEM
 
-    @partial(jax.jit, static_argnames=("offs", "adjoint"))
+    run_pairs = _gs_pairs
+
     def run(chiP32, f3, *, offs, adjoint):
-        def body(carry):
-            s, _ = carry
-            s_new = yt_pass(chiP32, s, f3, offs=offs, adjoint=adjoint)
-            return s_new, jnp.all(s_new == s)
-
-        def cond(carry):
-            return ~carry[1]
-
-        s, _ = jax.lax.while_loop(cond, body, (f3, jnp.asarray(False)))
+        # 4 pairs resolve typical atomic-basin fields (measured: NaCl
+        # 256^3 and random 64^3 both converge in 4); the flag is the
+        # LAST pair's changed-anything count, so convergence inside the
+        # batch is detected without extra sweeps
+        s, flag = run_pairs(chiP32, f3, f3, offs=offs, adjoint=adjoint,
+                            npair=4)
+        npairs = 4
+        maxpair = sum(f3.shape[1:]) + 16
+        while int(flag) != 0 and npairs < maxpair:
+            s, flag = run_pairs(chiP32, s, f3, offs=offs,
+                                adjoint=adjoint, npair=2)
+            npairs += 2
         return s
 
     if f3.shape[0] <= pmax:
@@ -172,7 +216,8 @@ def _pallas_sweep(chiP32, f3, offs, adjoint):
          for lo in range(0, f3.shape[0], pmax)])
 
 
-def _solve_sweep(chiP, chiP32, f3, offs, adjoint=True, nrefine=3):
+def _solve_sweep(chiP, chiP32, f3, offs, adjoint=True, nrefine=1,
+                 rtol=1e-11):
     """Solve (I - R) s = f at f64 accuracy.
 
     On TPU (where f64 vector ops are emulated ~10x off f32 and XLA
@@ -180,8 +225,11 @@ def _solve_sweep(chiP, chiP32, f3, offs, adjoint=True, nrefine=3):
     fused Pallas pass with f64 iterative refinement: the residual
     r = f + R s - s is evaluated with the exact f64 operator (one XLA
     pass), and each correction solve shrinks the error by the f32
-    roundoff of one preconditioner application.  Elsewhere: plain f64
-    XLA fixpoint."""
+    roundoff of one preconditioner application.  Measured at 256^3:
+    one correction takes the relative residual 5e-6 -> 6e-13, after
+    which it stalls at the f32-correction floor — so the default is
+    ONE refinement with a 1e-11 relative exit bar (charges bar is
+    1e-6 e absolute).  Elsewhere: plain f64 XLA fixpoint."""
     if chiP32 is None:
         return _xla_sweep(chiP, f3, offs=offs, adjoint=adjoint)
     try:
@@ -189,12 +237,15 @@ def _solve_sweep(chiP, chiP32, f3, offs, adjoint=True, nrefine=3):
                           adjoint).astype(f3.dtype)
     except ValueError:      # no valid plane blocking for this grid
         return _xla_sweep(chiP, f3, offs=offs, adjoint=adjoint)
-    fscale = float(jnp.max(jnp.abs(f3))) + 1e-300
-    for _ in range(nrefine):
+    for i in range(nrefine):
         r = f3 + _apply_R(chiP, s, offs=offs, adjoint=adjoint) - s
-        rmax = float(jnp.max(jnp.abs(r)))
-        if rmax <= 1e-14 * fscale:
-            break
+        if i > 0:
+            # round 1 is unconditional (measured: it always fires and
+            # takes the relative residual 5e-6 -> 6e-13); only further
+            # rounds pay a host sync to decide
+            fscale = float(jnp.max(jnp.abs(f3))) + 1e-300
+            if float(jnp.max(jnp.abs(r))) <= rtol * fscale:
+                break
         s = s + _pallas_sweep(chiP32, r.astype(jnp.float32), offs,
                               adjoint).astype(f3.dtype)
     return s
@@ -323,11 +374,15 @@ def yt_integrate(crystal, rho, block: int | None = None):
     chiP, is_attr = _flux_tensors(rho3, idx3, wts, offs=offs, shape=shape)
 
     # attractor list in sweep-appearance order (descending rho, index
-    # tie-break); only the attractors are sorted — never the grid
-    iattr = np.flatnonzero(np.asarray(is_attr).reshape(-1))
-    rho_at = np.asarray(rho3.reshape(-1)[jnp.asarray(iattr)])
+    # tie-break); extracted ON DEVICE — only one scalar (the count) and
+    # nattr (index, rho) pairs cross the host link, never a grid.
+    # i32 cumsum-scatter, not jnp.nonzero: under x64 nonzero runs an
+    # i64 (emulated) cumsum over the whole grid
+    nattr = int(is_attr.sum())
+    iattr_d, rho_at_d = _extract_attractors(rho3, is_attr, nattr)
+    iattr = np.asarray(iattr_d)
+    rho_at = np.asarray(rho_at_d)
     iattr = iattr[np.lexsort((iattr, -rho_at))]
-    nattr = len(iattr)
 
     i1, i2, i3 = np.unravel_index(iattr, shape)
     xattr = np.stack([i1 / shape[0], i2 / shape[1], i3 / shape[2]], axis=1)

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["yt_pass", "supported"]
+__all__ = ["yt_pass", "yt_gs_pass", "supported"]
 
 
 def supported(platform: str | None = None) -> bool:
@@ -129,6 +129,168 @@ def yt_pass(chiP, s, f3, *, offs, adjoint: bool = True):
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((P, n1, n2, n3), s.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(110e6)),
+    )(s_pad, s_pad, s_pad, chiP, f3)
+
+
+@partial(jax.jit, static_argnames=("offs", "adjoint", "backward"))
+def yt_gs_pass(chiP, s, f3, *, offs, adjoint: bool = True,
+               backward: bool = False):
+    """One plane-ordered Gauss-Seidel sweep of s = f + R s.
+
+    Planes along axis 0 are processed sequentially (the TPU grid is
+    sequential, so updated planes flow through a VMEM carry scratch);
+    WITHIN each plane the in-plane sub-system is solved EXACTLY by a
+    VMEM-resident while-loop (the in-plane flux operator is nilpotent,
+    so bitwise fixpoint in <= chain-length iterations at zero HBM
+    cost).  One forward + one backward sweep therefore resolve every
+    uphill chain up to its axis-0 direction reversals — a handful of
+    sweeps replace the ~grid-diameter Jacobi passes of yt_pass
+    (measured at 256^3: 384 Jacobi passes -> 4 GS sweeps).
+
+    Conventions match yt_pass: chiP is shifted chi' for the adjoint
+    direction, plain chi for the forward one; the neighbor displacement
+    is d_k = -o_k (adjoint) / +o_k (forward), and the value needed at x
+    is s[x + d_k].
+
+    Returns (out, nchanged) with nchanged a (1, 1) i32 count of points
+    whose value changed this sweep — a full GS sweep changes nothing
+    iff s is the exact fixpoint, so the caller's loop terminates on one
+    scalar instead of an extra whole-grid equality reduction.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P, n1, n2, n3 = s.shape
+    K = len(offs)
+    sgn = -1 if adjoint else 1
+    disp = [(sgn * int(o[0]), sgn * int(o[1]), sgn * int(o[2]))
+            for o in offs]
+    H = max(1, max(abs(d[0]) for d in disp))
+
+    budget = max(1, int(96e6 / (n2 * n3 * 4) / 2))
+    R = max(H, min(8, budget // (3 * P + K + 2 * P)))
+    while R > 1 and n1 % R:
+        R -= 1
+    if R < H or n1 % R:
+        raise ValueError(f"no valid plane block for n1={n1}, halo {H}")
+    G = n1 // R
+
+    s_pad = jnp.concatenate([s[:, -R:], s, s[:, :R]], axis=1)
+
+    def roll2(pk, d1, d2):
+        r1 = (-d1) % n2
+        r2 = (-d2) % n3
+        if r1:
+            pk = pltpu.roll(pk, np.int32(r1), 1)
+        if r2:
+            pk = pltpu.roll(pk, np.int32(r2), 2)
+        return pk
+
+    inplane = [(k, d) for k, d in enumerate(disp) if d[0] == 0]
+    below = [(k, d) for k, d in enumerate(disp) if d[0] < 0]
+    above = [(k, d) for k, d in enumerate(disp) if d[0] > 0]
+
+    def kernel(sm, s0, sp, chi_ref, f_ref, out_ref, cnt_ref, carry):
+        step = pl.program_id(0)
+
+        # initialize the carry with OLD wrapped values at the first step
+        # (the periodic boundary enters with pre-sweep values; later
+        # sweeps converge it — bitwise stationarity is still exact)
+        @pl.when(step == 0)
+        def _():
+            cnt_ref[0, 0] = jnp.int32(0)
+            if not backward:
+                carry[...] = sm[:, R - H:R]     # planes just below start
+            else:
+                carry[...] = sp[:, :H]          # planes just above start
+
+        order = range(R) if not backward else range(R - 1, -1, -1)
+        planes = {}
+        for r in order:
+            base = f_ref[:, r]
+            # cross-plane neighbors
+            for k, d in below + above:
+                rr = r + d[0]
+                if not backward:
+                    if d[0] < 0:                # updated side
+                        nb = planes[rr] if rr >= 0 else carry[:, H + rr]
+                    else:                       # old side: s0 / sp
+                        nb = s0[:, rr] if rr < R else sp[:, rr - R]
+                else:
+                    if d[0] > 0:                # updated side
+                        nb = planes[rr] if rr < R else carry[:, rr - R]
+                    else:                       # old side: sm / s0
+                        nb = s0[:, rr] if rr >= 0 else sm[:, R + rr]
+                base = base + chi_ref[k, r][None] * roll2(nb, d[1], d[2])
+            # exact in-plane solve (nilpotent -> bitwise fixpoint)
+            if inplane:
+                cks = [(chi_ref[k, r][None], d) for k, d in inplane]
+
+                def body(cu):
+                    u, _ = cu
+                    un = base
+                    for ck, d in cks:
+                        un = un + ck * roll2(u, d[1], d[2])
+                    # bitwise-stationarity flag via an i32 min (the
+                    # bool-all reduction proxy promotes to f64 under
+                    # x64, which Mosaic rejects for scalars)
+                    same = jnp.min((un == u).astype(jnp.int32)) == 1
+                    return un, same
+
+                def cond(cu):
+                    return ~cu[1]
+
+                u, _ = jax.lax.while_loop(cond, body,
+                                          (base, jnp.asarray(False)))
+            else:
+                u = base
+            planes[r] = u
+            out_ref[:, r] = u
+            # stationarity metadata: any-changed flag vs the pre-sweep
+            # value, accumulated in SMEM via i32 max (sum lowering
+            # promotes to i64 under x64) — the caller's loop reads ONE
+            # scalar instead of re-reducing the whole grid
+            chg = jnp.max((u != s0[:, r]).astype(jnp.int32))
+            cnt_ref[0, 0] = jnp.maximum(cnt_ref[0, 0], chg)
+        # hand the updated boundary planes to the next grid step
+        if not backward:
+            for j in range(H):
+                carry[:, j] = planes[R - H + j]
+        else:
+            for j in range(H):
+                carry[:, j] = planes[j]
+
+    if not backward:
+        bidx = lambda i: i
+    else:
+        bidx = lambda i: (G - 1) - i
+    win = lambda d: pl.BlockSpec(
+        (P, R, n2, n3),
+        (lambda i, d=d: (i * 0, bidx(i) + d, i * 0, i * 0)),
+        memory_space=pltpu.VMEM)
+    in_specs = [win(0), win(1), win(2),
+                pl.BlockSpec((K, R, n2, n3),
+                             lambda i: (i * 0, bidx(i), i * 0, i * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((P, R, n2, n3),
+                             lambda i: (i * 0, bidx(i), i * 0, i * 0),
+                             memory_space=pltpu.VMEM)]
+    out_specs = [pl.BlockSpec((P, R, n2, n3),
+                              lambda i: (i * 0, bidx(i), i * 0, i * 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, 1), lambda i: (i * 0, i * 0),
+                              memory_space=pltpu.SMEM)]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct((P, n1, n2, n3), s.dtype),
+                   jax.ShapeDtypeStruct((1, 1), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((P, H, n2, n3), s.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(110e6)),
     )(s_pad, s_pad, s_pad, chiP, f3)

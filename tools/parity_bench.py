@@ -31,7 +31,7 @@ import numpy as np
 _REF_FCHK = "/root/reference/tests_cint/benzene-631gs.fchk"
 
 
-def _nacl_system(shape):
+def _nacl_system(shape, cache: bool = False):
     import jax.numpy as jnp
 
     from critic2_tpu import System
@@ -48,9 +48,100 @@ def _nacl_system(shape):
                 species_of=np.array([0, 1, 0, 1]),
                 species=[Species("Na", 11), Species("Cl", 17)])
     s = System.from_structure(c)
-    g = _rasterize_field(s.fields[0], shape)
+    cpath = f"/tmp/critic2_bench_rho_nacl_{shape[0]}.npy"
+    if cache and os.path.exists(cpath):
+        g = jnp.asarray(np.load(cpath))
+    else:
+        g = _rasterize_field(s.fields[0], shape)
+        if cache:
+            np.save(cpath, np.asarray(g))
     s.load_field(Field.from_grid(c, Grid3(g), name="promolgrid"))
     return s, np.asarray(g)
+
+
+def run_big(deadline_s: float = 900.0, n: int = 256) -> dict:
+    """End-to-end driver wall-clocks at BASELINE scale (256^3): the
+    YT / grid-AUTO / NCI / qtree legs of the five BASELINE configs on
+    the promolecular NaCl analogue.  Each leg runs once for warmup
+    (compile) and once timed; the rasterization wall is reported
+    separately (it is shared preprocessing, not a driver)."""
+    import jax
+    import jax.numpy as jnp
+
+    from critic2_tpu.analysis.yt import yt_integrate
+
+    tstart = time.perf_counter()
+    out = {}
+
+    def left():
+        return deadline_s - (time.perf_counter() - tstart)
+
+    t0 = time.perf_counter()
+    s, g = _nacl_system((n, n, n), cache=True)
+    out[f"raster{n}_wall_s"] = round(time.perf_counter() - t0, 2)
+    c = s.crystal
+    vol = float(np.abs(np.linalg.det(np.asarray(c.m_x2c))))
+    dv = vol / n ** 3
+    gd = jnp.asarray(g)
+
+    # --- YT (BASELINE config 3 shape) -------------------------------
+    res = yt_integrate(c, gd)                    # warmup/compile
+    q = np.asarray(res.integrate(gd)) * dv
+    t0 = time.perf_counter()
+    res = yt_integrate(c, gd)
+    q = np.asarray(res.integrate(gd)) * dv
+    out[f"yt{n}_wall_s"] = round(time.perf_counter() - t0, 2)
+    out[f"yt{n}_nattr"] = int(res.nattr)
+    out[f"yt{n}_punity_err_e"] = float(abs(q.sum() - g.sum() * dv))
+
+    # --- NCI (BASELINE config 1 shape) ------------------------------
+    if left() > 120:
+        from critic2_tpu.analysis.nci import nciplot
+
+        s.iref = 1                               # the grid field
+        nci = nciplot(s, nstep=(n, n, n))        # warmup/compile
+        t0 = time.perf_counter()
+        nci = nciplot(s, nstep=(n, n, n))
+        out[f"nci{n}_wall_s"] = round(time.perf_counter() - t0, 2)
+    else:
+        out["big_truncated"] = "deadline before NCI"
+        return out
+
+    # --- grid AUTO (BASELINE config 2 shape) ------------------------
+    if left() > 180:
+        from critic2_tpu.analysis.autocp import autocp
+
+        s.iref = 1
+        cpl = autocp(s, verbose=False)           # warmup/compile
+        t0 = time.perf_counter()
+        cpl = autocp(s, verbose=False)
+        out[f"auto{n}_wall_s"] = round(time.perf_counter() - t0, 2)
+        ncp, b, r, cc = cpl.counts()
+        out[f"auto{n}_counts"] = [ncp, b, r, cc]
+        out[f"auto{n}_ph"] = ncp - b + r - cc
+    else:
+        out["big_truncated"] = "deadline before AUTO"
+        return out
+
+    # --- qtree (BASELINE config 5 shape) ----------------------------
+    if left() > 120:
+        from critic2_tpu.analysis.qtree import qtree_integrate
+
+        s.iref = 0                               # analytic promolecular
+        qt = qtree_integrate(s, maxl=5, sphfactor=0.9)   # warmup
+        t0 = time.perf_counter()
+        qt = qtree_integrate(s, maxl=5, sphfactor=0.9)
+        out["qtree_wall_s"] = round(time.perf_counter() - t0, 2)
+        out["qtree_maxl"] = 5
+        # parity: qtree basin populations vs the YT charges of the
+        # same (promolecular) field, matched by sorted charge
+        qq = np.sort(np.asarray(qt.pops))[::-1]
+        qy = np.sort(q)[::-1][: len(qq)]
+        if len(qq) == len(qy):
+            out["qtree_vs_yt_max_dq_e"] = float(np.abs(qq - qy).max())
+    else:
+        out["big_truncated"] = "deadline before qtree"
+    return out
 
 
 def run_parity(small: bool = False, deadline_s: float = 900.0) -> dict:
