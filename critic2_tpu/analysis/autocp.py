@@ -355,6 +355,8 @@ def autocp(system, seeds: list[Seed] | None = None, gfnormeps: float = 1e-12,
         print(f"autocp: {len(cart)} seeds")
 
     # --- batched Newton on device, chunked to bound memory ---
+    # (the loop mode - fori for gather-free wfn evals, unrolled
+    # otherwise - rides on fn._c2t_loop, set by Field._build_eval_fn)
     fn = f.eval_fn(nder=2)
     xs, convs = [], []
     for lo in range(0, len(cart), chunk):

@@ -731,9 +731,11 @@ class Repl:
                     elif k == "cpall":
                         cpfilter = (-3, -1, 1, 3)
                     elif k == "bcpall":
-                        cpfilter = (-3, -1)
+                        # bond CPs only (rhoplot@proc.f90:1166-1168)
+                        cpfilter = (-1,)
                     elif k == "rbcpall":
-                        cpfilter = (-3, -1, 1, 3)
+                        # bond + ring CPs (rhoplot@proc.f90:1192-1203)
+                        cpfilter = (-1, 1)
                     elif k == "cp":
                         cpfilter = ("id", int(t[1]) - 1)
                     else:

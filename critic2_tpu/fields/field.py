@@ -420,4 +420,9 @@ class Field:
                 gf = jnp.where(isnuc[None, :], 0.0, gf)
             return f, gf, h6
 
+        # gather-free evaluators (dense wfn without promolecular core
+        # augmentation) may be iterated with lax.fori_loop; gather-based
+        # ones must use the unrolled steppers (ops/newton.py docstring).
+        fn._c2t_loop = ("fori" if ftype == "wfn" and env is None
+                        else "unroll")
         return fn

@@ -47,11 +47,18 @@ _LI = np.array([
 
 _DFACM1 = np.array([1, 1, 1, 2, 3, 8, 15, 48, 105], dtype=float)
 
-# fchk in-shell primitive order -> AIMPAC type (reference typtrans)
+# fchk in-shell primitive order -> AIMPAC type (reference typtrans,
+# src/wfn_private@proc.F90 read_fchk)
 _TYPTRANS = np.array([
     1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 17, 14, 15, 18, 19, 16, 20,
     23, 29, 32, 27, 22, 28, 35, 34, 26, 31, 33, 30, 25, 24, 21],
     dtype=np.int32)
+
+# molden in-shell order -> AIMPAC type: identical through f; the molden
+# g cartesian order IS the AIMPAC order (reference typtrans,
+# src/wfn_private@proc.F90:1503-1509)
+_TYPTRANS_MOLDEN = np.array(
+    list(_TYPTRANS[:20]) + list(range(21, 36)), dtype=np.int32)
 
 # first/last fchk in-shell type index per |l| (reference jshl0/jshl1, 1-based)
 _JSHL0 = {0: 1, 1: 2, 2: 5, 3: 11, 4: 21}
@@ -70,9 +77,12 @@ def _gnorm(ityp: int, a: float) -> float:
             / np.pi ** (3.0 / 4.0) / np.sqrt(dd))
 
 
-def _sph_to_car(l: int) -> np.ndarray:
-    """(nsph, ncar) solid-harmonic -> cartesian-product matrices in the
-    fchk component orders (reference dsphcar/fsphcar/gsphcar_fchk)."""
+def _sph_to_car(l: int, order: str = "fchk") -> np.ndarray:
+    """(nsph, ncar) solid-harmonic -> cartesian-product matrices
+    (reference dsphcar/fsphcar/gsphcar{,_fchk}).  Rows are m = 0, 1,
+    -1, 2, -2, ...; columns follow the file format's in-shell cartesian
+    component order.  fchk and molden agree for d and f; only the g
+    cartesian order differs (`order` selects it)."""
     s3 = np.sqrt(3.0); s3_8 = np.sqrt(3 / 8); s5_8 = np.sqrt(5 / 8)
     s6 = np.sqrt(6.0); s15 = np.sqrt(15.0); s15_4 = np.sqrt(15 / 4)
     s45_8 = np.sqrt(45 / 8)
@@ -119,18 +129,26 @@ def _sph_to_car(l: int) -> np.ndarray:
         m[:, 5] = [0, s10, 0, 0, 0, 0, 0, 0, 0]                  # xzzz
         m[:, 6] = [0, 0, 0, 0, s45, 0, 0, 0, 0]                  # xyzz
         m[:, 7] = [0, -s45_8, 0, 0, 0, -s315_8, 0, 0, 0]         # xyyz
-        m[:, 8] = [0, 0, -s10_8, 0, 0, 0, 0, 0, -s35_4]          # xyyy
+        m[:, 8] = [0, 0, 0, 0, -s10_8, 0, 0, 0, -s35_4]          # xyyy
         m[:, 9] = [-3, 0, 0, s45_4, 0, 0, 0, 0, 0]               # xxzz
         m[:, 10] = [0, 0, -s45_8, 0, 0, 0, s315_8, 0, 0]         # xxyz
         m[:, 11] = [d34, 0, 0, 0, 0, 0, 0, -s315_16, 0]          # xxyy
         m[:, 12] = [0, -s45_8, 0, 0, 0, s35_8, 0, 0, 0]          # xxxz
-        m[:, 13] = [0, 0, -s10_8, 0, 0, 0, 0, 0, s35_4]          # xxxy
+        m[:, 13] = [0, 0, 0, 0, -s10_8, 0, 0, 0, s35_4]          # xxxy
         m[:, 14] = [d38, 0, 0, -s5_16, 0, 0, 0, s35_64, 0]       # xxxx
+        if order == "molden":
+            # molden g cartesian order (reference gsphcar,
+            # src/wfn_private@proc.F90:98-101): permute the fchk columns
+            # xxxx yyyy zzzz xxxy xxxz xyyy yyyz xzzz yzzz xxyy xxzz
+            # yyzz xxyz xyyz xyzz
+            perm = [14, 4, 0, 13, 12, 8, 3, 5, 1, 11, 9, 2, 10, 7, 6]
+            m = m[:, perm]
         return m
     raise ValueError(f"no spherical transform for l={l}")
 
 
-def _shells_to_primitives(sh_l, sh_at, sh_exp, sh_cc, mo_sph):
+def _shells_to_primitives(sh_l, sh_at, sh_exp, sh_cc, mo_sph,
+                          order: str = "fchk"):
     """Expand contracted shells to normalized primitives and per-primitive
     MO coefficients (the tail of reference read_fchk/read_molden,
     src/wfn_private@proc.F90:1230-1300 and :1400-1425).
@@ -155,13 +173,14 @@ def _shells_to_primitives(sh_l, sh_at, sh_exp, sh_cc, mo_sph):
         nsph = _NSHLT_SPH[l] if lsig < -1 else ncar
         mo_blk = mo_sph[:, ns:ns + nsph]            # (M, nsph)
         if lsig < -1:
-            mo_car = mo_blk @ _sph_to_car(l)        # (M, ncar)
+            mo_car = mo_blk @ _sph_to_car(l, order)  # (M, ncar)
         else:
             mo_car = mo_blk
         ns += nsph
 
+        tt = _TYPTRANS if order == "fchk" else _TYPTRANS_MOLDEN
         for jj, j in enumerate(range(_JSHL0[l], _JSHL1[l] + 1)):
-            ityp = int(_TYPTRANS[j - 1])
+            ityp = int(tt[j - 1])
             cn = np.array([cc[k] * _gnorm(ityp, ee[k])
                            for k in range(npr)])
             # basis-function normalization (reference :1247-1258)
@@ -233,21 +252,26 @@ class Wavefunction:
     # ------------------------------------------------------------------
     def _device(self):
         if not self._dev:
+            # host numpy, NOT jnp: the first call may happen under an
+            # outer jit trace (e.g. the AUTO newton batch), where
+            # jnp.asarray would cache TRACERS into self._dev and break
+            # every later (or even the current) trace.  numpy constants
+            # are concrete in any context and jit embeds them.
             li = _LI[self.itype - 1]               # (P, 3)
             self._dev = dict(
-                ctr=jnp.asarray(self.atpos[self.icenter]),   # (P, 3)
-                lx=jnp.asarray(li.T),                        # (3, P)
-                al=jnp.asarray(self.e),
-                C=jnp.asarray(self.cmo),
-                occ=jnp.asarray(self.occ),
+                ctr=np.asarray(self.atpos)[self.icenter],    # (P, 3)
+                lx=np.ascontiguousarray(li.T),               # (3, P)
+                al=np.asarray(self.e),
+                C=np.asarray(self.cmo),
+                occ=np.asarray(self.occ),
             )
             if self.edf_e is not None:
                 lie = _LI[self.edf_itype - 1]
                 self._dev.update(
-                    ectr=jnp.asarray(self.atpos[self.edf_icenter]),
-                    elx=jnp.asarray(lie.T),
-                    eal=jnp.asarray(self.edf_e),
-                    ec=jnp.asarray(self.edf_c),
+                    ectr=np.asarray(self.atpos)[self.edf_icenter],
+                    elx=np.ascontiguousarray(lie.T),
+                    eal=np.asarray(self.edf_e),
+                    ec=np.asarray(self.edf_c),
                 )
         return self._dev
 
@@ -774,10 +798,12 @@ class Wavefunction:
         text = open(path, errors="replace").read()
         low = text.lower()
 
-        # spherical flags
+        # spherical flags (reference read_molden tag parsing,
+        # src/wfn_private@proc.F90:1618-1632)
         d_sph = "[5d" in low or "[5d]" in low
         f_sph = ("[7f]" in low or "[5d7f]" in low
                  or ("[5d]" in low and "[5d10f]" not in low))
+        g_sph = "[9g]" in low
 
         def section(name):
             m = re.search(rf"\[{name}\][^\n]*\n(.*?)(?=\n\s*\[|\Z)", text,
@@ -840,9 +866,8 @@ class Wavefunction:
                     sh_exp.append(np.asarray(ee)); sh_cc.append(np.asarray(pc))
                 else:
                     l = lmap[typ]
-                    if l == 4:
-                        raise NotImplementedError("molden g shells")
-                    sph = (d_sph if l == 2 else f_sph if l == 3 else False)
+                    sph = (d_sph if l == 2 else f_sph if l == 3
+                           else g_sph if l == 4 else False)
                     sh_l.append(-l if (sph and l >= 2) else l)
                     sh_at.append(cur_atom)
                     sh_exp.append(np.asarray(ee))
@@ -881,7 +906,7 @@ class Wavefunction:
         uhf = any(s.startswith("beta") for s in spins)
 
         icenter, itype, e, cmo = _shells_to_primitives(
-            sh_l, sh_at, sh_exp, sh_cc, mo_sph)
+            sh_l, sh_at, sh_exp, sh_cc, mo_sph, order="molden")
         return cls(atpos=atpos, atz=atz, icenter=icenter, itype=itype,
                    e=e, cmo=cmo, occ=occ,
                    wfntyp="uhf" if uhf else "rhf", source=path)

@@ -64,23 +64,66 @@ def _newton_chunk(eval_fn, xT, conv, failed, gfnormeps, nsteps: int):
     return xT, conv, failed
 
 
+@partial(jax.jit, static_argnames=("eval_fn", "nsteps"))
+def _newton_chunk_fori(eval_fn, xT, conv, failed, gfnormeps, nsteps: int):
+    """Same semantics as _newton_chunk via lax.fori_loop: the body
+    compiles ONCE instead of nsteps inlined copies.  Only safe for
+    evaluators with no data-dependent gathers (wfn/dense fields): the
+    v5e loop miscompile this module's docstring describes is specific
+    to gather indices that evolve with the carried state; the wfn eval
+    is matmuls + selects, which round-trip correctly (verified vs the
+    unrolled path in tests/test_autocp.py)."""
+
+    def body(_, carry):
+        xT, conv, failed = carry
+        f, gf, h6 = eval_fn(xT)
+        gfmod2 = (gf * gf).sum(0)
+        cnow = gfmod2 < gfnormeps * gfnormeps
+        nan = ~jnp.isfinite(xT).all(0) | ~jnp.isfinite(gf).all(0)
+        step_num, det = solve3s(h6, gf)
+        sing = jnp.abs(det) < 1e-30
+        conv = conv | cnow
+        failed = failed | ((sing | nan) & ~conv)
+        active = ~(conv | failed)
+        step = step_num / jnp.where(sing, 1.0, det)[None, :]
+        xT = jnp.where(active[None, :], xT - step, xT)
+        return xT, conv, failed
+
+    xT, conv, failed = jax.lax.fori_loop(0, nsteps, body,
+                                         (xT, conv, failed))
+    f, gf, h6 = eval_fn(xT)
+    cfin = (gf * gf).sum(0) < gfnormeps * gfnormeps
+    conv = conv | (cfin & ~failed)
+    return xT, conv, failed
+
+
 def newton_batch(eval_fn, x0, gfnormeps: float = 1e-12, maxit: int = 200,
-                 chunk: int = 10):
+                 chunk: int = 10, loop: str | None = None):
     """Run Newton iterations from a batch of Cartesian seeds.
 
     eval_fn: SoA evaluator (3, N) -> (f (N,), gf (3, N), h6 (6, N));
     must be jittable. x0: (N, 3) Cartesian seeds.
+    loop: "unroll" (safe for gather-based fields, see module docstring)
+    or "fori" (one compiled body - use for gather-free evaluators like
+    molecular wavefunctions, whose unrolled compile is superlinear in
+    chunk); None reads eval_fn._c2t_loop (set by Field._build_eval_fn).
     Returns (x (N, 3) final positions, conv (N,) success mask, nit).
     """
+    if loop is None:
+        loop = getattr(eval_fn, "_c2t_loop", "unroll")
     xT = jnp.asarray(x0).T
     N = xT.shape[1]
     conv = jnp.zeros(N, bool)
     failed = jnp.zeros(N, bool)
+    if loop == "fori":
+        stepper, chunk = _newton_chunk_fori, max(chunk, 50)
+    else:
+        stepper = _newton_chunk
     it = 0
     while it < maxit:
         n = min(chunk, maxit - it)
-        xT, conv, failed = _newton_chunk(eval_fn, xT, conv, failed,
-                                         gfnormeps, n)
+        xT, conv, failed = stepper(eval_fn, xT, conv, failed,
+                                   gfnormeps, n)
         it += n
         if bool((conv | failed).all()):
             break

@@ -115,10 +115,28 @@ def _ode_chunk(eval_fn, st, tT, rt, m_c2x, molborder, hini, maxerr,
     return st
 
 
+@partial(jax.jit,
+         static_argnames=("eval_fn", "iup", "nsteps", "have_t", "havemol"))
+def _ode_chunk_fori(eval_fn, st, tT, rt, m_c2x, molborder, hini, maxerr,
+                    gradeps, iup, have_t, havemol, nsteps):
+    """_ode_chunk via lax.fori_loop: the BS23 body (3 eval_fn calls)
+    compiles ONCE instead of nsteps inlined copies.  Only for
+    gather-free evaluators (molecular wfn) - see ops/newton.py
+    _newton_chunk_fori for the v5e gather-loop caveat."""
+    inner = _ode_chunk.__wrapped__
+
+    def body(_, st):
+        return inner(eval_fn, st, tT, rt, m_c2x, molborder, hini,
+                     maxerr, gradeps, iup, have_t, havemol, 1)
+
+    return jax.lax.fori_loop(0, nsteps, body, st)
+
+
 def trace_paths(eval_fn, x0, iup: int = 1, targets=None, rterm=None,
                 hini: float = 0.3, maxerr: float = 1e-4,
                 gradeps: float = 1e-7, mstep: int = 4000,
-                m_c2x=None, molborder=None, h0=None, chunk: int = 16):
+                m_c2x=None, molborder=None, h0=None, chunk: int = 16,
+                loop: str | None = None):
     """Trace gradient paths from Cartesian seeds x0 (N, 3).
 
     eval_fn: SoA evaluator (3, N) -> (f, gf (3, N), h6).
@@ -147,11 +165,17 @@ def trace_paths(eval_fn, x0, iup: int = 1, targets=None, rterm=None,
     st = (xT0, hstart,
           jnp.zeros(N, bool), jnp.full((N,), STAT_MAXSTEP, jnp.int32),
           jnp.full((N,), -1, jnp.int32), jnp.zeros(N), d1_0, gmod0)
+    if loop is None:
+        loop = getattr(eval_fn, "_c2t_loop", "unroll")
+    if loop == "fori":
+        stepper, chunk = _ode_chunk_fori, max(chunk, 200)
+    else:
+        stepper = _ode_chunk
     it = 0
     while it < mstep:
         n = min(chunk, mstep - it)
-        st = _ode_chunk(eval_fn, st, tT, rt, m_c2x_j, molb_j, hini,
-                        maxerr, gradeps, iup, have_t, havemol, n)
+        st = stepper(eval_fn, st, tT, rt, m_c2x_j, molb_j, hini,
+                     maxerr, gradeps, iup, have_t, havemol, n)
         it += n
         if bool(st[2].all()):
             break
