@@ -262,8 +262,14 @@ def detect_format(path: str) -> str:
         return "cif"
     if ext in ("vasp",):
         return "poscar"
-    if ext in ("xsf", "axsf"):
+    if ext == "xsf":
         return "xsf"
+    if ext == "axsf":
+        return "axsf"
+    if ext in ("struct_out", "struct_in"):
+        return "siesta"
+    if ext == "log":
+        return "gaussian-log"
     if ext in ("wfn", "wfx", "fchk", "fch", "fck", "molden"):
         return "wfn"
     if lower in ("geometry.out",):
@@ -271,7 +277,12 @@ def detect_format(path: str) -> str:
     if ext in ("in",):
         return "qe-in"
     if ext in ("out", "scf"):
-        return "qe-out"
+        # .out is shared by QE and the CRYSTAL code: a QE output has a
+        # "Program PWSCF ..." line (reference is_espresso,
+        # src/crystalseedmod@proc.f90:4712-4734)
+        if ext == "scf" or _is_espresso(path):
+            return "qe-out"
+        return "crystal-out"
     if ext == "struct":
         return "wien"
     if ext == "gen":
@@ -318,7 +329,208 @@ def read_structure(path: str, mol: bool | None = None) -> Crystal:
         return read_shelx(path).to_crystal()
     if fmt == "abinit":
         return read_abinit_structure(path).to_crystal()
+    if fmt == "bincube":
+        return read_bincube_structure(path).to_crystal()
+    if fmt == "pwc":
+        return read_pwc_structure(path).to_crystal()
+    if fmt == "siesta":
+        return read_siesta_struct(path).to_crystal()
+    if fmt == "axsf":
+        return read_axsf_structure(path).to_crystal()
+    if fmt == "crystal-out":
+        return read_crystal_out(path).to_crystal()
+    if fmt == "gaussian-log":
+        return read_gaussian_log(path).to_crystal()
     raise NotImplementedError(f"structure format {fmt} not implemented yet")
+
+
+def _is_espresso(path: str) -> bool:
+    """True if the .out file is a Quantum ESPRESSO output (reference
+    is_espresso, src/crystalseedmod@proc.f90:4712-4734)."""
+    try:
+        with open(path, errors="replace") as f:
+            for ln in f:
+                t = ln.split()
+                if (len(t) >= 2 and t[0].lower() == "program"
+                        and t[1].lower().startswith("pwscf")):
+                    return True
+    except OSError:
+        pass
+    return False
+
+
+def _species_from_z(zs) -> tuple[np.ndarray, list]:
+    """(species_of, species) from a per-atom Z list, first-appearance
+    ordered."""
+    spmap, species, spof = {}, [], []
+    for z in zs:
+        z = int(z)
+        if z not in spmap:
+            spmap[z] = len(species)
+            species.append(Species(param.z_to_symbol(z), z))
+        spof.append(spmap[z])
+    return np.asarray(spof, dtype=int), species
+
+
+def read_bincube_structure(path: str) -> CrystalSeed:
+    """Structure from a binary cube header (reference read_bincube,
+    src/crystalseedmod@proc.f90:1222-1309): Fortran unformatted records
+    (nat, x0(3)), (nstep(3), rmat(3,3)), then nat x (iz, q, x(3))."""
+    from ..fields.qe import FortranFile
+
+    fh = FortranFile(path)
+    rec = fh.read_record()
+    nat = int(np.frombuffer(rec[:4], np.int32)[0])
+    x0 = np.frombuffer(rec[4:28], np.float64)
+    rec = fh.read_record()
+    nstep = np.frombuffer(rec[:12], np.int32).astype(int)
+    rmat = np.frombuffer(rec[12:84], np.float64).reshape(3, 3, order="F")
+    m_x2c = rmat * nstep[None, :]        # column i scaled by nstep(i)
+    zs, cart = [], []
+    for _ in range(nat):
+        rec = fh.read_record()
+        iz = int(np.frombuffer(rec[:4], np.int32)[0])
+        x = np.frombuffer(rec[12:36], np.float64)
+        if iz > 0:
+            zs.append(iz)
+            cart.append(x - x0)
+    fh.close()
+    frac = np.asarray(cart) @ np.linalg.inv(m_x2c).T
+    spof, species = _species_from_z(zs)
+    return CrystalSeed(m_x2c=m_x2c, x_frac=frac % 1.0, species_of=spof,
+                       species=species, name=os.path.basename(path))
+
+
+def read_pwc_structure(path: str) -> CrystalSeed:
+    """Structure from a QE pwc header (reference read_pwc,
+    src/crystalseedmod@proc.f90:2854-2921): records version /
+    (nsp, nat) / atm names / ityp / tau (cart) / at."""
+    from ..fields.qe import FortranFile
+
+    fh = FortranFile(path)
+    fh.read_record()                               # version
+    nsp, nat = (int(v) for v in fh.read_record(np.int32)[:2])
+    atm = fh.read_record()                         # nsp * 3-char names
+    w = len(atm) // nsp
+    names = [atm[i * w:(i + 1) * w].decode().strip() for i in range(nsp)]
+    ityp = fh.read_record(np.int32)[:nat].astype(int)
+    tau = fh.read_record(np.float64)[:3 * nat].reshape(3, nat,
+                                                       order="F").T
+    at = fh.read_record(np.float64)[:9].reshape(3, 3, order="F")
+    fh.close()
+    frac = tau @ np.linalg.inv(at).T
+    species = [Species(nm, param.symbol_to_z(nm)) for nm in names]
+    return CrystalSeed(m_x2c=at, x_frac=frac % 1.0,
+                       species_of=ityp - 1, species=species,
+                       name=os.path.basename(path))
+
+
+def read_siesta_struct(path: str) -> CrystalSeed:
+    """siesta STRUCT_IN/STRUCT_OUT (reference read_siesta,
+    src/crystalseedmod@proc.f90:2485-2551): 3 lattice rows (ang), nat,
+    then (ispecies, Z, x_frac) per atom."""
+    with open(path) as f:
+        toks = f.read().split()
+    r = np.array([float(v) for v in toks[:9]]).reshape(3, 3) \
+        * param.ANGSTROM_TO_BOHR
+    nat = int(toks[9])
+    spof = np.empty(nat, dtype=int)
+    zs = {}
+    frac = np.empty((nat, 3))
+    p = 10
+    for i in range(nat):
+        ispc = int(toks[p]); z = int(toks[p + 1])
+        frac[i] = [float(v) for v in toks[p + 2:p + 5]]
+        spof[i] = ispc - 1
+        zs[ispc - 1] = z
+        p += 5
+    species = [Species(param.z_to_symbol(zs[i]), zs[i])
+               for i in range(max(zs) + 1)]
+    return CrystalSeed(m_x2c=r.T, x_frac=frac % 1.0, species_of=spof,
+                       species=species, name=os.path.basename(path))
+
+
+def read_axsf_structure(path: str, step: int = 1) -> CrystalSeed:
+    """Animated xsf: PRIMVEC + numbered PRIMCOORD animation steps; read
+    step `step` (reference read_axsf,
+    src/crystalseedmod@proc.f90:2926-3083, nudge 0)."""
+    return read_xsf_structure(path, step=step)
+
+
+def read_crystal_out(path: str) -> CrystalSeed:
+    """CRYSTAL(the code) output (reference read_crystalout,
+    src/crystalseedmod@proc.f90:2351-2482): last DIRECT LATTICE VECTORS
+    CARTESIAN COMPONENTS block (ang) + CARTESIAN COORDINATES -
+    PRIMITIVE CELL atom table."""
+    with open(path, errors="replace") as f:
+        lines = f.readlines()
+    iscrystal = False
+    r = None
+    names, cart = [], []
+    i = 0
+    while i < len(lines):
+        ln = lines[i]
+        if "CRYSTAL CALCULATION" in ln:
+            iscrystal = True
+        elif "DIRECT LATTICE VECTORS CARTESIAN COMPONENTS" in ln:
+            r = np.array([[float(v) for v in lines[i + 2 + k].split()[:3]]
+                          for k in range(3)]) * param.ANGSTROM_TO_BOHR
+            i += 4
+            continue
+        elif "CARTESIAN COORDINATES - PRIMITIVE CELL" in ln:
+            j = i + 4
+            names, cart = [], []
+            while j < len(lines) and lines[j].strip():
+                t = lines[j].split()
+                names.append(t[2])
+                cart.append([float(v) for v in t[3:6]])
+                j += 1
+            i = j
+            continue
+        i += 1
+    if not iscrystal:
+        raise ValueError("only CRYSTAL calculations supported "
+                         "(no MOLECULE/SLAB/POLYMER)")
+    if r is None:
+        raise ValueError("no lattice vectors in CRYSTAL output")
+    cart = np.asarray(cart) * param.ANGSTROM_TO_BOHR
+    m_x2c = r.T
+    frac = cart @ np.linalg.inv(m_x2c).T
+    uniq, spof, species = {}, [], []
+    for nm in names:
+        key = nm.capitalize()
+        if key not in uniq:
+            uniq[key] = len(species)
+            species.append(Species(key, param.symbol_to_z(key)))
+        spof.append(uniq[key])
+    return CrystalSeed(m_x2c=m_x2c, x_frac=frac % 1.0,
+                       species_of=np.asarray(spof, dtype=int),
+                       species=species, name=os.path.basename(path))
+
+
+def read_gaussian_log(path: str) -> CrystalSeed:
+    """Molecule from a Gaussian output: the last Standard/Input
+    orientation table (reference wfn_read_log_geometry,
+    src/wfn_private@proc.F90)."""
+    with open(path, errors="replace") as f:
+        lines = f.readlines()
+    start = None
+    for i, ln in enumerate(lines):
+        if ("Standard orientation:" in ln or "Input orientation:" in ln):
+            start = i
+    if start is None:
+        raise ValueError("no orientation table in Gaussian output")
+    zs, cart = [], []
+    for ln in lines[start + 5:]:
+        if ln.lstrip().startswith("---"):
+            break
+        t = ln.split()
+        zs.append(int(t[1]))
+        cart.append([float(v) for v in t[-3:]])
+    spof, species = _species_from_z(zs)
+    return CrystalSeed(x_frac=np.asarray(cart) * param.ANGSTROM_TO_BOHR,
+                       species_of=spof, species=species, ismolecule=True,
+                       name=os.path.basename(path))
 
 
 def read_elk_geometry(path: str) -> CrystalSeed:
@@ -529,12 +741,16 @@ def read_xyz(path: str, border: float = 10.0, cubic: bool = False) -> CrystalSee
 # ---------------------------------------------------------------------------
 # xsf structure
 # ---------------------------------------------------------------------------
-def read_xsf_structure(path: str) -> CrystalSeed:
+def read_xsf_structure(path: str, step: int = 1) -> CrystalSeed:
+    """xsf/axsf structure; for animated files `step` picks the 1-based
+    PRIMCOORD animation step (reference read_xsf/read_axsf,
+    src/crystalseedmod@proc.f90:2680-2851,2926-3083)."""
     with open(path) as f:
         lines = [ln.strip() for ln in f]
     i = 0
     lat = None
     names, pos = [], []
+    nblock = 0
     while i < len(lines):
         ln = lines[i].upper()
         if ln.startswith("PRIMVEC"):
@@ -543,14 +759,19 @@ def read_xsf_structure(path: str) -> CrystalSeed:
             ) * param.ANGSTROM_TO_BOHR
             i += 4
         elif ln.startswith("PRIMCOORD"):
+            nblock += 1
             nat = int(lines[i + 1].split()[0])
-            for k in range(nat):
-                toks = lines[i + 2 + k].split()
-                names.append(toks[0])
-                pos.append([float(t) for t in toks[1:4]])
+            if nblock == step:
+                names, pos = [], []
+                for k in range(nat):
+                    toks = lines[i + 2 + k].split()
+                    names.append(toks[0])
+                    pos.append([float(t) for t in toks[1:4]])
             i += 2 + nat
         else:
             i += 1
+    if not names:
+        raise ValueError(f"no PRIMCOORD step {step} in {path}")
     if lat is None:
         raise ValueError(f"no PRIMVEC in {path}")
     pos = np.array(pos) * param.ANGSTROM_TO_BOHR

@@ -221,15 +221,22 @@ class Grid3:
                 fh.write(np.int32(len(raw)).tobytes())
 
             nat = crystal.ncel if crystal is not None else 0
-            rec(np.int32(nat).tobytes() + np.zeros(3).tobytes())
+            molx0 = (np.asarray(getattr(crystal, "molx0", None))
+                     if crystal is not None and
+                     getattr(crystal, "molx0", None) is not None
+                     else np.zeros(3))
+            rec(np.int32(nat).tobytes() + molx0.tobytes())
             xd = (np.asarray(crystal.m_x2c) / np.asarray(n)[None, :]
                   if crystal is not None else np.eye(3))
-            rec(np.asarray(n, np.int32).tobytes() + xd.tobytes())
+            # Fortran column-major layout: xd(:,i) = step vector i
+            # (reference writegrid_cube, src/crystalmod@proc.f90:4999)
+            rec(np.asarray(n, np.int32).tobytes()
+                + np.asarray(xd, order="F").tobytes(order="F"))
             if crystal is not None:
                 for i in range(nat):
                     z = crystal.species[crystal.species_of[i]].z
-                    rec(np.int32(z).tobytes() + np.float64(z).tobytes()
-                        + np.asarray(crystal.x_cart[i]).tobytes())
+                    rec(np.int32(z).tobytes() + np.float64(0.0).tobytes()
+                        + np.asarray(crystal.x_cart[i] + molx0).tobytes())
             rec(np.asarray(self.f, dtype=np.float64)
                 .reshape(-1, order="F").tobytes())
 

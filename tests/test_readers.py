@@ -282,3 +282,167 @@ def test_structure_library():
     assert b4.ncel == 4          # wurtzite: 2 Zn + 2 O
     bz = load_library_entry("benzene", mol=True)
     assert bz.ismolecule and len(bz.x_frac) == 12
+
+
+# ---------------------------------------------------------------------------
+# round-2 reader breadth: bincube, pwc, siesta STRUCT, axsf, CRYSTAL out,
+# gaussian log (reference read_bincube/read_pwc/read_siesta/read_axsf/
+# read_crystalout, src/crystalseedmod@proc.f90)
+# ---------------------------------------------------------------------------
+
+def test_bincube_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from critic2_tpu.crystal.cell import m_x2c_from_cellpar
+    from critic2_tpu.crystal.crystal import Crystal, Species
+    from critic2_tpu.fields.grid3 import Grid3
+
+    m = m_x2c_from_cellpar([10.0, 11.0, 12.0], [90.0, 80.0, 95.0])
+    c = Crystal(m_x2c=m,
+                x_frac=np.array([[0.0, 0.0, 0.0], [0.4, 0.5, 0.6]]),
+                species_of=np.array([0, 1]),
+                species=[Species("Na", 11), Species("Cl", 17)])
+    g = Grid3(jnp.asarray(np.arange(24.0).reshape(2, 3, 4)))
+    p = tmp_path / "t.bincube"
+    g.write_bincube(str(p), crystal=c)
+
+    g2 = Grid3.read_bincube(str(p))
+    np.testing.assert_allclose(np.asarray(g2.f), np.asarray(g.f))
+
+    c2 = read_structure(str(p))
+    np.testing.assert_allclose(np.asarray(c2.m_x2c), m, atol=1e-12)
+    d = np.asarray(c2.x_frac) - np.asarray(c.x_frac)
+    d -= np.round(d)
+    assert np.abs(d).max() < 1e-12
+    assert [sp.z for sp in c2.species] == [11, 17]
+
+
+def test_pwc_structure(tmp_path):
+    from critic2_tpu.fields.qe import FortranFile
+    from critic2_tpu.crystal.seed import read_pwc_structure
+
+    at = np.array([[10.0, 0, 0], [0, 12.0, 0], [0, 0, 14.0]]).T
+    tau = np.array([[0.0, 0.0, 0.0], [5.0, 6.0, 7.0]]).T   # (3, nat) cart
+    p = tmp_path / "t.pwc"
+    with FortranFile(str(p), "wb") as fh:
+        fh.write_record(np.int32(2))
+        fh.write_record(np.int32([2, 2]))
+        fh.write_record(np.frombuffer(b"Na Cl ", dtype="S1"))
+        fh.write_record(np.int32([1, 2]))
+        fh.write_record(np.asarray(tau, order="F").tobytes(order="F"))
+        fh.write_record(np.asarray(at, order="F").tobytes(order="F"))
+    seed = read_pwc_structure(str(p))
+    c = seed.to_crystal()
+    assert c.ncel == 2
+    np.testing.assert_allclose(np.asarray(c.m_x2c), at, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(c.x_frac)[1], [0.5, 0.5, 0.5],
+                               atol=1e-12)
+    assert [sp.z for sp in c.species] == [11, 17]
+
+
+SIESTA_STRUCT = """  5.640000  0.000000  0.000000
+  0.000000  5.640000  0.000000
+  0.000000  0.000000  5.640000
+  2
+  1  11  0.000000  0.000000  0.000000
+  2  17  0.500000  0.500000  0.500000
+"""
+
+
+def test_siesta_struct(tmp_path):
+    p = tmp_path / "t.STRUCT_OUT"
+    p.write_text(SIESTA_STRUCT)
+    assert detect_format(str(p)) == "siesta"
+    c = read_structure(str(p))
+    assert c.ncel == 2
+    assert c.volume == pytest.approx((5.64 * param.ANGSTROM_TO_BOHR) ** 3,
+                                     rel=1e-8)
+    assert [c.species[i].z for i in c.species_of] == [11, 17]
+
+
+AXSF = """ANIMSTEPS 2
+CRYSTAL
+PRIMVEC
+  5.0 0.0 0.0
+  0.0 5.0 0.0
+  0.0 0.0 5.0
+PRIMCOORD 1
+2 1
+Na 0.0 0.0 0.0
+Cl 2.5 2.5 2.5
+PRIMCOORD 2
+2 1
+Na 0.5 0.0 0.0
+Cl 3.0 2.5 2.5
+"""
+
+
+def test_axsf(tmp_path):
+    from critic2_tpu.crystal.seed import read_axsf_structure
+
+    p = tmp_path / "t.axsf"
+    p.write_text(AXSF)
+    assert detect_format(str(p)) == "axsf"
+    c = read_structure(str(p))
+    np.testing.assert_allclose(np.asarray(c.x_frac)[1], [0.5, 0.5, 0.5],
+                               atol=1e-12)
+    c2 = read_axsf_structure(str(p), step=2).to_crystal()
+    np.testing.assert_allclose(np.asarray(c2.x_frac)[0], [0.1, 0.0, 0.0],
+                               atol=1e-12)
+
+
+CRYSTAL_OUT = """ EEEEEEEEEE STARTING  DATE 01 01 2020
+ CRYSTAL CALCULATION
+ SOME OTHER LINE
+
+ DIRECT LATTICE VECTORS CARTESIAN COMPONENTS (ANGSTROM)
+          X                    Y                    Z
+   0.282000000000E+01   0.282000000000E+01   0.000000000000E+00
+   0.000000000000E+00   0.282000000000E+01   0.282000000000E+01
+   0.282000000000E+01   0.000000000000E+00   0.282000000000E+01
+
+ CARTESIAN COORDINATES - PRIMITIVE CELL
+ ***************************************************
+   ATOM          X(ANGSTROM)         Y(ANGSTROM)         Z(ANGSTROM)
+ ***************************************************
+   1   11 NA    0.000000000000E+00   0.000000000000E+00   0.000000000000E+00
+   2   17 CL    2.820000000000E+00   2.820000000000E+00   2.820000000000E+00
+
+ DONE
+"""
+
+
+def test_crystal_out(tmp_path):
+    p = tmp_path / "nacl.out"
+    p.write_text(CRYSTAL_OUT)
+    assert detect_format(str(p)) == "crystal-out"
+    c = read_structure(str(p))
+    assert c.ncel == 2
+    a = 2.82 * param.ANGSTROM_TO_BOHR
+    assert c.volume == pytest.approx(abs(np.linalg.det(
+        np.array([[a, a, 0], [0, a, a], [a, 0, a]]))), rel=1e-8)
+    assert sorted(sp.z for sp in c.species) == [11, 17]
+
+
+GAUSSIAN_LOG = """ Entering Gaussian System
+ ...
+                         Standard orientation:
+ ---------------------------------------------------------------------
+ Center     Atomic      Atomic             Coordinates (Angstroms)
+ Number     Number       Type             X           Y           Z
+ ---------------------------------------------------------------------
+      1          8           0        0.000000    0.000000    0.119262
+      2          1           0        0.000000    0.763239   -0.477047
+      3          1           0        0.000000   -0.763239   -0.477047
+ ---------------------------------------------------------------------
+ Rotational constants
+"""
+
+
+def test_gaussian_log(tmp_path):
+    p = tmp_path / "h2o.log"
+    p.write_text(GAUSSIAN_LOG)
+    assert detect_format(str(p)) == "gaussian-log"
+    c = read_structure(str(p))
+    assert c.ismolecule and c.ncel == 3
+    assert sorted(c.species[i].z for i in c.species_of) == [1, 1, 8]

@@ -24,6 +24,7 @@ compilation (one warmup run each).
 from __future__ import annotations
 
 import os
+import sys
 import time
 
 import numpy as np
@@ -76,9 +77,14 @@ def run_big(deadline_s: float = 900.0, n: int = 256) -> dict:
     def left():
         return deadline_s - (time.perf_counter() - tstart)
 
+    def stage(msg):
+        print(f"[run_big +{time.perf_counter() - tstart:7.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
     t0 = time.perf_counter()
     s, g = _nacl_system((n, n, n), cache=True)
     out[f"raster{n}_wall_s"] = round(time.perf_counter() - t0, 2)
+    stage("rasterized")
     c = s.crystal
     vol = float(np.abs(np.linalg.det(np.asarray(c.m_x2c))))
     dv = vol / n ** 3
@@ -87,12 +93,14 @@ def run_big(deadline_s: float = 900.0, n: int = 256) -> dict:
     # --- YT (BASELINE config 3 shape) -------------------------------
     res = yt_integrate(c, gd)                    # warmup/compile
     q = np.asarray(res.integrate(gd)) * dv
+    stage("yt warm")
     t0 = time.perf_counter()
     res = yt_integrate(c, gd)
     q = np.asarray(res.integrate(gd)) * dv
     out[f"yt{n}_wall_s"] = round(time.perf_counter() - t0, 2)
     out[f"yt{n}_nattr"] = int(res.nattr)
     out[f"yt{n}_punity_err_e"] = float(abs(q.sum() - g.sum() * dv))
+    stage("yt timed")
 
     # --- NCI (BASELINE config 1 shape) ------------------------------
     if left() > 120:
@@ -100,9 +108,11 @@ def run_big(deadline_s: float = 900.0, n: int = 256) -> dict:
 
         s.iref = 1                               # the grid field
         nci = nciplot(s, nstep=(n, n, n))        # warmup/compile
+        stage("nci warm")
         t0 = time.perf_counter()
         nci = nciplot(s, nstep=(n, n, n))
         out[f"nci{n}_wall_s"] = round(time.perf_counter() - t0, 2)
+        stage("nci timed")
     else:
         out["big_truncated"] = "deadline before NCI"
         return out
@@ -113,12 +123,14 @@ def run_big(deadline_s: float = 900.0, n: int = 256) -> dict:
 
         s.iref = 1
         cpl = autocp(s, verbose=False)           # warmup/compile
+        stage("auto warm")
         t0 = time.perf_counter()
         cpl = autocp(s, verbose=False)
         out[f"auto{n}_wall_s"] = round(time.perf_counter() - t0, 2)
         ncp, b, r, cc = cpl.counts()
         out[f"auto{n}_counts"] = [ncp, b, r, cc]
         out[f"auto{n}_ph"] = ncp - b + r - cc
+        stage("auto timed")
     else:
         out["big_truncated"] = "deadline before AUTO"
         return out
@@ -129,6 +141,7 @@ def run_big(deadline_s: float = 900.0, n: int = 256) -> dict:
 
         s.iref = 0                               # analytic promolecular
         qt = qtree_integrate(s, maxl=5, sphfactor=0.9)   # warmup
+        stage("qtree warm")
         t0 = time.perf_counter()
         qt = qtree_integrate(s, maxl=5, sphfactor=0.9)
         out["qtree_wall_s"] = round(time.perf_counter() - t0, 2)
@@ -142,6 +155,35 @@ def run_big(deadline_s: float = 900.0, n: int = 256) -> dict:
     else:
         out["big_truncated"] = "deadline before qtree"
     return out
+
+
+def _cp_parity_native(c, g, cpl, tol_bohr: float = 1e-6,
+                      maxit: int = 100) -> float:
+    """Max |x_device - x_native| (bohr) over the CP list after
+    re-converging each CP with a damped host Newton on the native C++
+    tricubic (critic2_tpu/native.py tricubic_batch; value/grad/Hess in
+    the same n-scaled fractional units as ops/interp)."""
+    from critic2_tpu import native
+
+    m_x2c = np.asarray(c.m_x2c)
+    x = np.array([cp.x for cp in cpl.cps], dtype=float)  # fractional
+    for _ in range(maxit):
+        _, gr, h6 = native.tricubic_batch(np.asarray(g), x % 1.0)
+        H = np.empty((len(x), 3, 3))
+        H[:, 0, 0], H[:, 1, 1], H[:, 2, 2] = h6[:, 0], h6[:, 1], h6[:, 2]
+        H[:, 0, 1] = H[:, 1, 0] = h6[:, 3]
+        H[:, 0, 2] = H[:, 2, 0] = h6[:, 4]
+        H[:, 1, 2] = H[:, 2, 1] = h6[:, 5]
+        gn = np.linalg.norm(gr, axis=1)
+        if gn.max() < 1e-13:
+            break
+        # derivatives are plain d/d(fractional) (verified vs central
+        # differences), so the Newton step is directly fractional
+        step = np.linalg.solve(H, gr[:, :, None])[:, :, 0]
+        x = x - step
+    dev = x - np.array([cp.x for cp in cpl.cps])
+    dev -= np.round(dev)
+    return float(np.linalg.norm(dev @ m_x2c.T, axis=1).max())
 
 
 def run_parity(small: bool = False, deadline_s: float = 900.0) -> dict:
@@ -208,10 +250,13 @@ def run_parity(small: bool = False, deadline_s: float = 900.0) -> dict:
     out["auto_ph"] = ncp - b + r - cc
     s.iref = 1
     t0 = time.perf_counter()
-    autocp(s, verbose=False)
+    cpl_g = autocp(s, verbose=False)
     out["auto_grid_wall_s"] = round(time.perf_counter() - t0, 3)
     s.iref = 0
-    # NCP parity: every nucleus must be found within a grid step
+    # NCP sanity: every nucleus found within a grid step (interpolant
+    # maxima sit off the analytic nuclei by interpolation error; the
+    # reference behaves identically, so this is a locator check, not
+    # the parity bar)
     h = vol ** (1 / 3) / n
     dmax = 0.0
     ncps = np.array([cp.x for cp in cpl.cps if cp.typ == -3])
@@ -222,6 +267,15 @@ def run_parity(small: bool = False, deadline_s: float = 900.0) -> dict:
         dmax = max(dmax, float(dc))
     out["auto_ncp_maxdev_bohr"] = round(dmax, 6)
     out["auto_ncp_tol_bohr"] = round(2 * h, 6)
+
+    # CP POSITION PARITY (the 1e-6-bohr-class bar): every grid-field CP
+    # from the device pipeline is re-converged by an independent host
+    # Newton on the native C++ tricubic (same Lekien-Marsden
+    # interpolant, independent implementation - reference algorithm
+    # src/fieldmod@proc.f90:1832-1868); positions must agree.
+    if native.available() and len(cpl_g.cps):
+        out["auto_grid_cp_parity_bohr"] = _cp_parity_native(
+            c, g, cpl_g, tol_bohr=1e-6)
 
     # --- WFN mesh integral (tests_cint analogue) ----------------------
     if over_budget():
