@@ -35,15 +35,38 @@ _VSMALL = 1e-40
 
 @dataclass
 class NCIResult:
-    crho: np.ndarray             # (n1,n2,n3) sign(lambda2) rho x 100
-    cgrad: np.ndarray            # (n1,n2,n3) RDG (after plot cutoffs)
-    cgrad_raw: np.ndarray        # RDG before plot cutoffs
-    rhoat: np.ndarray | None     # promolecular density (if computed)
+    """Cubes stay DEVICE-resident (jnp arrays): pulling a 256^3 grid to
+    the host costs minutes through the remote-device tunnel, so only
+    writers materialize them.  `dat` compacts on device and transfers
+    the selected points only, on first access."""
+
+    crho: object                 # (n1,n2,n3) sign(lambda2) rho x 100
+    cgrad: object                # (n1,n2,n3) RDG (after plot cutoffs)
+    cgrad_raw: object            # RDG before plot cutoffs
+    rhoat: object | None         # promolecular density (if computed)
     x0: np.ndarray               # box origin (Cartesian bohr)
     xmat: np.ndarray             # (3,3) columns = step vectors
-    dat: np.ndarray              # (npts, 2) scatter (rho, rdg) under cutoffs
+    dat_sel: object = None       # (N,) device bool: under-cutoff points
     files: list = dfield(default_factory=list)
     void: dict | None = None
+    _dat: np.ndarray | None = None
+
+    @property
+    def ndat(self) -> int:
+        return int(self.dat_sel.sum())
+
+    @property
+    def dat(self) -> np.ndarray:
+        """(npts, 2) scatter (rho, rdg) under cutoffs (reference .dat
+        emission, src/nci@proc.f90:593-596)."""
+        if self._dat is None:
+            n = self.ndat
+            idx = jnp.nonzero(self.dat_sel.reshape(-1), size=n)[0]
+            cr = jnp.take(self.crho.reshape(-1), idx) / 100.0
+            cg = jnp.take(self.cgrad_raw.reshape(-1), idx)
+            self._dat = np.stack([np.asarray(cr), np.asarray(cg)],
+                                 axis=1)
+        return self._dat
 
 
 def _box(system, nstep, xinc, rthres):
@@ -95,14 +118,10 @@ def nciplot(system, oname: str | None = None, outdir: str | None = None,
     n1, n2, n3 = (int(v) for v in nstep)
     N = n1 * n2 * n3
 
-    i, j, k = np.meshgrid(np.arange(n1), np.arange(n2), np.arange(n3),
-                          indexing="ij")
-    pts = (x0[:, None] + np.asarray(xmat) @
-           np.stack([i.ravel(), j.ravel(), k.ravel()]).astype(float))
-
     nfrag = len(fragments) if fragments else 0
     dopromol = nfrag > 0 or rho_void > 0.0
     fn = f.eval_fn(nder=2, clamp_nuclei=False)
+    fastpath = f.type == "grid" and periodic and not f.usecore
 
     promol_env = system.fields[0].promol if dopromol else None
     frag_envs = []
@@ -111,10 +130,15 @@ def nciplot(system, oname: str | None = None, outdir: str | None = None,
         frag_envs = [PromolEnv(c, fragment=np.asarray(fr, dtype=int))
                      for fr in fragments]
 
-    crho = np.empty(N)
-    cgrad = np.empty(N)
-    rhoat = np.empty(N) if dopromol else None
-    rhofrag = np.empty((nfrag, N)) if nfrag else None
+    # chunk points generated on demand (a full (3, N) host array at
+    # 256^3 is 400 MB and, through the remote-device tunnel, minutes
+    # of transfer; the fast path never needs any points)
+    xmat_np = np.asarray(xmat)
+
+    def chunk_pts(sl):
+        idx = np.arange(sl.start, sl.stop)
+        ijk = np.stack(np.unravel_index(idx, (n1, n2, n3))).astype(float)
+        return jnp.asarray(x0[:, None] + xmat_np @ ijk)
 
     @jax.jit
     def _rdg(rho, gf, h6):
@@ -123,47 +147,59 @@ def nciplot(system, oname: str | None = None, outdir: str | None = None,
         rdg = gmod / (_CONST * jnp.maximum(rho, _VSMALL) ** (4.0 / 3.0))
         return jnp.sign(lam2) * jnp.abs(rho) * 100.0, rdg
 
-    if f.type == "grid" and periodic and not f.usecore:
+    # ALL whole-grid arrays stay device-resident end to end; only
+    # scalars and the lazily-materialized .dat selection cross the
+    # host link.
+    if fastpath:
         # regular-grid separable fast path (HBM-bandwidth bound on TPU);
         # the reference's analog builds FFT grad/Hxx grids
         # (src/nci@proc.f90:483-496)
         from ..ops.eig3 import linmap, sym6_rotation
         from ..ops.interp import interp_grid_soa
 
-        y, yp, ypp6 = interp_grid_soa(f.grid.f, (n1, n2, n3), nder=2)
-        gf = linmap(np.asarray(c.m_c2x).T, yp.reshape(3, -1))
-        h6 = linmap(sym6_rotation(c.m_c2x), ypp6.reshape(6, -1))
-        cr, cg = _rdg(y.reshape(-1), gf, h6)
-        crho[:] = np.asarray(cr)
-        cgrad[:] = np.asarray(cg)
+        @jax.jit
+        def fast(gridf):
+            y, yp, ypp6 = interp_grid_soa(gridf, (n1, n2, n3), nder=2)
+            gf = linmap(np.asarray(c.m_c2x).T, yp.reshape(3, -1))
+            h6 = linmap(sym6_rotation(c.m_c2x), ypp6.reshape(6, -1))
+            return _rdg(y.reshape(-1), gf, h6)
+
+        crho, cgrad = fast(f.grid.f)
+    else:
+        @jax.jit
+        def chunk_eval(xT):
+            return _rdg(*fn(xT))
+
+        crs, cgs = [], []
+        for lo in range(0, N, block):
+            cr, cg = chunk_eval(chunk_pts(slice(lo, min(lo + block, N))))
+            crs.append(cr)
+            cgs.append(cg)
+        crho = jnp.concatenate(crs)
+        cgrad = jnp.concatenate(cgs)
 
     from ..fields.promol import promolecular_soa
 
-    @jax.jit
-    def chunk_eval(xT):
-        return _rdg(*fn(xT))
-
-    for lo in range(0, N, block):
-        sl = slice(lo, min(lo + block, N))
-        xT = None
-        if not (f.type == "grid" and periodic and not f.usecore):
-            xT = jnp.asarray(pts[:, sl])
-            cr, cg = chunk_eval(xT)
-            crho[sl] = np.asarray(cr)
-            cgrad[sl] = np.asarray(cg)
-        if dopromol or nfrag:
-            if xT is None:
-                xT = jnp.asarray(pts[:, sl])
+    rhoat = rhofrag = None
+    if dopromol or nfrag:
+        ras, rfs = [], []
+        for lo in range(0, N, block):
+            xT = chunk_pts(slice(lo, min(lo + block, N)))
+            if dopromol:
+                ras.append(promolecular_soa(
+                    xT, promol_env.atpos, promol_env.atspc,
+                    promol_env.tab, nder=0)[0])
+            if nfrag:
+                rfs.append(jnp.stack([promolecular_soa(
+                    xT, env.atpos, env.atspc, env.tab, nder=0)[0]
+                    for env in frag_envs]))
         if dopromol:
-            rhoat[sl] = np.asarray(promolecular_soa(
-                xT, promol_env.atpos, promol_env.atspc, promol_env.tab,
-                nder=0)[0])
-        for q, env in enumerate(frag_envs):
-            rhofrag[q, sl] = np.asarray(promolecular_soa(
-                xT, env.atpos, env.atspc, env.tab, nder=0)[0])
+            rhoat = jnp.concatenate(ras)
+        if nfrag:
+            rhofrag = jnp.concatenate(rfs, axis=1)
 
     # fragment inter/intra filter (reference :577-583)
-    inter = np.ones(N, dtype=bool)
+    inter = jnp.ones(N, dtype=bool)
     if nfrag:
         tot = rhofrag.sum(axis=0)
         inter = (tot >= rhoparam2 * rhoat) & \
@@ -171,32 +207,33 @@ def nciplot(system, oname: str | None = None, outdir: str | None = None,
     void = None
     if rho_void > 0.0:
         voidmask = rhoat < rho_void
-        inter &= voidmask
+        inter = inter & voidmask
         omega_cell = c.volume
         void = {
-            "charge": float(np.abs(crho[voidmask]).sum() / 100.0
+            "charge": float((jnp.abs(crho) * voidmask).sum() / 100.0
                             * omega_cell / N),
-            "pcharge": float(rhoat[voidmask].sum() * omega_cell / N),
+            "pcharge": float((rhoat * voidmask).sum() * omega_cell / N),
             "volume": float(voidmask.sum() * omega_cell / N),
         }
 
-    # .dat scatter under cutoffs (reference :593-596)
-    sel = (np.abs(crho) < rhocut * 100.0) & (cgrad < dimcut) & inter
-    dat = np.stack([crho[sel] / 100.0, cgrad[sel]], axis=1)
+    # .dat scatter selection under cutoffs (reference :593-596);
+    # materialized lazily by NCIResult.dat
+    sel = (jnp.abs(crho) < rhocut * 100.0) & (cgrad < dimcut) & inter
 
     # plot cutoffs applied to the RDG cube (reference :597-600)
-    cgrad_raw = cgrad.copy()
-    mask = (np.abs(crho) > rhoplot * 100.0) | (~inter)
-    mask |= (crho < srhorange[0] * 100.0) | (crho > srhorange[1] * 100.0)
+    cgrad_raw = cgrad
+    mask = (jnp.abs(crho) > rhoplot * 100.0) | (~inter)
+    mask = mask | (crho < srhorange[0] * 100.0) \
+        | (crho > srhorange[1] * 100.0)
     if onlyneg:
-        mask |= crho > 0
-    cgrad = np.where(mask, 100.0, cgrad)
+        mask = mask | (crho > 0)
+    cgrad = jnp.where(mask, 100.0, cgrad)
 
     res = NCIResult(
         crho=crho.reshape(n1, n2, n3), cgrad=cgrad.reshape(n1, n2, n3),
         cgrad_raw=cgrad_raw.reshape(n1, n2, n3),
         rhoat=rhoat.reshape(n1, n2, n3) if dopromol else None,
-        x0=x0, xmat=np.asarray(xmat), dat=dat, void=void)
+        x0=x0, xmat=xmat_np, dat_sel=sel, void=void)
 
     if write_files:
         import os
@@ -211,7 +248,7 @@ def nciplot(system, oname: str | None = None, outdir: str | None = None,
                    comment1="sign(lambda2) x rho x 100")
         write_cube(root + "-grad.cube", res.cgrad, x0, xmat, z, pos,
                    comment1="reduced density gradient")
-        np.savetxt(root + ".dat", dat, fmt="%15.7E")
+        np.savetxt(root + ".dat", res.dat, fmt="%15.7E")
         _write_vmd(root, oname, rhoplot, dimplot)
         _write_cell_xyz(c, root + "_cell.xyz", x0, xmat,
                         (n1, n2, n3), molmotif=molmotif)

@@ -1169,7 +1169,7 @@ class Repl:
                 self.warn(f"NCIPLOT: ignored option {t[0]}")
         res = nciplot(sy, oname=oname, write_files=True, **kw)
         self.write(f"+ NCIPLOT: grid {res.crho.shape}, "
-                   f"{len(res.dat)} dat points, files: "
+                   f"{res.ndat} dat points, files: "
                    + " ".join(res.files))
 
     def cmd_molcalc(self, args, lines):

@@ -17,15 +17,22 @@ __all__ = ["write_structure", "write_xyz", "write_poscar", "write_cif",
 def write_structure(crystal, path: str, fmt: str | None = None):
     if fmt is None:
         low = path.lower()
-        for ext, f in (("xyz", "xyz"), ("cif", "cif"), ("xsf", "xsf"),
-                       ("vasp", "poscar"), ("poscar", "poscar"),
-                       ("elk.in", "elk"), ("abin", "abinit"),
-                       ("gin", "gulp"), ("gulp", "gulp"),
-                       ("lammps", "lammps"), ("gen", "gen"),
-                       ("in", "qe"), ("gjf", "gjf"), ("cri", "cri")):
-            if low.endswith("." + ext) or low.endswith(ext):
-                fmt = f
-                break
+        if low.endswith("elk.in"):
+            fmt = "elk"
+        elif low.endswith("poscar") or low.endswith("contcar"):
+            fmt = "poscar"
+        else:
+            extmap = {"xyz": "xyz", "cif": "cif", "xsf": "xsf",
+                      "vasp": "poscar", "abin": "abinit", "gin": "gulp",
+                      "gulp": "gulp", "lammps": "lammps", "gen": "gen",
+                      "d12": "d12", "m": "escher", "db": "db",
+                      "tess": "tessel", "fdf": "siesta-fdf",
+                      "struct_in": "siesta-struct", "hsd": "dftbp-hsd",
+                      "obj": "3dmodel", "ply": "3dmodel",
+                      "off": "3dmodel", "in": "qe", "gjf": "gjf",
+                      "cri": "cri"}
+            ext = low.rsplit(".", 1)[-1] if "." in low else ""
+            fmt = extmap.get(ext)
     if fmt is None:
         raise ValueError(f"cannot infer write format for {path}")
     return {"xyz": write_xyz, "poscar": write_poscar, "cif": write_cif,
@@ -33,6 +40,10 @@ def write_structure(crystal, path: str, fmt: str | None = None):
             "cri": write_cri, "abinit": write_abinit,
             "elk": write_elk_in, "gulp": write_gulp,
             "lammps": write_lammps, "gen": write_dftb_gen,
+            "d12": write_d12, "escher": write_escher, "db": write_db,
+            "tessel": write_tessel, "siesta-fdf": write_siesta_fdf,
+            "siesta-struct": write_siesta_struct,
+            "dftbp-hsd": write_dftbp_hsd, "3dmodel": write_3dmodel,
             }[fmt](crystal, path)
 
 
@@ -259,3 +270,303 @@ def write_dftb_gen(c, path: str):
             m = np.asarray(c.m_x2c) * param.BOHR_TO_ANGSTROM
             for i in range(3):
                 fh.write(" ".join(f"{v:18.10e}" for v in m[:, i]) + "\n")
+
+
+def write_d12(c, path: str, dosym: bool = True):
+    """CRYSTAL d12 input (reference write_d12,
+    src/crystalmod@proc.f90:4378-4470): space-group number + the
+    holohedry-reduced cell parameter list + nonequivalent atoms, or the
+    P1 fallback (all 6 parameters, all atoms) without symmetry."""
+    b2a = param.BOHR_TO_ANGSTROM
+    aa = np.asarray(c.aa) * b2a
+    bb = np.asarray(c.bb)
+    irhomb = 0
+    spgnum = 1
+    xmin = list(aa) + list(bb)
+    idx = range(c.ncel)
+    frac = np.asarray(c.x_frac)
+    if dosym and not c.ismolecule:
+        _, ita = c.spg_name()
+        sg = c.spacegroup
+        if ita:
+            spgnum = int(ita)
+            cs = getattr(sg, "crystal_system", "triclinic")
+            if cs == "monoclinic":
+                off = [float(b) for b in bb if abs(b - 90.0) > 1e-5]
+                xmin = list(aa) + [off[0] if off else 90.0]
+            elif cs == "orthorhombic":
+                xmin = list(aa)
+            elif cs == "tetragonal":
+                xmin = [aa[0], aa[2]]
+            elif cs in ("trigonal", "rhombohedral"):
+                n90 = int(np.sum(np.abs(bb - 90.0) < 0.1))
+                n120 = int(np.sum(
+                    np.abs(np.sin(np.radians(bb)) - np.sqrt(3) / 2) < 1e-2))
+                if n90 == 2 and n120 == 1:
+                    xmin = [aa[0], aa[2]]          # hexagonal axes
+                else:
+                    xmin = [aa[0], bb[0]]          # rhombohedral axes
+                    irhomb = 1
+            elif cs == "hexagonal":
+                xmin = [aa[0], aa[2]]
+            elif cs == "cubic":
+                xmin = [aa[0]]
+            idx = list(np.asarray(sg.irr_idx))
+        else:
+            spgnum = 1
+    with open(path, "w") as fh:
+        fh.write("Title\nCRYSTAL\n")
+        fh.write(f"0 {irhomb} 0\n{spgnum}\n")
+        fh.write(" ".join(f"{v:15.8f}" for v in xmin) + "\n")
+        fh.write(f"{len(list(idx))}\n")
+        for i in idx:
+            z = c.species[c.species_of[i]].z
+            fh.write(f"{z} " + " ".join(f"{v:15.8f}" for v in frac[i])
+                     + "\n")
+        fh.write("SETPRINT\n1\n3 1\nEND\nxx basis xx\n99 0\nEND\n"
+                 "SHRINK\n4 4\nTOLDEE\n7\nEND\n")
+
+
+def write_escher(c, path: str):
+    """escher octave struct script (reference write_escher,
+    src/crystalmod@proc.f90:4494-4565)."""
+    m = np.asarray(c.m_x2c)
+    gt = m.T @ m
+    with open(path, "w") as fh:
+        fh.write("cr = struct();\n")
+        fh.write(f'cr.name = "{getattr(c, "name", "") or "crystal"}";\n')
+        fh.write("cr.a = [" + " ".join(f"{v:.14e}" for v in c.aa) + "];\n")
+        fh.write("cr.b = [" + " ".join(
+            f"{np.radians(v):.14e}" for v in c.bb) + "];\n")
+        fh.write(f"cr.nat = {c.ncel};\n")
+        fh.write(f"cr.ntyp = {len(c.species)};\n")
+        fh.write("cr.r = [\n")
+        for i in range(3):
+            fh.write("  " + " ".join(f"{v:.14e}" for v in m[:, i]) + "\n")
+        fh.write("  ];\n")
+        fh.write("cr.g = [\n")
+        for i in range(3):
+            fh.write("  " + " ".join(f"{v:.14e}" for v in gt[:, i]) + "\n")
+        fh.write("  ];\n")
+        fh.write(f"cr.omega = {c.volume:.14e};\n")
+        fh.write("cr.ztyp = [" + " ".join(str(sp.z) for sp in c.species)
+                 + "];\n")
+        fh.write("cr.attyp = {" + ",".join(f'"{sp.name}"'
+                                           for sp in c.species) + "};\n")
+        fh.write("cr.typ = [" + " ".join(str(int(s) + 1)
+                                         for s in c.species_of) + "];\n")
+        fh.write("cr.x = [\n")
+        for x in np.asarray(c.x_frac):
+            fh.write("  " + " ".join(f"{v:.14e}" for v in x) + "\n")
+        fh.write("  ];\n")
+
+
+def write_db(c, path: str):
+    """dcp db input (reference write_db,
+    src/crystalmod@proc.f90:4568-4588)."""
+    b2a = param.BOHR_TO_ANGSTROM
+    with open(path, "w") as fh:
+        fh.write("type crystal_energy\nkpts 4\ncrys\n")
+        fh.write(" ".join(f"{v * b2a:18.10f}" for v in c.aa)
+                 + " " + " ".join(f"{v:18.10f}" for v in c.bb) + "\n")
+        for i in range(c.ncel):
+            sp = c.species[c.species_of[i]]
+            fh.write(f"{param.z_to_symbol(sp.z)} "
+                     + " ".join(f"{v:18.10f}"
+                                for v in np.asarray(c.x_frac)[i]) + "\n")
+        fh.write("end\n")
+
+
+def write_tessel(c, path: str):
+    """tessel scene script (reference write_tessel,
+    src/crystalmod@proc.f90:4262-4310)."""
+    import os
+
+    root = os.path.splitext(os.path.basename(path))[0]
+    sg = None if c.ismolecule else c.spacegroup
+    with open(path, "w") as fh:
+        fh.write("set camangle 75 -10 45\n")
+        fh.write("set background background {color rgb <1,1,1>}\n")
+        fh.write("set use_planes .false.\n")
+        fh.write("set ball_texture finish{specular 0.2 roughness 0.1 "
+                 "reflection 0.1}\n")
+        fh.write("set equalscale noscale\n")
+        fh.write("molecule\n  crystal\n    symmatrix seitz\n")
+        fh.write("     cen  0.000000000000 0.000000000000 "
+                 "0.000000000000\n     #\n")
+        rots = (sg.rotations if sg is not None
+                else np.eye(3, dtype=int)[None])
+        trs = (sg.translations if sg is not None else np.zeros((1, 3)))
+        for R, t in zip(rots, trs):
+            for k in range(3):
+                fh.write("     " + " ".join(f"{v:5.2f}" for v in R[k])
+                         + f" {t[k]:15.12f}\n")
+            fh.write("     #\n")
+        fh.write("     endsymmatrix\n")
+        fh.write("     cell " + " ".join(f"{v:12.8f}" for v in c.aa)
+                 + " " + " ".join(f"{v:12.8f}" for v in c.bb) + "\n")
+        fh.write("     crystalbox  -2.30 -2.30 -2.30 2.30 2.30 2.30\n")
+        fh.write("     clippingbox -0.020 -0.020 -0.020 "
+                 "1.020 1.020 1.020\n")
+        reps = (np.asarray(sg.irr_idx) if sg is not None
+                else np.arange(c.ncel))
+        for i in reps:
+            fh.write("     neq "
+                     + " ".join(f"{v:12.8f}"
+                                for v in np.asarray(c.x_frac)[i])
+                     + f" {c.species[c.species_of[i]].name:>10s}\n")
+        fh.write("  endcrystal\n")
+        fh.write("  unitcell radius 0.01 rgb 1.0 0.5 0.5 many\n")
+        fh.write("  molmotif allmaincell jmol\n")
+        fh.write(f"  off {root}.off\n  vrml {root}.wrl\n"
+                 f"  povray {root}.pov\nendmolecule\n")
+        fh.write(f"# run povray -D -UV +I{root}.pov +O{root}.png "
+                 "+W2000 +H2000 +A\nend\n")
+
+
+def write_siesta_fdf(c, path: str):
+    """siesta input fdf (reference write_siesta_fdf,
+    src/crystalmod@proc.f90)."""
+    b2a = param.BOHR_TO_ANGSTROM
+    with open(path, "w") as fh:
+        fh.write("# fdf file created by critic2-tpu.\n\n")
+        fh.write("SystemName crystal\nSystemLabel crystal\n\n")
+        fh.write(f"NumberOfSpecies {len(c.species):3d}\n")
+        fh.write(f"NumberOfAtoms {c.ncel:6d}\n")
+        fh.write("%block Chemical_Species_Label\n")
+        for i, sp in enumerate(c.species):
+            fh.write(f"{i + 1:3d}{sp.z:3d} "
+                     f"{param.z_to_symbol(sp.z).lower()}\n")
+        fh.write("%endblock Chemical_Species_Label\n\n")
+        fh.write("LatticeConstant 1.0 ang\n%block LatticeParameters\n")
+        fh.write(" ".join(f"{v * b2a:16.10f}" for v in c.aa) + " "
+                 + " ".join(f"{v:16.8f}" for v in c.bb) + "\n")
+        fh.write("%endblock LatticeParameters\n")
+        fh.write("AtomicCoordinatesFormat Fractional\n")
+        fh.write("%block AtomicCoordinatesAndAtomicSpecies\n")
+        frac = np.asarray(c.x_frac)
+        for isp in range(len(c.species)):
+            for j in range(c.ncel):
+                if int(c.species_of[j]) == isp:
+                    fh.write(" ".join(f"{v:18.12f}" for v in frac[j])
+                             + f" {isp + 1:3d}\n")
+        fh.write("%endblock AtomicCoordinatesAndAtomicSpecies\n\n")
+        fh.write("XC.functional GGA\nXC.authors PBE\n"
+                 "SpinPolarized .false.\nMaxSCFIterations 100\n"
+                 "MeshCutoff 100. Ry\nDM.NumberPulay 3\n")
+
+
+def write_siesta_struct(c, path: str):
+    """siesta STRUCT_IN (reference write_siesta_in,
+    src/crystalmod@proc.f90): inverse of crystal/seed.py
+    read_siesta_struct."""
+    b2a = param.BOHR_TO_ANGSTROM
+    m = np.asarray(c.m_x2c) * b2a
+    with open(path, "w") as fh:
+        for i in range(3):
+            fh.write(" ".join(f"{v:20.12f}" for v in m[:, i]) + "\n")
+        fh.write(f" {c.ncel}\n")
+        frac = np.asarray(c.x_frac)
+        for isp in range(len(c.species)):
+            for j in range(c.ncel):
+                if int(c.species_of[j]) == isp:
+                    fh.write(f"{isp + 1:3d} {c.species[isp].z:3d} "
+                             + " ".join(f"{v:20.12f}" for v in frac[j])
+                             + "\n")
+
+
+# DFTB+ 3rd-order Hubbard derivatives and max angular momentum per Z
+# (reference write_dftbp_hsd tables, src/crystalmod@proc.f90)
+_HSD_HDERIV = {1: -0.1857, 6: -0.1492, 7: -0.1535, 8: -0.1575,
+               9: -0.1623, 11: -0.0454, 12: -0.02, 15: -0.14, 16: -0.11,
+               17: -0.0697, 19: -0.0339, 20: -0.0340, 30: -0.03,
+               35: -0.0573, 53: -0.0433}
+_HSD_MAXANG = {1: "s", 6: "p", 7: "p", 8: "p", 9: "p", 11: "p", 12: "p",
+               15: "d", 16: "d", 17: "d", 19: "p", 20: "p", 30: "d",
+               35: "d", 53: "d"}
+
+
+def write_dftbp_hsd(c, path: str):
+    """DFTB+ hsd input with embedded gen geometry (reference
+    write_dftbp_hsd, src/crystalmod@proc.f90)."""
+    import os as _os
+    import tempfile
+
+    tmp = tempfile.NamedTemporaryFile("r", suffix=".gen", delete=False)
+    try:
+        write_dftb_gen(c, tmp.name)
+        gentxt = open(tmp.name).read()
+    finally:
+        _os.unlink(tmp.name)
+    with open(path, "w") as fh:
+        fh.write("Geometry = GenFormat {\n")
+        fh.write(gentxt)
+        fh.write("}\n\nDriver = ConjugateGradient {\n"
+                 "       MovedAtoms = 1:-1\n"
+                 "       MaxForceComponent = 1e-5\n"
+                 "       MaxSteps = 3000\n"
+                 "       LatticeOpt = Yes\n"
+                 '       OutputPrefix = "geo_end"\n}\n\n')
+        fh.write("Hamiltonian = DFTB{\n  ThirdOrderFull = Yes\n"
+                 "  SCC = Yes\n  SCCTolerance = 1e-7\n"
+                 "  MaxSCCIterations = 125\n  MaxAngularMomentum = {\n")
+        for sp in c.species:
+            fh.write(f"    {param.z_to_symbol(sp.z)} = "
+                     f"{_HSD_MAXANG.get(sp.z, 'x')}\n")
+        fh.write("  }\n  SlaterKosterFiles = Type2FileNames {\n"
+                 '    Prefix = "xxx"\n    Separator = "-"\n'
+                 '    Suffix = ".skf"\n    LowerCaseTypeName = No\n  }\n')
+        if not c.ismolecule:
+            fh.write("  KPointsAndWeights = SupercellFolding {\n"
+                     "    4 0 0 \n    0 4 0\n    0 0 4\n"
+                     "    0.5 0.5 0.5\n  }\n")
+        fh.write("  DampXH = Yes\n  DampXHExponent = 4.2\n"
+                 "  HubbardDerivs {\n")
+        for sp in c.species:
+            fh.write(f"    {param.z_to_symbol(sp.z)} = "
+                     f"{_HSD_HDERIV.get(sp.z, 0.0):.4f}\n")
+        fh.write("  }\n}\n\nOptions {\n  WriteDetailedXML = Yes\n}\n\n"
+                 "ParserOptions {\n  ParserVersion = 4\n}\n\n")
+
+
+def write_3dmodel(c, path: str, fmt: str | None = None, ix=(1, 1, 1),
+                  docell: bool = False, molmotif: bool = False):
+    """Ball-and-stick 3D model of the structure to obj/ply/off
+    (reference write_3dmodel, src/crystalmod@proc.f90:3884-4040):
+    covalent-radius spheres + bond sticks for ix cell copies, optional
+    unit-cell frame sticks."""
+    from .graphics import Scene
+
+    sc = Scene()
+    m = np.asarray(c.m_x2c)
+    cart = np.asarray(c.x_cart)
+    rcov = np.asarray([param.covalent_radius(c.species[s].z)
+                       for s in c.species_of])
+    shifts = [np.array([i, j, k], dtype=float)
+              for i in range(ix[0]) for j in range(ix[1])
+              for k in range(ix[2])]
+    allx, allr = [], []
+    for sh in shifts:
+        off = m @ sh
+        for i in range(c.ncel):
+            allx.append(cart[i] + off)
+            allr.append(rcov[i])
+    allx = np.asarray(allx)
+    for x, r in zip(allx, allr):
+        sc.ball(x, 0.6 * r)
+    # sticks between covalently bonded pairs (rfac as the reference)
+    for i in range(len(allx)):
+        for j in range(i + 1, len(allx)):
+            d = np.linalg.norm(allx[i] - allx[j])
+            if 1e-6 < d < 1.4 * (allr[i] + allr[j]):
+                sc.stick(allx[i], allx[j])
+    if docell:
+        corners = [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1),
+                   (1, 1, 0), (1, 0, 1), (0, 1, 1), (1, 1, 1)]
+        edges = [(0, 1), (0, 2), (0, 3), (1, 4), (1, 5), (2, 4),
+                 (2, 6), (3, 5), (3, 6), (4, 7), (5, 7), (6, 7)]
+        cc = [m @ np.asarray(x, dtype=float) for x in corners]
+        for a, b in edges:
+            sc.stick(cc[a], cc[b], r=0.03)
+    sc.write(path)
+    return sc

@@ -214,3 +214,46 @@ def test_new_writers(tmp_path):
     np.testing.assert_allclose(np.sort(np.asarray(c2.x_frac), axis=0),
                                np.sort(np.asarray(c.x_frac), axis=0),
                                atol=1e-8)
+
+
+def test_round2_writers(tmp_path):
+    """d12/escher/db/tessel/siesta fdf+STRUCT_IN/dftbp hsd/3dmodel
+    writers (reference write_d12/write_escher/write_db/write_tessel/
+    write_siesta_fdf/write_siesta_in/write_dftbp_hsd/write_3dmodel,
+    src/crystalmod.f90:179-201); STRUCT_IN round-trips through the
+    siesta reader."""
+    import os
+
+    from critic2_tpu.crystal.crystal import Crystal, Species
+    from critic2_tpu.crystal.seed import read_structure
+    from critic2_tpu.io.writers import write_structure
+
+    c = Crystal(m_x2c=np.diag([6.0, 7.0, 8.0]),
+                x_frac=np.array([[0, 0, 0], [0.5, 0.5, 0.5]],
+                                dtype=float),
+                species_of=np.array([0, 1]),
+                species=[Species("Na", 11), Species("Cl", 17)])
+    for fn, marker in (("s.d12", "CRYSTAL"), ("s.m", "cr.ztyp"),
+                       ("s.db", "crystal_energy"),
+                       ("s.tess", "endsymmatrix"),
+                       ("s.fdf", "Chemical_Species_Label"),
+                       ("s.hsd", "HubbardDerivs")):
+        p = os.path.join(tmp_path, fn)
+        write_structure(c, p)
+        assert marker in open(p).read(), fn
+    # d12 orthorhombic: 3 cell parameters on the cell line
+    d12 = open(os.path.join(tmp_path, "s.d12")).read().splitlines()
+    ncellpar = len(d12[4].split())
+    assert ncellpar == 3          # orthorhombic holohedry (Pmmm-class)
+    # STRUCT_IN round-trip
+    p = os.path.join(tmp_path, "s.STRUCT_IN")
+    write_structure(c, p)
+    c2 = read_structure(p)
+    assert c2.ncel == 2
+    np.testing.assert_allclose(np.asarray(c2.m_x2c),
+                               np.asarray(c.m_x2c), atol=1e-8)
+    # 3dmodel scene
+    p = os.path.join(tmp_path, "s.obj")
+    write_structure(c, p)
+    txt = open(p).read()
+    assert txt.count("v ") > 20 and "f " in txt

@@ -108,10 +108,13 @@ def run_big(deadline_s: float = 900.0, n: int = 256) -> dict:
 
         s.iref = 1                               # the grid field
         nci = nciplot(s, nstep=(n, n, n))        # warmup/compile
+        nci.cgrad.block_until_ready()
         stage("nci warm")
         t0 = time.perf_counter()
         nci = nciplot(s, nstep=(n, n, n))
+        nci.cgrad.block_until_ready()            # device-resident result
         out[f"nci{n}_wall_s"] = round(time.perf_counter() - t0, 2)
+        out[f"nci{n}_ndat"] = nci.ndat
         stage("nci timed")
     else:
         out["big_truncated"] = "deadline before NCI"
