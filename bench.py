@@ -132,6 +132,25 @@ def main():
     except Exception as exc:  # pragma: no cover
         extra["parity_error"] = f"{type(exc).__name__}: {exc}"
 
+    # BASELINE-scale (256^3) end-to-end driver wall-clocks: YT, NCI,
+    # grid-AUTO, qtree (BASELINE configs 1/2/3/5 shapes). Ratios are
+    # against the measured single-core CPU walls of the same reference
+    # algorithms (tools/parity_bench.CPU_MEASURED; no Fortran compiler
+    # exists in this image, so the C++ ports in native/ stand in for
+    # the reference executable - same algorithm, same workload).
+    if not small:
+        try:
+            from tools.parity_bench import run_big, CPU_MEASURED
+            remaining = max(60.0, budget - (time.perf_counter() - t_start))
+            big = run_big(deadline_s=remaining)
+            for key, cpu_key in (("yt256_wall_s", "yt256_cpu_seq_wall_s"),):
+                if key in big and cpu_key in CPU_MEASURED:
+                    big["yt256_vs_cpu_seq"] = round(
+                        CPU_MEASURED[cpu_key] / big[key], 1)
+            extra.update(big)
+        except Exception as exc:  # pragma: no cover
+            extra["big_error"] = f"{type(exc).__name__}: {exc}"
+
     # headline = the f32 sweep: the production eval precision (SURVEY
     # section 7 "f32 eval + f64 Newton polish"); the harness itself
     # demonstrates mixed-precision parity (yt_f32_parity_max_dq_e, vs

@@ -2,16 +2,27 @@
 partition of the Wigner-Seitz cell.
 
 Role of the reference qtree family (src/qtree*.f90, ~5 kLoC): partition
-the WS cell into tetrahedra, recursively subdivide to level maxl, assign
+the WS cell into the symmetry-irreducible tetrahedra (c%getiws,
+src/crystalmod.f90:176), recursively subdivide to level maxl, assign
 each node to a basin by tracing its gradient path (termination colors),
-and integrate properties by corner sums / Keast rules inside uniformly
-colored tetrahedra, with beta spheres around nuclei.
+and integrate properties inside uniformly colored tetrahedra by corner
+sums, Keast rules, or adaptive CUBPACK cubature
+(src/qtree_tetrawork.f90:36-107), with beta spheres around nuclei.
 
-TPU reformulation: the recursion becomes LEVELS of batched work - at
-each level every active (mixed-color) tetrahedron subdivides 8-fold, all
-new node colors resolve in ONE batched gradient-path trace, and uniform
-tetrahedra retire their volume/property contributions as weighted
-reductions. Host keeps only the active-set bookkeeping.
+TPU reformulation:
+- the recursion becomes LEVELS of batched work - at each level every
+  active (mixed-color) tetrahedron subdivides 8-fold and all new node
+  colors resolve in batched gradient-path traces (ops/ode, fixed-size
+  padded batches so the device program compiles once);
+- the symmetry reduction keeps one representative per orbit of the
+  origin atom's site point group and replays each retired contribution
+  through the orbit's atom permutations (the role of getiws +
+  tetrahedron multiplicities);
+- CUBPACK's adaptive error control becomes a host refinement queue:
+  each uniform tetrahedron is integrated with a Keast rule pair
+  (high/low order); those with |hi - lo| above tolerance subdivide and
+  re-enter the queue, all evaluations batched on device
+  (src/qtree_tetrawork.f90:68 integ_inner_cubpack role).
 """
 from __future__ import annotations
 
@@ -59,6 +70,61 @@ def _tet_volume(tets):
     return np.abs(np.einsum("ti,ti->t", np.cross(e1, e2), e3)) / 6.0
 
 
+def _site_ops(crystal, iat, tol=1e-6):
+    """Site point group of cell atom iat: list of (R_cart (3,3),
+    atom_perm (ncel+1,)) for every space-group op that fixes the site.
+    atom_perm maps a basin color to the color of the symmetry image;
+    the trailing entry keeps the unresolved color (-1) fixed."""
+    sg = crystal.spacegroup
+    m = np.asarray(crystal.m_x2c)
+    minv = np.linalg.inv(m)
+    xf = np.asarray(crystal.x_frac)
+    n = len(xf)
+    ops = []
+    for R, t in zip(np.asarray(sg.rotations), np.asarray(sg.translations)):
+        d = R @ xf[iat] + t - xf[iat]
+        d -= np.round(d)
+        if np.linalg.norm(m @ d) > 1e-4:
+            continue
+        # atom permutation under the op: atom j's image coincides with
+        # atom perm[j] (mod lattice)
+        img = (xf @ R.T + t[None, :])
+        perm = np.empty(n + 1, dtype=int)
+        for j in range(n):
+            dd = xf - img[j]
+            dd -= np.round(dd)
+            perm[j] = int(np.argmin(np.linalg.norm(dd @ m.T, axis=1)))
+        perm[n] = n                                  # the -1 bucket
+        ops.append((m @ R @ minv, perm))
+    return ops
+
+
+def _reduce_tets(tets, ops, tol=1e-5):
+    """Group the (origin-relative) tetrahedra into orbits of the site
+    point group.  Returns (rep_tets (G,4,3), orbit_perms: list of lists
+    of atom permutations - one per distinct orbit member)."""
+    def key(T):
+        v = np.round(T / tol).astype(np.int64)
+        return tuple(sorted(map(tuple, v)))
+
+    canon = {}
+    for idx, T in enumerate(tets):
+        k = min(key((Rc @ T.T).T) for Rc, _ in ops)
+        canon.setdefault(k, []).append(idx)
+
+    reps, orbit_perms = [], []
+    for k, members in canon.items():
+        T = tets[members[0]]
+        reps.append(T)
+        seen = {}
+        for Rc, perm in ops:
+            kk = key((Rc @ T.T).T)
+            if kk not in seen:
+                seen[kk] = perm
+        orbit_perms.append(list(seen.values()))
+    return np.asarray(reps), orbit_perms
+
+
 @dataclass
 class QtreeResult:
     names: list
@@ -66,6 +132,7 @@ class QtreeResult:
     volumes: np.ndarray
     nlevels: int
     ntraced: int
+    nrefined: int = 0
 
     def table(self):
         lines = ["# i  atom       volume            pop"]
@@ -76,30 +143,44 @@ class QtreeResult:
 
 
 def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
-                    block: int = 1 << 14, integ: str = "corner",
-                    keastnum: int = 7,
+                    block: int = 1 << 13, integ: str = "keast",
+                    keastnum: int = 7, keastlow: int = 4,
+                    cub_abs: float = 1e-7, cub_rel: float = 1e-6,
+                    maxrefine: int = 8, usesym: bool = True,
                     sphfactor: float = 0.0) -> QtreeResult:
     """Basin populations/volumes of the reference field by qtree coloring.
 
-    The WS cell is centered on an atom (default: atom 0, as the reference
-    centers on ws_origin); colors come from batched uphill traces to the
-    nuclei.
+    The WS cell is centered on an atom (default: atom 0, the reference
+    ws_origin); colors come from batched uphill traces to the nuclei.
 
-    integ: "corner" (corner-sum, reference integ_corner_sum,
-    src/qtree_tetrawork.f90:107) or "keast" (Keast rule `keastnum` inside
-    uniformly-colored tetrahedra, reference INTEG_MODE KEASTNUM,
-    src/qtree@proc.f90:46-47 via ops/quadrature.keast_points).
-    sphfactor > 0 pre-colors tetrahedron corners inside the beta sphere
-    of each atom (radius = sphfactor * half nearest-neighbor distance,
-    reference paint_inside_spheres) - saves gradient traces near nuclei.
+    integ: "keast" (adaptive Keast-pair cubature with host refinement,
+    the CUBPACK role - rules `keastnum`/`keastlow`, tolerances
+    cub_abs/cub_rel per tetrahedron, reference CUB_ABS/CUB_REL
+    settings) or "corner" (plain corner-sum, reference
+    integ_corner_sum, src/qtree_tetrawork.f90:107).
+    usesym reduces the tetrahedra to site-point-group orbit
+    representatives (reference getiws) and replays contributions
+    through the orbit atom permutations.
+    sphfactor > 0 pre-colors corners inside each atom's beta sphere
+    (radius = sphfactor * half nearest-neighbor distance, reference
+    paint_inside_spheres).
     """
     c = system.crystal
     f = system.ref
     fn = f.eval_fn(nder=2)
     iat = 0 if origin_atom is None else origin_atom
     x0 = np.asarray(c.x_cart[iat])
+    nat = c.ncel
 
-    tets0 = _ws_tetrahedra(c) + x0[None, None, :]
+    tets0 = _ws_tetrahedra(c)                     # origin-relative
+    if usesym and not c.ismolecule:
+        ops = _site_ops(c, iat)
+        reps, orbit_perms = _reduce_tets(tets0, ops)
+    else:
+        reps = tets0
+        orbit_perms = [[np.arange(nat + 1)]] * len(tets0)
+    tets = reps + x0[None, None, :]
+    gidx = np.arange(len(tets))                   # orbit-group index
 
     # targets: nuclei images
     pos = np.asarray(c.x_frac)
@@ -107,7 +188,7 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
                        for k in (-1, 0, 1)])
     imgs = (pos[None, :, :] + shifts[:, None, :]).reshape(-1, 3)
     tgt = c.x2c(imgs)
-    tgt_ids = np.tile(np.arange(c.ncel), len(shifts))
+    tgt_ids = np.tile(np.arange(nat), len(shifts))
     tgtj = jnp.asarray(tgt)
     rtj = jnp.full(len(tgt), 0.2)
 
@@ -118,20 +199,48 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
     sphrad = None
     if sphfactor > 0:
         allpos = np.asarray(c.x_frac)
-        sphrad = np.empty(c.ncel)
-        for i in range(c.ncel):
+        sphrad = np.empty(nat)
+        for i in range(nat):
             d = c.distance(np.delete(allpos, i, axis=0), allpos[i])
             dmin = float(np.min(d)) if np.size(d) else float(np.min(c.aa))
             sphrad[i] = sphfactor * 0.5 * dmin
 
+    def _traced_colors(pts):
+        """One padded fixed-size batched trace -> colors. Padding keeps
+        a single compiled device program across levels (variable batch
+        shapes recompile the unrolled ODE chunk every level)."""
+        npts = len(pts)
+        pad = (-npts) % block if npts > block else block - npts
+        if pad:
+            pts = np.concatenate([pts, np.repeat(pts[-1:], pad, axis=0)])
+        cols = np.empty(len(pts), dtype=int)
+        for lo in range(0, len(pts), block):
+            sl = slice(lo, lo + block)
+            xf_, status, termid, _, _ = trace_paths(
+                fn, jnp.asarray(pts[sl]), iup=1, targets=tgtj,
+                rterm=rtj, mstep=600)
+            st = np.asarray(status)
+            ti = np.asarray(termid)
+            cc = np.where((st == 0) & (ti >= 0),
+                          tgt_ids[np.clip(ti, 0, len(tgt_ids) - 1)], -1)
+            # gradient-zero finishers (saddles/nuclei): classify by
+            # final-position proximity (the reference nudges corners
+            # for the same reason, src/qtree_gpaths)
+            gz = cc < 0
+            if gz.any():
+                xg = np.asarray(xf_)[gz]
+                d = np.linalg.norm(xg[:, None, :] - tgt[None, :, :],
+                                   axis=2)
+                kbest = d.argmin(axis=1)
+                okm = d[np.arange(len(xg)), kbest] < 0.5
+                cc[np.nonzero(gz)[0][okm]] = tgt_ids[kbest[okm]]
+            cols[sl] = cc
+        return cols[:npts]
+
     def colors_of(points):
-        """Basin color per point. Gradient-zero finishers (saddles,
-        nuclei - the reference nudges tet corners for the same reason,
-        src/qtree_gpaths) classify by final-position proximity."""
         nonlocal ntraced
         keys = [tuple(np.round(p, 8)) for p in points]
         if sphrad is not None:
-            # paint corners inside beta spheres without tracing
             d = np.linalg.norm(points[:, None, :] - tgt[None, :, :], axis=2)
             kb = d.argmin(axis=1)
             inside = d[np.arange(len(points)), kb] <= sphrad[tgt_ids[kb]]
@@ -139,59 +248,75 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
                 color_cache.setdefault(keys[i], int(tgt_ids[kb[i]]))
         need = [i for i, k in enumerate(keys) if k not in color_cache]
         if need:
-            pts = points[need]
-            cols = np.empty(len(pts), dtype=int)
-            for lo in range(0, len(pts), block):
-                sl = slice(lo, lo + block)
-                xf, status, termid, _, _ = trace_paths(
-                    fn, jnp.asarray(pts[sl]), iup=1, targets=tgtj,
-                    rterm=rtj, mstep=600)
-                st = np.asarray(status)
-                ti = np.asarray(termid)
-                cc = np.where((st == 0) & (ti >= 0),
-                              tgt_ids[np.clip(ti, 0, len(tgt_ids) - 1)], -1)
-                # gradient-zero finishers: nearest target within 0.5 bohr
-                gz = cc < 0
-                if gz.any():
-                    xg = np.asarray(xf)[gz]
-                    d = np.linalg.norm(xg[:, None, :] - tgt[None, :, :],
-                                       axis=2)
-                    kbest = d.argmin(axis=1)
-                    ok = d[np.arange(len(xg)), kbest] < 0.5
-                    cc[np.nonzero(gz)[0][ok]] = tgt_ids[kbest[ok]]
-                cols[sl] = cc
-            ntraced += len(pts)
+            cols = _traced_colors(points[need])
+            ntraced += len(need)
             for i, idx in enumerate(need):
                 color_cache[keys[idx]] = cols[i]
         return np.array([color_cache[k] for k in keys])
 
-    nat = c.ncel
     pops = np.zeros(nat + 1)
     vols = np.zeros(nat + 1)
+    nrefined = 0
 
-    def retire(tets, cols4):
-        """Integrate uniform tetrahedra: corner-sum rule (reference
-        integ_corner_sum, src/qtree_tetrawork.f90:107) or a Keast rule
-        (reference integ mode 11+keastnum)."""
-        vol = _tet_volume(tets)
-        col = cols4[:, 0]
-        if integ == "keast" and len(tets):
-            from ..ops.quadrature import keast_points
+    def _field_at(pts_flat):
+        """Batched field values with shape-stable padded evals."""
+        npts = len(pts_flat)
+        pad = (-npts) % block if npts > block else block - npts
+        p = (np.concatenate([pts_flat, np.repeat(pts_flat[-1:], pad,
+                                                 axis=0)])
+             if pad else pts_flat)
+        out = np.empty(len(p))
+        for lo in range(0, len(p), block):
+            out[lo:lo + block] = np.asarray(
+                fn(jnp.asarray(p[lo:lo + block].T))[0])
+        return out[:npts]
 
-            qpts, qw = keast_points(tets, keastnum)
-            fv = np.asarray(fn(jnp.asarray(
-                qpts.reshape(-1, 3).T))[0]).reshape(qw.shape)
-            contrib = (fv * qw).sum(axis=1)
-        else:
-            fv = np.asarray(fn(jnp.asarray(
-                tets.reshape(-1, 3).T))[0]).reshape(-1, 4)
-            contrib = vol * fv.mean(axis=1)
-        for b in range(-1, nat):
-            sel = col == b
-            pops[b] += contrib[sel].sum()
-            vols[b] += vol[sel].sum()
+    def _keast_contrib(tets_, rule):
+        from ..ops.quadrature import keast_points
 
-    tets = tets0
+        qpts, qw = keast_points(tets_, rule)
+        fv = _field_at(qpts.reshape(-1, 3)).reshape(qw.shape)
+        return (fv * qw).sum(axis=1)
+
+    def accumulate(contrib, volc, col, grp):
+        """Retire contributions, replaying each through its orbit's
+        atom permutations (the getiws multiplicity role)."""
+        colb = np.where(col < 0, nat, col)
+        for g in np.unique(grp):
+            sel = grp == g
+            for perm in orbit_perms[g]:
+                np.add.at(pops, perm[colb[sel]], contrib[sel])
+                np.add.at(vols, perm[colb[sel]], volc[sel])
+
+    def retire(tets_, col, grp):
+        """Integrate uniformly colored tetrahedra."""
+        nonlocal nrefined
+        if len(tets_) == 0:
+            return
+        if integ == "corner":
+            vol = _tet_volume(tets_)
+            fv = _field_at(tets_.reshape(-1, 3)).reshape(-1, 4)
+            accumulate(vol * fv.mean(axis=1), vol, col, grp)
+            return
+        # adaptive Keast-pair refinement queue (CUBPACK role)
+        cur_t, cur_c, cur_g = tets_, col, grp
+        depth = 0
+        while len(cur_t):
+            hi = _keast_contrib(cur_t, keastnum)
+            lo = _keast_contrib(cur_t, keastlow)
+            err = np.abs(hi - lo)
+            ok = (err <= cub_abs) | (err <= cub_rel * np.abs(hi))
+            if depth >= maxrefine:
+                ok = np.ones(len(cur_t), dtype=bool)
+            accumulate(hi[ok], _tet_volume(cur_t[ok]), cur_c[ok],
+                       cur_g[ok])
+            bad = ~ok
+            nrefined += int(bad.sum())
+            cur_t = _subdivide(cur_t[bad])
+            cur_c = np.repeat(cur_c[bad], 8)
+            cur_g = np.repeat(cur_g[bad], 8)
+            depth += 1
+
     level = 0
     while True:
         # nudge corners toward the centroid: level-0 corners sit exactly
@@ -201,27 +326,25 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
         verts = seeds.reshape(-1, 3)
         cols = colors_of(verts).reshape(-1, 4)
         uniform = (cols == cols[:, :1]).all(axis=1)
-        retire(tets[uniform], cols[uniform])
+        retire(tets[uniform], cols[uniform, 0], gidx[uniform])
         tets = tets[~uniform]
+        gidx = gidx[~uniform]
         if len(tets) == 0 or level >= maxl:
             if len(tets):
-                # deepest level: split mixed tetrahedra among corner colors
+                # deepest level: split mixed tetrahedra among corners
                 vol = _tet_volume(tets)
-                fv = np.asarray(fn(jnp.asarray(
-                    tets.reshape(-1, 3).T))[0]).reshape(-1, 4)
+                fv = _field_at(tets.reshape(-1, 3)).reshape(-1, 4)
                 cen = tets.mean(axis=1, keepdims=True)
                 ccols = colors_of((tets + 1e-3 * (cen - tets))
                                   .reshape(-1, 3)).reshape(-1, 4)
                 for corner in range(4):
-                    cb = ccols[:, corner]
-                    for b in range(-1, nat):
-                        sel = cb == b
-                        pops[b] += (0.25 * vol[sel] * fv[sel, corner]).sum()
-                        vols[b] += 0.25 * vol[sel].sum()
+                    accumulate(0.25 * vol * fv[:, corner], 0.25 * vol,
+                               ccols[:, corner], gidx)
             break
         tets = _subdivide(tets)
+        gidx = np.repeat(gidx, 8)
         level += 1
 
     names = [c.species[c.species_of[q]].name for q in range(nat)]
     return QtreeResult(names=names, pops=pops[:nat], volumes=vols[:nat],
-                       nlevels=level, ntraced=ntraced)
+                       nlevels=level, ntraced=ntraced, nrefined=nrefined)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import shlex
 import sys
+import time
 
 import numpy as np
 
@@ -89,6 +90,16 @@ class Repl:
         rest = toks[1:]
         handler = getattr(self, f"cmd_{kw}", None)
         if handler is not None:
+            from .utils import runlog
+
+            if runlog.sink():
+                t0 = time.perf_counter()
+                try:
+                    out = handler(rest, lines)
+                finally:
+                    runlog.log(kw, wall_s=time.perf_counter() - t0,
+                               args=rest, nwarns=self.nwarns)
+                return out
             return handler(rest, lines)
         if "=" in line and not line.lower().startswith(tuple(
                 k[4:] for k in dir(self) if k.startswith("cmd_"))):
@@ -1347,7 +1358,7 @@ class Repl:
                    + (f" -> {file}" if file else ""))
 
     def cmd_benchmark(self, args, lines):
-        import time
+
 
         import jax.numpy as jnp
 

@@ -104,6 +104,27 @@ def parse_symop(s):
     return rot, trans
 
 
+def _split_blocks(tokens):
+    """Split the token stream into (name, tokens) data blocks.  A CIF
+    with no data_ header is one anonymous block (ciftbx data_ accepts
+    any block; reference read_cif takes the first,
+    src/crystalseedmod@proc.f90 read_cif)."""
+    blocks = []
+    cur_name, cur = "", []
+    for t in tokens:
+        if t.lower().startswith("data_") and len(t) >= 5:
+            if cur or blocks or cur_name:
+                blocks.append((cur_name, cur))
+            cur_name, cur = t[5:], []
+        else:
+            cur.append(t)
+    blocks.append((cur_name, cur))
+    # drop an empty anonymous leader (file starts with data_)
+    if len(blocks) > 1 and blocks[0] == ("", []):
+        blocks = blocks[1:]
+    return blocks
+
+
 def _parse_block(tokens):
     """One data block -> dict of tags and list-of-dict loops."""
     tags = {}
@@ -140,10 +161,65 @@ def _parse_block(tokens):
     return tags, loops
 
 
-def read_cif(path: str, block: int = 0) -> CrystalSeed:
+def _ops_from_spg_tags(tags):
+    """Symmetry ops from space-group name/number tags via the Shmueli
+    settings DB (the reference resolves the same tags through spgs,
+    src/crystalseedmod@proc.f90 read_cif + src/spgs.f90:739)."""
+    from ..crystal import spgs
+
+    sid = None
+    for key in ("_symmetry_space_group_name_h-m",
+                "_space_group_name_h-m_alt"):
+        sym = tags.get(key)
+        if sym and sym not in ("?", "."):
+            sid = spgs.symbol_to_id(sym)
+            if sid:
+                break
+    if sid is None:
+        for key in ("_space_group_it_number",
+                    "_symmetry_int_tables_number"):
+            v = tags.get(key)
+            if v and v not in ("?", "."):
+                ita = int(_num(v))
+                db = spgs._db()
+                try:
+                    sid = db["ita_number"].index(ita) + 1
+                except ValueError:
+                    pass
+                break
+    if sid is None:
+        return []
+    st = spgs.setting(sid)
+    R, T = st.full_ops()
+    return [(R[i].astype(float), T[i]) for i in range(len(R))]
+
+
+def read_cif(path: str, block: int | str = 0) -> CrystalSeed:
+    """Read data block `block` (index or data_ name) of a CIF file.
+
+    Beyond the clean-file subset, this covers the ciftbx behaviors the
+    reference relies on (src/ciftbx/ + read_cif,
+    src/crystalseedmod@proc.f90): multiple data blocks, '?'/'.'
+    unknown values, and space-group recovery from the H-M symbol or
+    ITA number (via the Shmueli spgs DB) when no symop loop exists."""
     text = open(path, errors="replace").read()
-    tokens = _tokenize(text)
-    tags, loops = _parse_block(tokens)
+    blocks = _split_blocks(_tokenize(text))
+    if isinstance(block, str):
+        names = [b[0].lower() for b in blocks]
+        if block.lower() not in names:
+            raise ValueError(f"no data_{block} block in {path} "
+                             f"(have: {[b[0] for b in blocks]})")
+        btoks = blocks[names.index(block.lower())][1]
+    else:
+        # skip blocks without a cell (e.g. publication-metadata blocks)
+        withcell = [b for b in blocks
+                    if any(t.lower() == "_cell_length_a" for t in b[1])]
+        pick = withcell if withcell else blocks
+        if block >= len(pick):
+            raise ValueError(f"CIF block {block} out of range "
+                             f"({len(pick)} blocks in {path})")
+        btoks = pick[block][1]
+    tags, loops = _parse_block(btoks)
 
     aa = [_num(tags[f"_cell_length_{k}"]) * param.ANGSTROM_TO_BOHR
           for k in "abc"]
@@ -165,6 +241,10 @@ def read_cif(path: str, block: int = 0) -> CrystalSeed:
             if key in tags:
                 ops = [parse_symop(tags[key])]
     if not ops:
+        # recover the group from the H-M symbol or ITA number
+        # (reference: ciftbx tags + spgs lookup, src/spgs.f90:739)
+        ops = _ops_from_spg_tags(tags)
+    if not ops:
         ops = [(np.eye(3), np.zeros(3))]
 
     # atom sites
@@ -180,11 +260,15 @@ def read_cif(path: str, block: int = 0) -> CrystalSeed:
     spmap = {}
     frac, spof = [], []
     for r in sites:
-        lbl = r.get("_atom_site_type_symbol") or r.get("_atom_site_label")
+        lbl = r.get("_atom_site_type_symbol")
+        if not lbl or lbl in ("?", "."):
+            lbl = r.get("_atom_site_label")
         z = param.symbol_to_z(lbl)
-        x = np.array([_num(r["_atom_site_fract_x"]),
-                      _num(r["_atom_site_fract_y"]),
-                      _num(r["_atom_site_fract_z"])])
+        xyz = [r["_atom_site_fract_x"], r["_atom_site_fract_y"],
+               r["_atom_site_fract_z"]]
+        if any(v in ("?", ".") for v in xyz):
+            continue                       # unknown position (ciftbx '?')
+        x = np.array([_num(v) for v in xyz])
         key = (lbl.rstrip("0123456789+-"), z)
         if key not in spmap:
             spmap[key] = len(species)

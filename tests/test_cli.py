@@ -299,3 +299,18 @@ def test_environ_shells():
     txt = out.getvalue()
     assert "3.978818        O   6" in txt
     assert "5.626899       Mg  12" in txt
+
+
+def test_runlog(tmp_path, monkeypatch):
+    """CRITIC2_RUNLOG: one JSON line per dispatched keyword (the
+    metrics/logging role of SURVEY section 5; reference apparatus is
+    the tictac section clocks, src/tools_io@proc.F90:1276)."""
+    import json
+
+    log = tmp_path / "run.jsonl"
+    monkeypatch.setenv("CRITIC2_RUNLOG", str(log))
+    r = Repl(out=io.StringIO())
+    r.run_script("crystal library mgo\nbogus_keyword 1 2\n")
+    recs = [json.loads(l) for l in log.read_text().splitlines()]
+    assert [x["kw"] for x in recs] == ["crystal"]  # unknown kw warns, no rec
+    assert recs[0]["wall_s"] >= 0 and recs[0]["nwarns"] == 0

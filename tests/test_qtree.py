@@ -35,3 +35,25 @@ def test_qtree_cscl():
     # both basins hold charge; the heavier atom holds more
     assert res.pops[1] > res.pops[0] > 0
     assert res.ntraced > 500
+
+
+@pytest.mark.slow
+def test_qtree_symmetry_reduction_parity():
+    """Site-point-group orbit reduction (reference getiws role,
+    src/crystalmod.f90:176) must reproduce the unreduced partition:
+    basin populations agree to roundoff, volumes tile the cell, and
+    the reduction actually saves gradient traces."""
+    c = Crystal(m_x2c=m_x2c_from_cellpar([7.0, 7.0, 7.0], [90, 90, 90]),
+                x_frac=np.array([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]]),
+                species_of=np.array([0, 1]),
+                species=[Species("Na", 11), Species("Cl", 17)])
+    s = System.from_structure(c)
+    r_sym = qtree_integrate(s, maxl=2, usesym=True, integ="corner")
+    r_nos = qtree_integrate(s, maxl=2, usesym=False, integ="corner")
+    assert abs(r_sym.volumes.sum() - c.volume) < 1e-6 * c.volume
+    # a few deepest-level boundary corners stay uncolored in the
+    # unreduced sweep (they sit exactly on basin boundaries)
+    assert abs(r_nos.volumes.sum() - c.volume) < 3e-3 * c.volume
+    rel = np.abs(r_sym.pops - r_nos.pops) / r_nos.pops.max()
+    assert rel.max() < 1e-6
+    assert r_sym.ntraced < r_nos.ntraced / 4

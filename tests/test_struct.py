@@ -103,6 +103,74 @@ Cl1 0.5 0.5 0.5
     assert zs == [11, 11, 11, 11, 17, 17, 17, 17]
 
 
+def test_cif_messy(tmp_path):
+    """ciftbx-coverage behaviors (reference src/ciftbx/ + read_cif,
+    src/crystalseedmod@proc.f90): multiple data blocks, H-M-symbol-only
+    symmetry via the spgs DB, '?'/'.' unknowns, uncertainty suffixes,
+    semicolon text fields, label-only species."""
+    from critic2_tpu.io.cif import read_cif
+
+    cif = """data_publication
+_journal_name 'Acta Mess.'
+_publ_author_name
+;
+ A. Author
+;
+data_NaCl
+_cell_length_a 5.6402(12)
+_cell_length_b 5.6402(12)
+_cell_length_c 5.6402(12)
+_cell_angle_alpha 90
+_cell_angle_beta 90.0
+_cell_angle_gamma 90
+_symmetry_space_group_name_H-M 'F m -3 m'
+_chemical_formula_sum ?
+loop_
+_atom_site_label
+_atom_site_type_symbol
+_atom_site_fract_x
+_atom_site_fract_y
+_atom_site_fract_z
+_atom_site_occupancy
+Na1 ? 0.0 0.0 0.0 1.0
+Cl1 Cl 0.5 0.5 0.5 1.0
+X9 ? ? ? ? 0.0
+"""
+    p = tmp_path / "messy.cif"
+    p.write_text(cif)
+    seed = read_cif(str(p))               # first block WITH a cell
+    assert len(seed.x_frac) == 8          # Fm-3m expands 2 sites to 8
+    assert sorted(s.z for s in seed.species) == [11, 17]
+    seed2 = read_cif(str(p), block="NaCl")  # by-name selection
+    assert len(seed2.x_frac) == 8
+    with pytest.raises(ValueError):
+        read_cif(str(p), block="absent")
+
+
+def test_cif_ita_number_fallback(tmp_path):
+    from critic2_tpu.io.cif import read_cif
+
+    cif = """data_x
+_cell_length_a 5.0
+_cell_length_b 5.0
+_cell_length_c 5.0
+_cell_angle_alpha 90
+_cell_angle_beta 90
+_cell_angle_gamma 90
+_space_group_IT_number 229
+loop_
+_atom_site_label
+_atom_site_fract_x
+_atom_site_fract_y
+_atom_site_fract_z
+Fe1 0.0 0.0 0.0
+"""
+    p = tmp_path / "im3m.cif"
+    p.write_text(cif)
+    seed = read_cif(str(p))
+    assert len(seed.x_frac) == 2          # Im-3m body-centering
+
+
 def test_packing_ratio():
     assert 0 < packing_ratio(_nacl()) < 100
 

@@ -31,6 +31,20 @@ import numpy as np
 
 _REF_FCHK = "/root/reference/tests_cint/benzene-631gs.fchk"
 
+# Measured single-core CPU walls of the reference algorithms on this
+# host (no Fortran compiler exists in this image, so the C++ ports in
+# native/critic2_native.cpp stand in for the reference executable:
+# same sequential Yu-Trinkle sweep src/yt@proc.f90:106-190, same
+# Lekien-Marsden tricubic src/grid3mod). Methodology + raw runs:
+# BASELINE.md "Measured CPU" table. tools/measure_cpu_baseline.py
+# regenerates these.
+CPU_MEASURED = {
+    "yt48_cpu_seq_wall_s": 0.19,
+    "yt128_cpu_seq_wall_s": 6.90,
+    "yt256_cpu_seq_wall_s": 63.3,
+    "tricubic_cpu_evals_per_s": 2.1e5,     # value+grad+Hess, 1 core
+}
+
 
 def _nacl_system(shape, cache: bool = False):
     import jax.numpy as jnp
