@@ -18,6 +18,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: jit compiles dominate the suite's wall time
+# (VERDICT round-1 weak #8); with a warm cache reruns drop from >10 min
+# to the actual compute time
+jax.config.update("jax_compilation_cache_dir", "/tmp/critic2_tpu_testcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

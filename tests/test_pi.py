@@ -112,8 +112,18 @@ def test_pi_field_eval_and_derivatives(ion_files):
         np.testing.assert_allclose(hess[:, :, k], (gp - gm) / (2 * h),
                                    rtol=5e-5, atol=1e-8)
 
+
+@pytest.mark.slow
+def test_pi_cell_integral(ion_files):
     # periodic cell integral = total electrons per cell (2 He + 3 Li,
-    # scaled by the orbital norms of the fits)
+    # scaled by the orbital norms of the fits); needs a 40^3 grid to
+    # resolve the nuclear cusps
+    he, li = ion_files
+    c = Crystal(m_x2c=np.eye(3) * 12.0,
+                x_frac=np.array([[0.25, 0.25, 0.25], [0.75, 0.5, 0.5]]),
+                species_of=np.array([0, 1]),
+                species=[Species("He", 2), Species("Li", 3)])
+    pf = PiField.from_files(c, {"He": he, "Li": li})
     n = 40
     i, j, k = np.meshgrid(*[np.arange(n)] * 3, indexing="ij")
     xc = np.stack([i, j, k], -1).reshape(-1, 3) / n * 12.0
