@@ -42,7 +42,11 @@ _FR_ZETA = np.array([
     1.4, 1.2, 1.2, 1.3, 1.4, 1.4, 1.7, 1.9, 1.9, 2.0,
     2.0, 1.6, 2.0])
 
-_LVL = {"small": 1, "normal": 2, "good": 3, "vgood": 4, "amazing": 5}
+_LVL = {"small": 1, "normal": 2, "good": 3, "vgood": 4, "amazing": 5,
+        "ultra": 6}  # ultra: beyond the reference's 5 levels
+                     # (src/meshmod@proc.f90 z2nr/z2nang stop at
+                     # "amazing"); used by the parity harness to push
+                     # mesh NELEC error under the 1e-6 basin-charge bar
 
 
 def z2nr(z: int, lvl: int = 3) -> int:
@@ -52,18 +56,19 @@ def z2nr(z: int, lvl: int = 3) -> int:
                      (86, 110)):
         if z > thr:
             nr = val
-    fac = {1: 2.37, 2: 3.08, 3: 3.42, 4: 4.27, 5: 6.72}[lvl]
+    fac = {1: 2.37, 2: 3.08, 3: 3.42, 4: 4.27, 5: 6.72,
+           6: 10.1}[lvl]
     return int(np.ceil(nr * fac))
 
 
 def z2nang(z: int, lvl: int = 3) -> int:
     """Angular node-count target (reference z2nang; Lebedev sizes)."""
-    return {1: 110, 2: 194, 3: 302, 4: 590, 5: 770}[lvl]
+    return {1: 110, 2: 194, 3: 302, 4: 590, 5: 770, 6: 1202}[lvl]
 
 
 def _lebedev_degree(nang: int) -> int:
     """Polynomial degree of the Lebedev rule of size ~nang."""
-    table = {110: 17, 194: 23, 302: 29, 590: 41, 770: 47}
+    table = {110: 17, 194: 23, 302: 29, 590: 41, 770: 47, 1202: 59}
     return table.get(nang, int(np.sqrt(3 * nang)))
 
 

@@ -204,3 +204,15 @@ def test_spin_channel_modifiers(h2o):
     r_up, r_dn = (np.asarray(v) for v in
                   w2.rho_spin_soa(np.asarray(pts).T))
     assert (r_up >= r_dn - 1e-14).all() and r_up.sum() > r_dn.sum()
+
+
+@pytest.mark.slow
+def test_nelec_converges_under_basin_bar():
+    """Mesh NELEC at the 'ultra' quality level must sit under the 1e-6
+    basin-charge parity bar (VERDICT round-1: converged-mesh
+    demonstration; reference apparatus src/meshmod@proc.f90 z2nr/z2nang
+    + molcalc)."""
+    s = System.from_structure(BENZENE)
+    s.load_field(BENZENE)
+    n = molcalc_nelec(s, lvl="ultra")
+    assert abs(n - 42.0) < 1e-6
