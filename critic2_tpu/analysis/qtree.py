@@ -146,7 +146,8 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
                     block: int = 1 << 13, integ: str = "keast",
                     keastnum: int = 7, keastlow: int = 4,
                     cub_abs: float = 1e-7, cub_rel: float = 1e-6,
-                    maxrefine: int = 8, usesym: bool = True,
+                    maxrefine: int = 8, max_queue: int = 1 << 16,
+                    usesym: bool = True,
                     sphfactor: float = 0.0) -> QtreeResult:
     """Basin populations/volumes of the reference field by qtree coloring.
 
@@ -298,7 +299,12 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
             fv = _field_at(tets_.reshape(-1, 3)).reshape(-1, 4)
             accumulate(vol * fv.mean(axis=1), vol, col, grp)
             return
-        # adaptive Keast-pair refinement queue (CUBPACK role)
+        # adaptive Keast-pair refinement queue (CUBPACK role). The
+        # queue is error-budgeted: nuclear-cusp tetrahedra would
+        # otherwise subdivide 8-fold to maxrefine (8^maxrefine blowup,
+        # the CUBPACK MAXPTS role) - when a depth exceeds max_queue
+        # candidates only the worst-error max_queue/8 refine further
+        # and the rest retire with the high-order estimate.
         cur_t, cur_c, cur_g = tets_, col, grp
         depth = 0
         while len(cur_t):
@@ -308,6 +314,11 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
             ok = (err <= cub_abs) | (err <= cub_rel * np.abs(hi))
             if depth >= maxrefine:
                 ok = np.ones(len(cur_t), dtype=bool)
+            elif (~ok).sum() * 8 > max_queue:
+                worst = np.argsort(err)[-(max_queue // 8):]
+                keep_bad = np.zeros(len(cur_t), dtype=bool)
+                keep_bad[worst] = True
+                ok = ok | ~keep_bad
             accumulate(hi[ok], _tet_volume(cur_t[ok]), cur_c[ok],
                        cur_g[ok])
             bad = ~ok

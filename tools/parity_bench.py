@@ -153,16 +153,16 @@ def run_big(deadline_s: float = 900.0, n: int = 256) -> dict:
         return out
 
     # --- qtree (BASELINE config 5 shape) ----------------------------
-    if left() > 120:
+    if left() > 300:
         from critic2_tpu.analysis.qtree import qtree_integrate
 
         s.iref = 0                               # analytic promolecular
-        qt = qtree_integrate(s, maxl=5, sphfactor=0.9)   # warmup
+        qt = qtree_integrate(s, maxl=4, sphfactor=0.9)   # warmup
         stage("qtree warm")
         t0 = time.perf_counter()
-        qt = qtree_integrate(s, maxl=5, sphfactor=0.9)
+        qt = qtree_integrate(s, maxl=4, sphfactor=0.9)
         out["qtree_wall_s"] = round(time.perf_counter() - t0, 2)
-        out["qtree_maxl"] = 5
+        out["qtree_maxl"] = 4
         # parity: qtree basin populations vs the YT charges of the
         # same (promolecular) field, matched by sorted charge
         qq = np.sort(np.asarray(qt.pops))[::-1]
