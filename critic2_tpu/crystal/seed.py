@@ -938,6 +938,14 @@ def _qe_ibrav_cell(ibrav: int, celldm) -> np.ndarray:
         ty = np.sqrt((1 - cg) / 6)
         tz = np.sqrt((1 + 2 * cg) / 3)
         v = a * np.array([[tx, -ty, tz], [0, 2 * ty, tz], [-tx, -ty, tz]])
+    elif ibrav == -5:
+        # trigonal, threefold axis along (111) (reference qe_latgen,
+        # src/crystalseedmod@proc.f90:4851)
+        t1 = np.sqrt(1 + 2 * celldm[4])
+        t2 = np.sqrt(1 - celldm[4])
+        u = a * (t1 - 2 * t2) / 3
+        w = a * (t1 + t2) / 3
+        v = np.array([[u, w, w], [w, u, w], [w, w, u]])
     elif ibrav == 6:
         v = np.diag([a, a, c])
     elif ibrav == 7:
@@ -956,6 +964,12 @@ def _qe_ibrav_cell(ibrav: int, celldm) -> np.ndarray:
         cg = celldm[4]
         sg = np.sqrt(1 - cg * cg)
         v = np.array([[a, 0, 0], [b * cg, b * sg, 0], [0, 0, c]])
+    elif ibrav == -12:
+        # simple monoclinic, unique axis b (reference qe_latgen,
+        # src/crystalseedmod@proc.f90:4927)
+        cb = celldm[4]
+        sb = np.sqrt(1 - cb * cb)
+        v = np.array([[a, 0, 0], [0, b, 0], [c * cb, 0, c * sb]])
     elif ibrav == 13:
         cg = celldm[4]
         sg = np.sqrt(1 - cg * cg)
