@@ -272,12 +272,49 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
                 fn(jnp.asarray(p[lo:lo + block].T))[0])
         return out[:npts]
 
+    def _outside_spheres(pts):
+        """1.0 where the point lies outside every atom's beta sphere
+        (min-image via the 27-cell target images), else 0.0."""
+        d = np.linalg.norm(pts[:, None, :] - tgt[None, :, :], axis=2)
+        inside = (d < sphrad[tgt_ids][None, :]).any(axis=1)
+        return np.where(inside, 0.0, 1.0)
+
     def _keast_contrib(tets_, rule):
+        """Keast-rule (integral, volume) per tetrahedron. With beta
+        spheres active, sphere interiors are excluded from the cubature
+        (the reference integrates them by radial quadrature instead -
+        qtree sphere integration, src/qtree@proc.f90 beta-sphere flow);
+        the volume is then the same rule applied to the exterior
+        indicator, so pops and vols stay consistent."""
         from ..ops.quadrature import keast_points
 
         qpts, qw = keast_points(tets_, rule)
         fv = _field_at(qpts.reshape(-1, 3)).reshape(qw.shape)
-        return (fv * qw).sum(axis=1)
+        if sphrad is not None:
+            outs = _outside_spheres(qpts.reshape(-1, 3)).reshape(qw.shape)
+            fv = fv * outs
+            volq = (outs * qw).sum(axis=1)
+        else:
+            volq = qw.sum(axis=1)          # = tet volume (weights sum)
+        return (fv * qw).sum(axis=1), volq
+
+    def _sphere_integrals(nrad: int = 64, nang: int = 170):
+        """Beta-sphere interiors by Gauss-Legendre radial x Lebedev
+        angular quadrature - the nuclear cusp never reaches the
+        tetrahedral cubature (reference sphere integration role)."""
+        from ..ops.lebedev import lebedev
+
+        sph, wang = lebedev(nang)          # wang sums to 1
+        xg, wg = np.polynomial.legendre.leggauss(nrad)
+        for a in range(nat):
+            R = sphrad[a]
+            r = 0.5 * R * (xg + 1.0)
+            wr = 0.5 * R * wg * 4.0 * np.pi * r * r
+            pts = (np.asarray(c.x_cart[a])[None, None, :]
+                   + r[:, None, None] * sph[None, :, :]).reshape(-1, 3)
+            fv = _field_at(pts).reshape(nrad, len(sph))
+            pops[a] += float((fv @ wang) @ wr)
+            vols[a] += 4.0 / 3.0 * np.pi * R ** 3
 
     def accumulate(contrib, volc, col, grp):
         """Retire contributions, replaying each through its orbit's
@@ -308,10 +345,19 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
         cur_t, cur_c, cur_g = tets_, col, grp
         depth = 0
         while len(cur_t):
-            hi = _keast_contrib(cur_t, keastnum)
-            lo = _keast_contrib(cur_t, keastlow)
+            hi, volhi = _keast_contrib(cur_t, keastnum)
+            lo, _ = _keast_contrib(cur_t, keastlow)
             err = np.abs(hi - lo)
             ok = (err <= cub_abs) | (err <= cub_rel * np.abs(hi))
+            if sphrad is not None and depth >= 3:
+                # sphere-boundary discontinuity: the Keast pair keeps
+                # disagreeing on tets crossing a beta-sphere surface no
+                # matter how deep; 3 halvings localize the shell, then
+                # the masked high-order estimate retires (the residual
+                # is O(h^4) of the shell volume)
+                co = _outside_spheres(cur_t.reshape(-1, 3)).reshape(-1, 4)
+                crossing = (co.min(axis=1) == 0.0) & (co.max(axis=1) == 1.0)
+                ok = ok | crossing
             if depth >= maxrefine:
                 ok = np.ones(len(cur_t), dtype=bool)
             elif (~ok).sum() * 8 > max_queue:
@@ -319,8 +365,7 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
                 keep_bad = np.zeros(len(cur_t), dtype=bool)
                 keep_bad[worst] = True
                 ok = ok | ~keep_bad
-            accumulate(hi[ok], _tet_volume(cur_t[ok]), cur_c[ok],
-                       cur_g[ok])
+            accumulate(hi[ok], volhi[ok], cur_c[ok], cur_g[ok])
             bad = ~ok
             nrefined += int(bad.sum())
             cur_t = _subdivide(cur_t[bad])
@@ -345,16 +390,25 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
                 # deepest level: split mixed tetrahedra among corners
                 vol = _tet_volume(tets)
                 fv = _field_at(tets.reshape(-1, 3)).reshape(-1, 4)
+                if sphrad is not None and integ != "corner":
+                    outs = _outside_spheres(
+                        tets.reshape(-1, 3)).reshape(-1, 4)
+                else:
+                    outs = np.ones_like(fv)
                 cen = tets.mean(axis=1, keepdims=True)
                 ccols = colors_of((tets + 1e-3 * (cen - tets))
                                   .reshape(-1, 3)).reshape(-1, 4)
                 for corner in range(4):
-                    accumulate(0.25 * vol * fv[:, corner], 0.25 * vol,
-                               ccols[:, corner], gidx)
+                    oc = outs[:, corner]
+                    accumulate(0.25 * vol * fv[:, corner] * oc,
+                               0.25 * vol * oc, ccols[:, corner], gidx)
             break
         tets = _subdivide(tets)
         gidx = np.repeat(gidx, 8)
         level += 1
+
+    if sphrad is not None and integ != "corner":
+        _sphere_integrals()
 
     names = [c.species[c.species_of[q]].name for q in range(nat)]
     return QtreeResult(names=names, pops=pops[:nat], volumes=vols[:nat],
