@@ -1270,6 +1270,19 @@ class Repl:
             self.opts.setdefault("sphfactor", {})[args[0]] =                 float(args[1])
         self.write(f"+ sphfactor = {self.opts['sphfactor']}")
 
+    def cmd_clearsymm(self, args, lines):
+        """CLEARSYM/CLEARSYMM: drop all symmetry operations - the
+        structure becomes P1 with every atom inequivalent (reference
+        struct_clearsym, src/struct_drivers.f90:54)."""
+        sy = self.need_system()
+        c = sy.crystal
+        c.nosym = True
+        c._sg = None                     # rebuilt lazily as P1
+        self.write("* CLEARSYM: cleared symmetry; structure is now P1 "
+                   f"({c.ncel} inequivalent atoms)")
+
+    cmd_clearsym = cmd_clearsymm
+
     def cmd_run(self, args, lines):
         """RUN/SYSTEM <command>: shell escape (reference
         src/critic2.F90:535-536)."""
@@ -1283,6 +1296,8 @@ class Repl:
         if r.returncode != 0:
             self.warn(f"RUN exited with {r.returncode}: "
                       f"{r.stderr.strip()[:200]}")
+
+    cmd_system = cmd_run
 
     cmd_system = cmd_run
 

@@ -314,3 +314,16 @@ def test_runlog(tmp_path, monkeypatch):
     recs = [json.loads(l) for l in log.read_text().splitlines()]
     assert [x["kw"] for x in recs] == ["crystal"]  # unknown kw warns, no rec
     assert recs[0]["wall_s"] >= 0 and recs[0]["nwarns"] == 0
+
+
+def test_clearsymm_and_system(tmp_path):
+    """CLEARSYM drops to P1 (reference struct_clearsym,
+    src/struct_drivers.f90:54); SYSTEM is the shell escape
+    (src/critic2.F90:535)."""
+    out = io.StringIO()
+    r = Repl(out=out)
+    r.run_script("crystal library mgo\nclearsymm\nsystem echo marker42\n")
+    assert "now P1" in out.getvalue()
+    assert "marker42" in out.getvalue()
+    assert r.sy.crystal.spacegroup.nops == 1
+    assert r.nwarns == 0
