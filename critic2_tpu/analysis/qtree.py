@@ -191,7 +191,6 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
     tgt = c.x2c(imgs)
     tgt_ids = np.tile(np.arange(nat), len(shifts))
     tgtj = jnp.asarray(tgt)
-    rtj = jnp.full(len(tgt), 0.2)
 
     color_cache: dict = {}
     ntraced = 0
@@ -205,6 +204,13 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
             d = c.distance(np.delete(allpos, i, axis=0), allpos[i])
             dmin = float(np.min(d)) if np.size(d) else float(np.min(c.aa))
             sphrad[i] = sphfactor * 0.5 * dmin
+
+    # traces terminate at the beta-sphere surface when spheres are
+    # active (a gradient path entering the sphere of atom a must end at
+    # a - the reference's qtree_gpaths use of beta spheres); else at
+    # the reference's default 0.2-bohr capture radius
+    rtj = (jnp.asarray(sphrad[tgt_ids]) if sphrad is not None
+           else jnp.full(len(tgt), 0.2))
 
     def _traced_colors(pts):
         """One padded fixed-size batched trace -> colors. Padding keeps
