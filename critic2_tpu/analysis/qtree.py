@@ -148,7 +148,7 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
                     cub_abs: float = 1e-7, cub_rel: float = 1e-6,
                     maxrefine: int = 8, max_queue: int = 1 << 16,
                     usesym: bool = True,
-                    sphfactor: float = 0.0) -> QtreeResult:
+                    sphfactor: float | None = None) -> QtreeResult:
     """Basin populations/volumes of the reference field by qtree coloring.
 
     The WS cell is centered on an atom (default: atom 0, the reference
@@ -162,9 +162,13 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
     usesym reduces the tetrahedra to site-point-group orbit
     representatives (reference getiws) and replays contributions
     through the orbit atom permutations.
-    sphfactor > 0 pre-colors corners inside each atom's beta sphere
-    (radius = sphfactor * half nearest-neighbor distance, reference
-    paint_inside_spheres).
+    Beta spheres (reference: always on - initial radius rnn/2 shrunk
+    until verified, src/qtree@proc.f90:770,816): sphfactor=None (the
+    default) starts each atom at 0.8 * rnn/2 and shrinks by 25% until
+    every surface gradient path terminates at its own nucleus;
+    sphfactor > 0 freezes radius = sphfactor * rnn/2 (reference frozen
+    branch, :807); sphfactor = 0 disables spheres. Sphere interiors
+    integrate by radial quadrature, tetrahedra only the exterior.
     """
     c = system.crystal
     f = system.ref
@@ -197,22 +201,15 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
 
     # beta spheres: radius per cell atom (reference AUTOSPH/SPHFACTOR)
     sphrad = None
-    if sphfactor > 0:
+    if sphfactor is None or sphfactor > 0:
         allpos = np.asarray(c.x_frac)
         sphrad = np.empty(nat)
         for i in range(nat):
             d = c.distance(np.delete(allpos, i, axis=0), allpos[i])
             dmin = float(np.min(d)) if np.size(d) else float(np.min(c.aa))
-            sphrad[i] = sphfactor * 0.5 * dmin
+            sphrad[i] = (sphfactor if sphfactor else 0.8) * 0.5 * dmin
 
-    # traces terminate at the beta-sphere surface when spheres are
-    # active (a gradient path entering the sphere of atom a must end at
-    # a - the reference's qtree_gpaths use of beta spheres); else at
-    # the reference's default 0.2-bohr capture radius
-    rtj = (jnp.asarray(sphrad[tgt_ids]) if sphrad is not None
-           else jnp.full(len(tgt), 0.2))
-
-    def _traced_colors(pts):
+    def _traced_colors(pts, rt):
         """One padded fixed-size batched trace -> colors. Padding keeps
         a single compiled device program across levels (variable batch
         shapes recompile the unrolled ODE chunk every level)."""
@@ -225,7 +222,7 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
             sl = slice(lo, lo + block)
             xf_, status, termid, _, _ = trace_paths(
                 fn, jnp.asarray(pts[sl]), iup=1, targets=tgtj,
-                rterm=rtj, mstep=600)
+                rterm=rt, mstep=600)
             st = np.asarray(status)
             ti = np.asarray(termid)
             cc = np.where((st == 0) & (ti >= 0),
@@ -244,6 +241,32 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
             cols[sl] = cc
         return cols[:npts]
 
+    # beta-sphere verification (reference find_beta / tetrahedral-grid
+    # branch, src/qtree@proc.f90:816,963): shrink each auto radius
+    # until every surface gradient path terminates at its own nucleus
+    if sphfactor is None and sphrad is not None:
+        from ..ops.lebedev import lebedev
+
+        dirs, _ = lebedev(26)
+        rt_small = jnp.full(len(tgt), 0.2)
+        xc_at = np.asarray(c.x_cart)
+        for _ in range(5):
+            pts = (xc_at[:, None, :]
+                   + sphrad[:, None, None] * dirs[None, :, :]).reshape(-1, 3)
+            cols = _traced_colors(pts, rt_small).reshape(nat, len(dirs))
+            ntraced += pts.shape[0]
+            bad = (cols != np.arange(nat)[:, None]).any(axis=1)
+            if not bad.any():
+                break
+            sphrad[bad] *= 0.75
+
+    # traces terminate at the beta-sphere surface when spheres are
+    # active (a gradient path entering the sphere of atom a must end at
+    # a - the reference's qtree_gpaths use of beta spheres); else at
+    # the reference's default 0.2-bohr capture radius
+    rtj = (jnp.asarray(sphrad[tgt_ids]) if sphrad is not None
+           else jnp.full(len(tgt), 0.2))
+
     def colors_of(points):
         nonlocal ntraced
         keys = [tuple(np.round(p, 8)) for p in points]
@@ -255,7 +278,7 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
                 color_cache.setdefault(keys[i], int(tgt_ids[kb[i]]))
         need = [i for i, k in enumerate(keys) if k not in color_cache]
         if need:
-            cols = _traced_colors(points[need])
+            cols = _traced_colors(points[need], rtj)
             ntraced += len(need)
             for i, idx in enumerate(need):
                 color_cache[keys[idx]] = cols[i]
