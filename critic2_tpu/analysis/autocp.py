@@ -116,6 +116,20 @@ def _barycentric_subdivide(verts: np.ndarray, depth: int, out: list):
 
 
 def seed_ws(crystal, x0=(0.0, 0.0, 0.0), depth: int = 1, rad: float = -1.0):
+    """Cached wrapper: the WS subdivision depends only on the crystal
+    geometry, not the field - repeated AUTO runs (e.g. per-field) reuse
+    the host-side seed generation (~0.4 s at depth 2)."""
+    key = (tuple(np.round(np.asarray(x0, float), 12)), depth, rad)
+    cache = getattr(crystal, "_ws_seed_cache", None)
+    if cache is None:
+        cache = crystal._ws_seed_cache = {}
+    if key not in cache:
+        cache[key] = _seed_ws_impl(crystal, x0, depth, rad)
+    return cache[key]
+
+
+def _seed_ws_impl(crystal, x0=(0.0, 0.0, 0.0), depth: int = 1,
+                  rad: float = -1.0):
     """Seeds from recursive barycentric subdivision of the WS cell
     (reference styp_ws, src/autocp@proc.f90:356-369 + getiws,
     src/crystalmod@proc.f90): tetrahedra (origin, face center, vertex,
