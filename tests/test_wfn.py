@@ -216,3 +216,17 @@ def test_nelec_converges_under_basin_bar():
     s.load_field(BENZENE)
     n = molcalc_nelec(s, lvl="ultra")
     assert abs(n - 42.0) < 1e-6
+
+
+@pytest.mark.slow
+def test_benzene_auto_topology():
+    """AUTO on the benzene 6-31G* wavefunction (the cps_large workload
+    shape, examples/cps_large/12_di.cri): the exact benzene topology -
+    12 nuclei, 12 bond CPs, 1 ring CP, Morse sum 1."""
+    from critic2_tpu.analysis.autocp import autocp
+
+    s = System.from_structure(BENZENE)
+    s.load_field(BENZENE)
+    s.iref = 1
+    cpl = autocp(s, verbose=False)
+    assert cpl.counts() == (12, 12, 1, 0)

@@ -318,6 +318,17 @@ def run_parity(small: bool = False, deadline_s: float = 900.0) -> dict:
         out["wfn_mesh_ultra_wall_s"] = round(time.perf_counter() - t0, 3)
         out["wfn_nelec_err_ultra"] = round(abs(nelec_u - 42.0), 10)
 
+        # molecular-wfn AUTO (the cps_large workload shape: AUTO on a
+        # GTO wavefunction, examples/cps_large/12_di.cri) - benzene
+        # topology is exact: 12 nuclei / 12 bonds / 1 ring, Morse sum 1
+        cplw = autocp(sw, verbose=False)           # warmup
+        t0 = time.perf_counter()
+        cplw = autocp(sw, verbose=False)
+        out["wfn_auto_wall_s"] = round(time.perf_counter() - t0, 3)
+        n_, b_, r_, c_ = cplw.counts()
+        out["wfn_auto_counts"] = [n_, b_, r_, c_]
+        out["wfn_auto_morse"] = n_ - b_ + r_ - c_
+
     return out
 
 
