@@ -329,6 +329,20 @@ def run_parity(small: bool = False, deadline_s: float = 900.0) -> dict:
         out["wfn_auto_counts"] = [n_, b_, r_, c_]
         out["wfn_auto_morse"] = n_ - b_ + r_ - c_
 
+        # gradient-path flux tracing (the other half of BASELINE
+        # config 5): a sphere of flux seeds around one C nucleus
+        from critic2_tpu.analysis.flux import fluxprint
+
+        rng = np.random.default_rng(3)
+        u = rng.normal(size=(64, 3))
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        seeds = np.asarray(sw.crystal.x_cart[0]) + 0.3 * u
+        scene = fluxprint(sw, seeds, iup=-1)       # warmup (downhill)
+        t0 = time.perf_counter()
+        scene = fluxprint(sw, seeds, iup=-1)
+        out["wfn_flux_wall_s"] = round(time.perf_counter() - t0, 3)
+        out["wfn_flux_nseg"] = len(scene.seg)
+
     return out
 
 
