@@ -416,21 +416,33 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
         gidx = gidx[~uniform]
         if len(tets) == 0 or level >= maxl:
             if len(tets):
-                # deepest level: split mixed tetrahedra among corners
-                vol = _tet_volume(tets)
-                fv = _field_at(tets.reshape(-1, 3)).reshape(-1, 4)
-                if sphrad is not None and integ != "corner":
-                    outs = _outside_spheres(
-                        tets.reshape(-1, 3)).reshape(-1, 4)
-                else:
-                    outs = np.ones_like(fv)
+                # deepest level: split mixed tetrahedra among their
+                # corner colors. Keast points inside the tet are
+                # assigned to the nearest corner's color (a Voronoi
+                # split of the rule - quadrature-consistent with
+                # retire(), much better than a 0.25-volume vertex
+                # estimate near curved interatomic surfaces)
+                from ..ops.quadrature import keast_points
+
                 cen = tets.mean(axis=1, keepdims=True)
                 ccols = colors_of((tets + 1e-3 * (cen - tets))
                                   .reshape(-1, 3)).reshape(-1, 4)
+                qpts, qw = keast_points(tets, keastnum)
+                fv = _field_at(qpts.reshape(-1, 3)).reshape(qw.shape)
+                if sphrad is not None and integ != "corner":
+                    outs = _outside_spheres(
+                        qpts.reshape(-1, 3)).reshape(qw.shape)
+                else:
+                    outs = np.ones_like(fv)
+                # nearest corner per quadrature node
+                d = np.linalg.norm(qpts[:, :, None, :]
+                                   - tets[:, None, :, :], axis=3)
+                near = d.argmin(axis=2)                    # (T, K)
                 for corner in range(4):
-                    oc = outs[:, corner]
-                    accumulate(0.25 * vol * fv[:, corner] * oc,
-                               0.25 * vol * oc, ccols[:, corner], gidx)
+                    m = (near == corner) * outs
+                    accumulate((fv * qw * m).sum(axis=1),
+                               (qw * m).sum(axis=1),
+                               ccols[:, corner], gidx)
             break
         tets = _subdivide(tets)
         gidx = np.repeat(gidx, 8)
