@@ -161,15 +161,19 @@ def main():
     # algorithms (tools/parity_bench.CPU_MEASURED; no Fortran compiler
     # exists in this image, so the C++ ports in native/ stand in for
     # the reference executable - same algorithm, same workload).
-    if not small:
+    if "--small" not in sys.argv:
+        # full scale on TPU; reduced 128^3 scale on the CPU fallback so
+        # a tunnel outage still records driver-level wall-clocks
+        nbig = 128 if platform_note else 256
         try:
             from tools.parity_bench import run_big, CPU_MEASURED
             remaining = max(60.0, budget - (time.perf_counter() - t_start))
-            big = run_big(deadline_s=remaining)
-            for key, cpu_key in (("yt256_wall_s", "yt256_cpu_seq_wall_s"),):
-                if key in big and cpu_key in CPU_MEASURED:
-                    big["yt256_vs_cpu_seq"] = round(
-                        CPU_MEASURED[cpu_key] / big[key], 1)
+            big = run_big(deadline_s=remaining, n=nbig)
+            key, cpu_key = (f"yt{nbig}_wall_s",
+                            f"yt{nbig}_cpu_seq_wall_s")
+            if key in big and cpu_key in CPU_MEASURED:
+                big[f"yt{nbig}_vs_cpu_seq"] = round(
+                    CPU_MEASURED[cpu_key] / big[key], 1)
             extra.update(big)
         except Exception as exc:  # pragma: no cover
             extra["big_error"] = f"{type(exc).__name__}: {exc}"

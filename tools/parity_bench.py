@@ -157,12 +157,18 @@ def run_big(deadline_s: float = 900.0, n: int = 256) -> dict:
         from critic2_tpu.analysis.qtree import qtree_integrate
 
         s.iref = 0                               # analytic promolecular
-        qt = qtree_integrate(s, maxl=4, sphfactor=0.9)   # warmup
-        stage("qtree warm")
+        # CPU fallback: one cold maxl=3 run (a maxl=4 pair would blow
+        # any budget on one core); TPU: warmup + timed at maxl=4
+        oncpu = jax.default_backend() == "cpu"
+        maxl = 3 if oncpu else 4
         t0 = time.perf_counter()
-        qt = qtree_integrate(s, maxl=4, sphfactor=0.9)
+        qt = qtree_integrate(s, maxl=maxl, sphfactor=0.9)
+        if not oncpu:
+            stage("qtree warm")
+            t0 = time.perf_counter()
+            qt = qtree_integrate(s, maxl=maxl, sphfactor=0.9)
         out["qtree_wall_s"] = round(time.perf_counter() - t0, 2)
-        out["qtree_maxl"] = 4
+        out["qtree_maxl"] = maxl
         # parity: qtree basin populations vs the YT charges of the
         # same (promolecular) field, matched by sorted charge
         qq = np.sort(np.asarray(qt.pops))[::-1]
