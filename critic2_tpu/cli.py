@@ -389,6 +389,48 @@ class Repl:
         if "relerr" in low:
             self.opts["int_relerr"] = float(args[low.index("relerr") + 1])
 
+    def cmd_cub_abs(self, args, lines):
+        """CUB_ABS f: qtree cubature absolute error per tetrahedron
+        (reference CUB_ABS, src/global@proc.f90 setvariables)."""
+        self.opts["cub_abs"] = float(args[0])
+
+    def cmd_cub_rel(self, args, lines):
+        """CUB_REL f (reference CUB_REL)."""
+        self.opts["cub_rel"] = float(args[0])
+
+    def cmd_keastnum(self, args, lines):
+        """KEASTNUM n: qtree Keast rule order (reference KEASTNUM)."""
+        self.opts["keastnum"] = int(args[0])
+
+    def cmd_integ_mode(self, args, lines):
+        """INTEG_MODE [level] n: n in 1..10 -> Keast rule n; 11 ->
+        corner sum (reference INTEG_MODE, src/global@proc.f90)."""
+        vals = [int(a) for a in args if a.lstrip("-").isdigit()]
+        mode = vals[-1] if vals else 0
+        if mode == 11 or mode == -1:
+            self.opts["qtree_integ"] = "corner"
+        elif 1 <= mode <= 10:
+            self.opts["qtree_integ"] = "keast"
+            self.opts["keastnum"] = mode
+        else:
+            self.warn(f"unknown INTEG_MODE {mode}")
+
+    def cmd_ws_origin(self, args, lines):
+        """WS_ORIGIN x y z: qtree WS-cell origin; mapped to the nearest
+        atom (reference ws_origin, src/global.f90:176)."""
+        x = np.array([float(a) for a in args[:3]])
+        sy = self.need_system()
+        d = sy.crystal.x_frac - x[None, :]
+        d -= np.round(d)
+        dc = np.linalg.norm(d @ np.asarray(sy.crystal.m_x2c).T, axis=1)
+        self.opts["qtree_origin"] = int(np.argmin(dc))
+        self.write(f"+ ws_origin -> atom {self.opts['qtree_origin'] + 1}")
+
+    def cmd_autosph(self, args, lines):
+        """AUTOSPH n: beta-sphere determination method - both map to
+        the verified-shrink auto spheres (reference setsph_lvl/autosph)."""
+        self.opts.pop("sphfactor", None)
+
     def cmd_meshtype(self, args, lines):
         low = [a.lower() for a in args]
         if low and low[0] in ("becke", "franchini"):
@@ -1441,6 +1483,14 @@ class Repl:
             # qtree_setsphfactor, src/critic2.F90:406-410)
             kw["sphfactor"] = float(
                 list(self.opts["sphfactor"].values())[0])
+        # standalone settings keywords (reference setvariables):
+        # CUB_ABS/CUB_REL/KEASTNUM/INTEG_MODE/WS_ORIGIN
+        for opt, kwname in (("cub_abs", "cub_abs"), ("cub_rel", "cub_rel"),
+                            ("keastnum", "keastnum"),
+                            ("qtree_integ", "integ"),
+                            ("qtree_origin", "origin_atom")):
+            if opt in self.opts and kwname not in kw:
+                kw[kwname] = self.opts[opt]
         res = qtree_integrate(sy, maxl=maxl, **kw)
         self.write(f"+ QTREE (maxl={maxl}): {res.ntraced} paths traced")
         self.write(res.table())
