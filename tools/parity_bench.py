@@ -156,7 +156,11 @@ def run_big(deadline_s: float = 900.0, n: int = 256) -> dict:
     if left() > 300:
         from critic2_tpu.analysis.qtree import qtree_integrate
 
-        s.iref = 0                               # analytic promolecular
+        # qtree integrates the SAME grid interpolant that YT decomposed
+        # - the promolecular cusp makes grid sums overshoot the analytic
+        # integral, so cross-field comparisons measure rasterization
+        # error, not basin parity
+        s.iref = 1
         # CPU fallback: one cold maxl=3 run (a maxl=4 pair would blow
         # any budget on one core); TPU: warmup + timed at maxl=4
         oncpu = jax.default_backend() == "cpu"
