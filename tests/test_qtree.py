@@ -61,3 +61,36 @@ def test_qtree_symmetry_reduction_parity():
     rel = np.abs(r_sym.pops - r_nos.pops) / r_nos.pops.max()
     assert rel.max() < 1e-6
     assert r_sym.ntraced < r_nos.ntraced / 4
+
+
+@pytest.mark.slow
+def test_qtree_vs_yt_same_field():
+    """Qtree and YT decompose the SAME tricubic grid interpolant; the
+    sorted basin charges must agree to the qtree boundary resolution
+    (~0.3 e at maxl=3 on a 32^3 NaCl promolecular raster, converging
+    with maxl - reference parity flow src/qtree@proc.f90 vs
+    src/yt@proc.f90 on one field)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from parity_bench import _nacl_system
+
+    from critic2_tpu import native
+    from critic2_tpu.analysis.yt import _grid_ws_neighbors
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    n = 32
+    s, g = _nacl_system((n, n, n))
+    c = s.crystal
+    offs, wts = _grid_ws_neighbors(c, g.shape)
+    _, q = native.yt_charges(g, offs, wts, g)
+    dv = c.volume / n ** 3
+    qy = np.sort(q * dv)[::-1]
+    s.iref = 1
+    qt = qtree_integrate(s, maxl=3, sphfactor=0.9)
+    qq = np.sort(qt.pops)[::-1]
+    assert np.abs(qq - qy).max() < 0.5
+    # total charge: interpolant cell integral vs grid sum (equal to
+    # O(h^2) interpolation error at the cusp nodes)
+    assert abs(qq.sum() - qy.sum()) < 0.1 * 1e-2 * qy.sum() + 0.3
