@@ -446,3 +446,22 @@ def test_gaussian_log(tmp_path):
     c = read_structure(str(p))
     assert c.ismolecule and c.ncel == 3
     assert sorted(c.species[i].z for i in c.species_of) == [1, 1, 8]
+
+
+def test_qe_ibrav_variants():
+    """QE ibrav -5 (trigonal, 3-fold axis along 111) and -12
+    (monoclinic unique axis b) produce the same cell volume as their
+    positive-setting counterparts (reference qe_latgen,
+    src/crystalseedmod@proc.f90:4851,4927)."""
+    import numpy as np
+
+    from critic2_tpu.crystal.seed import _qe_ibrav_cell
+
+    cd = {1: 10.0, 2: 1.2, 3: 1.5, 4: 0.3, 5: 0.4, 6: 0.2}
+    for a, b in ((5, -5), (12, -12)):
+        va = abs(np.linalg.det(_qe_ibrav_cell(a, cd)))
+        vb = abs(np.linalg.det(_qe_ibrav_cell(b, cd)))
+        assert va == pytest.approx(vb, rel=1e-12)
+    # every supported setting is non-degenerate
+    for ib in (1, 2, 3, 4, 5, -5, 6, 7, 8, 9, 10, 11, 12, -12, 13, 14):
+        assert abs(np.linalg.det(_qe_ibrav_cell(ib, cd))) > 1.0
