@@ -451,6 +451,17 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
     if sphrad is not None and integ != "corner":
         _sphere_integrals()
 
+    if usesym and not c.ismolecule:
+        # report per symmetry orbit: equivalent atoms share one basin
+        # charge (the reference integrates and prints nneq atoms,
+        # src/qtree@proc.f90 - the per-cell scatter is pure
+        # discretization noise between equivalent regions)
+        orb = np.asarray(c.spacegroup.orbit_of)
+        for o in np.unique(orb):
+            sel = np.nonzero(orb == o)[0]
+            pops[sel] = pops[sel].mean()
+            vols[sel] = vols[sel].mean()
+
     names = [c.species[c.species_of[q]].name for q in range(nat)]
     return QtreeResult(names=names, pops=pops[:nat], volumes=vols[:nat],
                        nlevels=level, ntraced=ntraced, nrefined=nrefined)
