@@ -22,7 +22,13 @@ TPU reformulation:
   each uniform tetrahedron is integrated with a Keast rule pair
   (high/low order); those with |hi - lo| above tolerance subdivide and
   re-enter the queue, all evaluations batched on device
-  (src/qtree_tetrawork.f90:68 integ_inner_cubpack role).
+  (src/qtree_tetrawork.f90:68 integ_inner_cubpack role);
+- beta spheres (auto radii verified by surface traces) integrate by
+  Gauss-Legendre radial x Lebedev angular quadrature, and the
+  tetrahedral cubature masks sphere interiors - the nuclear cusp never
+  reaches the Keast rules (reference sphere-integration flow);
+- charges are reported per symmetry orbit, like the reference's
+  inequivalent-atom output.
 """
 from __future__ import annotations
 
