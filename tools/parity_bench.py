@@ -339,6 +339,18 @@ def run_parity(small: bool = False, deadline_s: float = 900.0) -> dict:
         out["wfn_auto_counts"] = [n_, b_, r_, c_]
         out["wfn_auto_morse"] = n_ - b_ + r_ - c_
 
+        # molecular promolecular NCI (BASELINE config 1 true shape:
+        # nciplot_thymine runs a MOLECULE with the promolecular
+        # density and an auto box, src/nci@proc.f90)
+        from critic2_tpu.analysis.nci import nciplot
+
+        sw.iref = 0
+        nci = nciplot(sw)                          # warmup, auto box
+        t0 = time.perf_counter()
+        nci = nciplot(sw)
+        out["mol_nci_wall_s"] = round(time.perf_counter() - t0, 3)
+        out["mol_nci_ndat"] = int(nci.ndat)
+
         # gradient-path flux tracing (the other half of BASELINE
         # config 5): a sphere of flux seeds around one C nucleus
         from critic2_tpu.analysis.flux import fluxprint
