@@ -320,6 +320,8 @@ def run_parity(small: bool = False, deadline_s: float = 900.0) -> dict:
         nelec = molcalc_nelec(sw, lvl="good")
         out["wfn_mesh_wall_s"] = round(time.perf_counter() - t0, 3)
         out["wfn_nelec_err"] = round(abs(nelec - 42.0), 8)
+        if over_budget():
+            return out
         # converged-mesh parity (VERDICT round-1 weak #2): the "ultra"
         # level (one step past the reference's "amazing") puts the mesh
         # NELEC error under the 1e-6 basin-charge bar
@@ -328,6 +330,8 @@ def run_parity(small: bool = False, deadline_s: float = 900.0) -> dict:
         out["wfn_mesh_ultra_wall_s"] = round(time.perf_counter() - t0, 3)
         out["wfn_nelec_err_ultra"] = round(abs(nelec_u - 42.0), 10)
 
+        if over_budget():
+            return out
         # molecular-wfn AUTO (the cps_large workload shape: AUTO on a
         # GTO wavefunction, examples/cps_large/12_di.cri) - benzene
         # topology is exact: 12 nuclei / 12 bonds / 1 ring, Morse sum 1
@@ -339,6 +343,8 @@ def run_parity(small: bool = False, deadline_s: float = 900.0) -> dict:
         out["wfn_auto_counts"] = [n_, b_, r_, c_]
         out["wfn_auto_morse"] = n_ - b_ + r_ - c_
 
+        if over_budget():
+            return out
         # molecular promolecular NCI (BASELINE config 1 true shape:
         # nciplot_thymine runs a MOLECULE with the promolecular
         # density and an auto box, src/nci@proc.f90)
@@ -351,6 +357,8 @@ def run_parity(small: bool = False, deadline_s: float = 900.0) -> dict:
         out["mol_nci_wall_s"] = round(time.perf_counter() - t0, 3)
         out["mol_nci_ndat"] = int(nci.ndat)
 
+        if over_budget():
+            return out
         # gradient-path flux tracing (the other half of BASELINE
         # config 5): a sphere of flux seeds around one C nucleus
         from critic2_tpu.analysis.flux import fluxprint
