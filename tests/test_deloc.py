@@ -313,3 +313,33 @@ yt
     text = out.getvalue()
     assert "LI/DI" in text
     assert "attractors" in text
+
+
+def test_deloc_sharded_decomposition_matches(setup):
+    """Sij/DI computed on a ShardedYTResult must match the
+    single-device YT decomposition (ADVICE round-1: the sharded path
+    used to fall back silently to argmax labels, discarding fractional
+    boundary weights)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from critic2_tpu.parallel.yt_sharded import yt_integrate_sharded
+
+    c, qe, rho, path, kf, at = setup
+    decomp = yt_integrate(c, rho)
+    res1 = deloc_wannier(c, decomp, qe, useu=False)
+
+    mesh = Mesh(np.array(jax.devices()), ("space",))
+    sh = yt_integrate_sharded(mesh, c, rho, result=True)
+    res2 = deloc_wannier(c, sh, qe, useu=False)
+
+    # basins may be numbered differently; compare sorted populations
+    # and the sorted DI multiset
+    np.testing.assert_allclose(np.sort(res1.population()),
+                               np.sort(res2.population()), atol=1e-8)
+    n1 = len(res1.population())
+    d1 = np.sort([res1.di(a, b) for a in range(n1) for b in range(n1)],
+                 axis=None)
+    d2 = np.sort([res2.di(a, b) for a in range(n1) for b in range(n1)],
+                 axis=None)
+    np.testing.assert_allclose(d1, d2, atol=1e-8)
