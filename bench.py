@@ -87,12 +87,41 @@ def _sweep_rate(n: int, dtype_name: str, nrep: int) -> float:
     return nrep * n ** 3 / dt
 
 
+_partial = {"extra": {}}
+
+
+def _emit(rate32, n, extra):
+    print(json.dumps({
+        "metric": (f"tricubic rho/grad/Hess evals/sec (full {n}^3 "
+                   "sweep, f32 eval / f64 accumulation; basin-charge "
+                   "parity vs f64 in extra)"),
+        "value": round(rate32, 1),
+        "unit": "evals/s",
+        "vs_baseline": round(rate32 / BASELINE_EVALS_PER_S, 3),
+        "extra": extra,
+    }), flush=True)
+
+
 def main():
     import os
+    import signal
     import jax
 
     t_start = time.perf_counter()
     budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+    # hard-deadline backstop: if any single leg overshoots the budget
+    # (remote-compile stall, host-core contention), emit whatever has
+    # been measured so far instead of dying output-less under the
+    # driver's outer timeout
+    def _on_alarm(signum, frame):  # pragma: no cover
+        extra = dict(_partial["extra"])
+        extra["truncated"] = "hard budget deadline hit mid-leg"
+        _emit(_partial.get("rate32", 0.0), _partial.get("n", 256), extra)
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(int(budget * 1.15))
 
     if "--cpu" in sys.argv:
         jax.config.update("jax_platforms", "cpu")
@@ -133,25 +162,29 @@ def main():
     small = "--small" in sys.argv or platform_note is not None
     n = 64 if small else 256
     nrep = 4 if small else 16
+    _partial["n"] = n
 
     # headline first: if the remote compile service is slow, the f32
     # number still lands before the budget runs out
     rate32 = _sweep_rate(n, "f32", nrep)
-    extra = {}
+    _partial["rate32"] = rate32
+    extra = _partial["extra"]
     if time.perf_counter() - t_start < 0.6 * budget:
         rate64 = _sweep_rate(n, "f64", nrep)
-        extra = {"f64_sweep_evals_per_s": round(rate64, 1),
-                 "f64_vs_baseline": round(rate64 / BASELINE_EVALS_PER_S,
-                                          3)}
+        extra.update({"f64_sweep_evals_per_s": round(rate64, 1),
+                      "f64_vs_baseline": round(rate64 / BASELINE_EVALS_PER_S,
+                                               3)})
     else:
-        extra = {"f64_skipped": "compile budget exhausted"}
+        extra["f64_skipped"] = "compile budget exhausted"
 
     # end-to-end driver wall-clocks + parity (promolecular analogues of
     # the BASELINE configs); soft-fail so the headline survives
     try:
         from tools.parity_bench import run_parity
         remaining = max(60.0, budget - (time.perf_counter() - t_start))
-        extra.update(run_parity(small=small, deadline_s=remaining))
+        # sink=extra: legs land incrementally so the SIGALRM backstop
+        # emits everything measured up to the stall
+        run_parity(small=small, deadline_s=remaining, sink=extra)
     except Exception as exc:  # pragma: no cover
         extra["parity_error"] = f"{type(exc).__name__}: {exc}"
 
@@ -168,13 +201,12 @@ def main():
         try:
             from tools.parity_bench import run_big, CPU_MEASURED
             remaining = max(60.0, budget - (time.perf_counter() - t_start))
-            big = run_big(deadline_s=remaining, n=nbig)
+            big = run_big(deadline_s=remaining, n=nbig, sink=extra)
             key, cpu_key = (f"yt{nbig}_wall_s",
                             f"yt{nbig}_cpu_seq_wall_s")
             if key in big and cpu_key in CPU_MEASURED:
                 big[f"yt{nbig}_vs_cpu_seq"] = round(
                     CPU_MEASURED[cpu_key] / big[key], 1)
-            extra.update(big)
         except Exception as exc:  # pragma: no cover
             extra["big_error"] = f"{type(exc).__name__}: {exc}"
 
@@ -184,15 +216,8 @@ def main():
     # the 1e-6 e bar), and the f64 rate is in extra
     if platform_note:
         extra["platform"] = platform_note
-    print(json.dumps({
-        "metric": (f"tricubic rho/grad/Hess evals/sec (full {n}^3 "
-                   "sweep, f32 eval / f64 accumulation; basin-charge "
-                   "parity vs f64 in extra)"),
-        "value": round(rate32, 1),
-        "unit": "evals/s",
-        "vs_baseline": round(rate32 / BASELINE_EVALS_PER_S, 3),
-        "extra": extra,
-    }))
+    signal.alarm(0)
+    _emit(rate32, n, extra)
 
 
 if __name__ == "__main__":

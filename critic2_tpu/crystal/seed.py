@@ -615,10 +615,30 @@ def read_wfn_structure(path: str, border: float = 10.0) -> CrystalSeed:
 # ---------------------------------------------------------------------------
 # VASP POSCAR / CHGCAR header
 # ---------------------------------------------------------------------------
+def read_potcar(path: str) -> list[str]:
+    """Species names from a VASP POTCAR: the second word of each
+    dataset's first line, datasets delimited by 'End of Dataset'
+    (reference read_potcar, src/crystalseedmod@proc.f90:3277-3326)."""
+    names = []
+    with open(path, errors="replace") as f:
+        at_head = True
+        for line in f:
+            if at_head:
+                toks = line.split()
+                if len(toks) >= 2:
+                    names.append(toks[1])
+                elif toks:
+                    names.append(toks[0])
+                at_head = False
+            elif line.strip() == "End of Dataset":
+                at_head = True
+    return names
+
+
 def read_poscar(path: str, species_names: list[str] | None = None) -> CrystalSeed:
-    """POSCAR/CONTCAR/CHGCAR-header reader (v5+ with symbol line; the
-    reference also supports POTCAR-derived species, src/crystalseedmod
-    read_vasp)."""
+    """POSCAR/CONTCAR/CHGCAR-header reader (v5+ with symbol line, or
+    VASP-4 counts-only with species from a sibling POTCAR — reference
+    read_vasp + read_potcar, src/crystalseedmod@proc.f90:3277)."""
     with open(path) as f:
         lines = f.read().splitlines()
     title = lines[0].strip()
@@ -632,6 +652,12 @@ def read_poscar(path: str, species_names: list[str] | None = None) -> CrystalSee
     toks = lines[5].split()
     if all(t.isdigit() for t in toks):
         counts = [int(t) for t in toks]
+        if species_names is None:
+            potcar = os.path.join(os.path.dirname(path) or ".", "POTCAR")
+            if os.path.exists(potcar):
+                names = read_potcar(potcar)
+                if len(names) >= len(counts):
+                    species_names = names[: len(counts)]
         if species_names is None:
             species_names = [f"X{i}" for i in range(len(counts))]
         iline = 6

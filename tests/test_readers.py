@@ -465,3 +465,33 @@ def test_qe_ibrav_variants():
     # every supported setting is non-degenerate
     for ib in (1, 2, 3, 4, 5, -5, 6, 7, 8, 9, 10, 11, 12, -12, 13, 14):
         assert abs(np.linalg.det(_qe_ibrav_cell(ib, cd))) > 1.0
+
+
+def test_vasp4_poscar_with_potcar(tmp_path):
+    """VASP-4 POSCAR (counts-only line 6) takes species names from the
+    sibling POTCAR (reference read_potcar,
+    src/crystalseedmod@proc.f90:3277-3326)."""
+    from critic2_tpu.crystal.seed import read_poscar, read_potcar
+
+    (tmp_path / "POTCAR").write_text(
+        "PAW_PBE Na 08Apr2002\n"
+        "junk line\n"
+        "End of Dataset\n"
+        "PAW_PBE Cl 06Sep2000\n"
+        "End of Dataset\n")
+    poscar = tmp_path / "POSCAR"
+    poscar.write_text(
+        "NaCl v4\n"
+        "5.64\n"
+        "1.0 0.0 0.0\n"
+        "0.0 1.0 0.0\n"
+        "0.0 0.0 1.0\n"
+        "4 4\n"
+        "Direct\n"
+        "0.0 0.0 0.0\n0.5 0.5 0.0\n0.5 0.0 0.5\n0.0 0.5 0.5\n"
+        "0.5 0.5 0.5\n0.0 0.0 0.5\n0.0 0.5 0.0\n0.5 0.0 0.0\n")
+    assert read_potcar(str(tmp_path / "POTCAR")) == ["Na", "Cl"]
+    seed = read_poscar(str(poscar))
+    assert [s.name for s in seed.species] == ["Na", "Cl"]
+    assert sorted(seed.species[i].z for i in seed.species_of) == \
+        [11] * 4 + [17] * 4

@@ -74,7 +74,8 @@ def _nacl_system(shape, cache: bool = False):
     return s, np.asarray(g)
 
 
-def run_big(deadline_s: float = 900.0, n: int = 256) -> dict:
+def run_big(deadline_s: float = 900.0, n: int = 256,
+            sink: dict | None = None) -> dict:
     """End-to-end driver wall-clocks at BASELINE scale (256^3): the
     YT / grid-AUTO / NCI / qtree legs of the five BASELINE configs on
     the promolecular NaCl analogue.  Each leg runs once for warmup
@@ -86,7 +87,7 @@ def run_big(deadline_s: float = 900.0, n: int = 256) -> dict:
     from critic2_tpu.analysis.yt import yt_integrate
 
     tstart = time.perf_counter()
-    out = {}
+    out = {} if sink is None else sink
 
     def left():
         return deadline_s - (time.perf_counter() - tstart)
@@ -213,7 +214,8 @@ def _cp_parity_native(c, g, cpl, tol_bohr: float = 1e-6,
     return float(np.linalg.norm(dev @ m_x2c.T, axis=1).max())
 
 
-def run_parity(small: bool = False, deadline_s: float = 900.0) -> dict:
+def run_parity(small: bool = False, deadline_s: float = 900.0,
+               sink: dict | None = None) -> dict:
     import jax.numpy as jnp
 
     from critic2_tpu import native
@@ -225,7 +227,7 @@ def run_parity(small: bool = False, deadline_s: float = 900.0) -> dict:
     def over_budget():
         return time.perf_counter() - tstart > deadline_s
 
-    out = {}
+    out = {} if sink is None else sink
     n = 24 if small else 48
     s, g = _nacl_system((n, n, n))
     c = s.crystal
