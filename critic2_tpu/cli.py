@@ -491,13 +491,22 @@ class Repl:
         elif low[0] == "standard":
             cnew = primitive_cell(c, symprec=self.opts["symprec"])
         else:
-            vals = [float(v) for v in args]
+            from .arithmetic import eval_const
+
+            # tokens are expressions (1/2, sqrt(2), ...) like the
+            # reference's eval_next; trailing INV/INVERSE applies the
+            # inverse transform (src/struct_drivers@proc.f90:1977)
+            doinv = low[-1] in ("inv", "inverse")
+            nums = args[:-1] if doinv else args
+            vals = [float(eval_const(v, sy.vars)) for v in nums]
             if len(vals) == 3:
                 M = np.diag(vals)
             elif len(vals) >= 9:
                 M = np.array(vals[:9]).reshape(3, 3)
             else:
                 raise CliError("NEWCELL needs 3 or 9 numbers")
+            if doinv:
+                M = np.linalg.inv(M)
             cnew = newcell(c, M)
         nfields = len([k for k in sy.fields if k != 0])
         self.sy = System(crystal=cnew)
@@ -1684,11 +1693,89 @@ class Repl:
             self.write("  " + " ".join(f"{v:10.6f}" for v in row))
 
     def cmd_write(self, args, lines):
+        """WRITE file.ext [ix iy iz] [BORDER] [MOLMOTIF] [ONEMOTIF]
+        [CELL] [SPHERE r [x0 y0 z0]] [CUBE r [x0 y0 z0]] — molecular
+        formats (xyz/gjf/cml) and 3d models (obj/ply/off) take the
+        atom-selection options; everything else writes the unit cell
+        (reference struct_write, src/struct_drivers@proc.f90:390-530)."""
+        from .arithmetic import eval_const
         from .io.writers import write_structure
 
         sy = self.need_system()
-        write_structure(sy.crystal, args[0])
-        self.write(f"+ WRITE -> {args[0]}")
+        c = sy.crystal
+        path = args[0]
+        ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+        rest = args[1:]
+
+        def num(i):
+            return float(eval_const(rest[i], sy.vars))
+
+        if ext in ("xyz", "gjf", "cml", "obj", "ply", "off") and rest:
+            from .crystal.fragment import (listatoms_cells,
+                                           listatoms_sphcub,
+                                           list_molecules, Fragment)
+            ix = [1, 1, 1]
+            doborder = molmotif = onemotif = docell = False
+            rsph = rcub = None
+            x0 = np.zeros(3)
+            i = 0
+            while i < len(rest):
+                w = rest[i].lower()
+                if w == "border":
+                    doborder = True
+                elif w == "molmotif":
+                    molmotif = True
+                elif w == "onemotif":
+                    onemotif = True
+                elif w in ("cell", "molcell"):
+                    docell = True
+                elif w in ("sphere", "cube"):
+                    r = num(i + 1)
+                    i += 1
+                    if i + 3 < len(rest):
+                        try:
+                            x0 = np.array([num(i + 1), num(i + 2),
+                                           num(i + 3)])
+                            i += 3
+                        except Exception:
+                            pass
+                    r = r * self._unit_scale()
+                    if c.ismolecule:
+                        x0 = c.c2x(x0 * self._unit_scale()
+                                   - np.asarray(c.molx0))
+                    if w == "sphere":
+                        rsph = r
+                    else:
+                        rcub = r
+                else:
+                    try:
+                        ix = [int(rest[i]), int(rest[i + 1]),
+                              int(rest[i + 2])]
+                        i += 2
+                    except (ValueError, IndexError):
+                        raise CliError(f"unknown WRITE option: {rest[i]}")
+                i += 1
+            if rsph is not None or rcub is not None:
+                fr = listatoms_sphcub(c, rsph=rsph, xsph=x0,
+                                      rcub=rcub, xcub=x0)
+            else:
+                fr = listatoms_cells(c, ix, doborder)
+            if onemotif:
+                frags, _ = list_molecules(c)
+                fr = Fragment.merge(frags)
+            elif molmotif:
+                from .crystal.fragment import complete_molmotif
+                fr = complete_molmotif(c, fr)
+            if ext in ("xyz", "gjf", "cml"):
+                from .io.writers import write_mol_fragment
+                write_mol_fragment(fr, path, fmt=ext)
+            else:
+                from .io.writers import write_3dmodel
+                write_3dmodel(c, path, fmt=ext, ix=ix, docell=docell)
+            self.write(f"+ WRITE ({fr.n} atoms) -> {path}")
+            return
+        write_structure(c, path)
+        self.write(f"+ WRITE -> {path}")
 
     def cmd_ewald(self, args, lines):
         from .analysis.ewald import ewald_energy

@@ -14,7 +14,8 @@ from dataclasses import dataclass, field as dfield
 
 import numpy as np
 
-__all__ = ["Fragment", "list_molecules"]
+__all__ = ["Fragment", "list_molecules", "listatoms_sphcub",
+           "listatoms_cells", "complete_molmotif"]
 
 
 @dataclass
@@ -70,6 +71,95 @@ class Fragment:
         for f in frags[1:]:
             out = out.append(f)
         return out
+
+
+def listatoms_sphcub(crystal, rsph: float | None = None, xsph=(0, 0, 0),
+                     rcub: float | None = None,
+                     xcub=(0, 0, 0)) -> Fragment:
+    """All periodic-image atoms inside a sphere of radius rsph (bohr)
+    or a cube of half-side rcub centered at the fractional point
+    xsph/xcub (reference listatoms_sphcub,
+    src/crystalmod@proc.f90:1033-1096; the reference grows lattice
+    shells until empty — here the needed shell range is bounded by the
+    covering radius and the filter is one vectorized pass)."""
+    if (rsph is None) == (rcub is None):
+        raise ValueError("need exactly one of rsph or rcub")
+    r = rsph if rsph is not None else float(rcub) * np.sqrt(3.0)
+    m = np.asarray(crystal.m_x2c, dtype=float)
+    x0 = np.asarray(xsph if rsph is not None else xcub, dtype=float)
+    # lattice range: |n_i| <= r / d_i + 1 with d_i the interplanar
+    # spacing of the i-th lattice direction (rows of inv(m) are the
+    # reciprocal vectors / 2pi)
+    rinv = np.linalg.inv(m)
+    nmax = np.ceil(r * np.linalg.norm(rinv, axis=1)).astype(int) + 1
+    rng = [np.arange(-nn, nn + 1) for nn in nmax]
+    lv = np.stack(np.meshgrid(*rng, indexing="ij"), axis=-1).reshape(-1, 3)
+    xf = np.asarray(crystal.x_frac, dtype=float)          # (nat, 3)
+    # (nlv, nat, 3) fractional offsets from the center
+    xall = xf[None, :, :] + lv[:, None, :].astype(float) - x0
+    cart = xall @ m.T
+    if rsph is not None:
+        keep = np.einsum("lad,lad->la", cart, cart) < rsph * rsph
+    else:
+        keep = np.all(np.abs(cart) <= rcub, axis=-1)
+    il, ia = np.nonzero(keep)
+    return Fragment(crystal=crystal, at_idx=ia.astype(int),
+                    lvec=lv[il].astype(int))
+
+
+def listatoms_cells(crystal, ix=(1, 1, 1), doborder: bool = False) -> Fragment:
+    """All atoms of an ix supercell, plus (doborder) atoms of
+    neighboring cells within 0.01 fractional of the supercell faces
+    (reference listatoms_cells, src/crystalmod@proc.f90:975-1031)."""
+    rthr = 0.01
+    xf = np.asarray(crystal.x_frac, dtype=float)
+    nat = len(xf)
+    idx, lvs = [], []
+    for i in range(ix[0]):
+        for j in range(ix[1]):
+            for k in range(ix[2]):
+                idx.append(np.arange(nat))
+                lvs.append(np.tile([i, j, k], (nat, 1)))
+    if doborder:
+        for i in range(-1, ix[0] + 1):
+            for j in range(-1, ix[1] + 1):
+                for k in range(-1, ix[2] + 1):
+                    if 0 <= i < ix[0] and 0 <= j < ix[1] and 0 <= k < ix[2]:
+                        continue
+                    skip = np.zeros(nat, dtype=bool)
+                    for d, v in enumerate((i, j, k)):
+                        if v == -1:
+                            skip |= xf[:, d] < 1 - rthr
+                        elif v == ix[d]:
+                            skip |= xf[:, d] > rthr
+                    sel = np.nonzero(~skip)[0]
+                    if len(sel):
+                        idx.append(sel)
+                        lvs.append(np.tile([i, j, k], (len(sel), 1)))
+    return Fragment(crystal=crystal,
+                    at_idx=np.concatenate(idx).astype(int),
+                    lvec=np.concatenate(lvs).astype(int))
+
+
+def complete_molmotif(crystal, frag: Fragment) -> Fragment:
+    """Extend an atom selection so every touched molecule is whole
+    (reference MOLMOTIF: listmolecules over the fragment + merge,
+    src/crystalmod@proc.f90:3720-3723)."""
+    frags, _ = list_molecules(crystal)
+    mol_of = {}
+    for fr in frags:
+        for a, lv in zip(fr.at_idx, fr.lvec):
+            mol_of[int(a)] = (fr, np.asarray(lv, dtype=int))
+    keys = set()
+    for a, lv in zip(frag.at_idx, frag.lvec):
+        fr, lm = mol_of[int(a)]
+        base = np.asarray(lv, dtype=int) - lm
+        for a2, lv2 in zip(fr.at_idx, fr.lvec):
+            keys.add((int(a2), tuple(base + np.asarray(lv2, dtype=int))))
+    items = sorted(keys)
+    return Fragment(crystal=crystal,
+                    at_idx=np.asarray([a for a, _ in items], dtype=int),
+                    lvec=np.asarray([l for _, l in items], dtype=int))
 
 
 def list_molecules(crystal, bondfactor: float = 1.4):

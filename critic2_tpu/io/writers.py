@@ -63,6 +63,41 @@ def write_xyz(c, path: str):
             f.write(f"{nm:<3s} {r[0]:15.9f} {r[1]:15.9f} {r[2]:15.9f}\n")
 
 
+def write_mol_fragment(frag, path: str, fmt: str | None = None):
+    """Write an atom-subset fragment (nanoparticle, molecular motif,
+    supercell selection) as a molecular xyz/gjf/cml file (reference
+    write_mol, src/crystalmod@proc.f90:3615-3882)."""
+    c = frag.crystal
+    if fmt is None:
+        fmt = path.rsplit(".", 1)[-1].lower()
+    names = [c.species[s].name for s in np.asarray(c.species_of)[frag.at_idx]]
+    cart = frag.x_cart
+    if getattr(c, "ismolecule", False) and c.molx0 is not None:
+        cart = cart + np.asarray(c.molx0)
+    cart = cart * param.BOHR_TO_ANGSTROM
+    with open(path, "w") as f:
+        if fmt == "xyz":
+            f.write(f"{frag.n}\nwritten by critic2-tpu\n")
+            for nm, r in zip(names, cart):
+                f.write(f"{nm:<3s} {r[0]:15.9f} {r[1]:15.9f} "
+                        f"{r[2]:15.9f}\n")
+        elif fmt == "gjf":
+            f.write("#p b3lyp sto-3g\n\nwritten by critic2-tpu\n\n0 1\n")
+            for nm, r in zip(names, cart):
+                f.write(f"{nm} {r[0]:15.9f} {r[1]:15.9f} {r[2]:15.9f}\n")
+            f.write("\n")
+        elif fmt == "cml":
+            f.write("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
+                    "<molecule>\n <atomArray>\n")
+            for i, (nm, r) in enumerate(zip(names, cart)):
+                f.write(f"  <atom id=\"a{i + 1}\" elementType=\"{nm}\" "
+                        f"x3=\"{r[0]:.9f}\" y3=\"{r[1]:.9f}\" "
+                        f"z3=\"{r[2]:.9f}\"/>\n")
+            f.write(" </atomArray>\n</molecule>\n")
+        else:
+            raise ValueError(f"unsupported molecular write format {fmt}")
+
+
 def write_poscar(c, path: str):
     m = np.asarray(c.m_x2c).T * param.BOHR_TO_ANGSTROM   # rows = vectors
     order = np.argsort(c.species_of, kind="stable")

@@ -50,3 +50,68 @@ def test_fragment_append_dedupes():
     assert merged.n == 6
     both = Fragment.merge(frags)
     assert both.n == 6
+
+
+def test_listatoms_sphcub_counts():
+    """Sphere/cube atom selections match a brute-force image scan
+    (reference listatoms_sphcub, src/crystalmod@proc.f90:1033)."""
+    from critic2_tpu.crystal.fragment import listatoms_sphcub
+
+    a = 5.0
+    c = Crystal(m_x2c=np.diag([a, a, a]),
+                x_frac=np.array([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]]),
+                species_of=np.array([0, 0]), species=[Species("C", 6)])
+    r = 7.3
+    fr = listatoms_sphcub(c, rsph=r, xsph=(0.0, 0.0, 0.0))
+    # brute force over a generous image range
+    cnt = 0
+    for i in range(-3, 4):
+        for j in range(-3, 4):
+            for k in range(-3, 4):
+                for x in c.x_frac:
+                    d = np.linalg.norm((np.asarray(x) + [i, j, k]) @ np.diag([a, a, a]))
+                    cnt += d < r
+    assert fr.n == cnt
+    # all selected atoms are inside the sphere
+    assert (np.linalg.norm(fr.x_cart, axis=1) < r).all()
+    # cube: half-side h keeps |x|,|y|,|z| <= h
+    h = 6.1
+    frc = listatoms_sphcub(c, rcub=h, xcub=(0.0, 0.0, 0.0))
+    assert (np.abs(frc.x_cart) <= h + 1e-12).all()
+    nc = sum(1 for i in range(-3, 4) for j in range(-3, 4)
+             for k in range(-3, 4) for x in c.x_frac
+             if np.all(np.abs((np.asarray(x) + [i, j, k]) * a) <= h))
+    assert frc.n == nc
+
+
+def test_listatoms_cells_border():
+    """ix supercell enumeration + border atoms (reference
+    listatoms_cells, src/crystalmod@proc.f90:975)."""
+    from critic2_tpu.crystal.fragment import listatoms_cells
+
+    c = Crystal(m_x2c=np.diag([4.0, 4.0, 4.0]),
+                x_frac=np.array([[0.0, 0.0, 0.0]]),
+                species_of=np.array([0]), species=[Species("C", 6)])
+    fr = listatoms_cells(c, (2, 2, 2), doborder=False)
+    assert fr.n == 8
+    # corner atom at origin: border adds every face/edge/corner copy
+    # of the 2x2x2 block surface that sits within 0.01 of it
+    frb = listatoms_cells(c, (2, 2, 2), doborder=True)
+    assert frb.n == 27  # full 3x3x3 corner lattice of the supercell
+
+
+def test_complete_molmotif():
+    from critic2_tpu.crystal.fragment import (Fragment,
+                                              complete_molmotif)
+
+    c = _co2_crystal()
+    # select only the boundary-crossing C2 atom
+    fr = Fragment(crystal=c, at_idx=np.array([3]),
+                  lvec=np.zeros((1, 3), dtype=int))
+    full = complete_molmotif(c, fr)
+    assert full.n == 3
+    zs = sorted(full.z)
+    assert zs == [6, 8, 8]
+    # the completed molecule is geometrically whole (O-C-O span ~4.4 bohr)
+    ext = np.linalg.norm(full.x_cart.max(0) - full.x_cart.min(0))
+    assert ext < 5.0
