@@ -115,8 +115,13 @@ def eigvalsh3s(h6):
     p2 = da * da + db * db + dc * dc + 2.0 * (xy * xy + yz * yz + xz * xz)
     p = jnp.sqrt(p2 / 6.0)
     safe_p = jnp.where(p > 0, p, 1.0)
-    r = (da * (db * dc - yz * yz) - xy * (xy * dc - yz * xz)
-         + xz * (xy * yz - db * xz)) / (2.0 * safe_p * safe_p * safe_p)
+    # normalize ELEMENTS by p before the determinant: dividing det by p^3
+    # at the end underflows to 0/0 = NaN for near-isotropic matrices
+    # (p ~ 1e-18 in f32 makes p^3 flush to zero)
+    na, nb, nc = da / safe_p, db / safe_p, dc / safe_p
+    nxy, nxz, nyz = xy / safe_p, xz / safe_p, yz / safe_p
+    r = (na * (nb * nc - nyz * nyz) - nxy * (nxy * nc - nyz * nxz)
+         + nxz * (nxy * nyz - nb * nxz)) / 2.0
     r = jnp.clip(r, -1.0, 1.0)
     phi = jnp.arccos(r) / 3.0
     e1 = q + 2.0 * p * jnp.cos(phi)
@@ -165,12 +170,16 @@ def eigvalsh3(m):
     p2 = da * da + db * db + dc * dc + 2.0 * (d * d + e * e + f * f)
     p = jnp.sqrt(p2 / 6.0)
     safe_p = jnp.where(p > 0, p, 1.0)
-    # B = (m - q I)/p ; r = det(B)/2
+    # B = (m - q I)/p ; r = det(B)/2. Normalize ELEMENTS by p before the
+    # determinant: dividing det by p^3 at the end underflows to 0/0 = NaN
+    # for near-isotropic matrices (p ~ 1e-18 makes p^3 flush to zero)
+    nda, ndb, ndc = da / safe_p, db / safe_p, dc / safe_p
+    nd, ne, nf = d / safe_p, e / safe_p, f / safe_p
     r = (
-        da * (db * dc - e * e)
-        - d * (d * dc - e * f)
-        + f * (d * e - db * f)
-    ) / (2.0 * safe_p * safe_p * safe_p)
+        nda * (ndb * ndc - ne * ne)
+        - nd * (nd * ndc - ne * nf)
+        + nf * (nd * ne - ndb * nf)
+    ) / 2.0
     r = jnp.clip(r, -1.0, 1.0)
     phi = jnp.arccos(r) / 3.0
     e1 = q + 2.0 * p * jnp.cos(phi)

@@ -111,3 +111,29 @@ def test_eig3_degenerate():
     for i in range(3):
         np.testing.assert_allclose(v[i].T @ v[i], np.eye(3), atol=1e-8)
         np.testing.assert_allclose(mats[i] @ v[i], v[i] * w[i][None, :], atol=1e-8)
+
+
+def test_eig3_near_isotropic():
+    """Near-isotropic Hessians (cage CPs at high-symmetry points) have
+    p ~ 1e-18; the naive det/p^3 form underflows to 0/0 = NaN and the CP
+    is then silently dropped as 'degenerate' (rank 0).  Regression for
+    the NaCl (1/4,1/4,1/4) cage."""
+    import jax.numpy as jnp
+
+    from critic2_tpu.ops.eig3 import eigvalsh3, eigvalsh3s, rsindex
+
+    lam = 1.28461739e-03
+    h = np.array([[[lam, 0.0, 1.73472348e-18],
+                   [0.0, lam, -2.16840434e-19],
+                   [1.73472348e-18, -2.16840434e-19, lam]]])
+    for dt in (jnp.float64, jnp.float32):
+        w = np.asarray(eigvalsh3(jnp.asarray(h, dtype=dt)))
+        assert np.all(np.isfinite(w))
+        np.testing.assert_allclose(w[0], [lam] * 3, rtol=1e-6)
+    h6 = jnp.asarray([[lam], [lam], [lam],
+                      [0.0], [1.73e-18], [-2.17e-19]])
+    w6 = np.asarray(eigvalsh3s(h6))
+    assert np.all(np.isfinite(w6))
+    np.testing.assert_allclose(w6.ravel(), [lam] * 3, rtol=1e-12)
+    _, r, s = rsindex(jnp.asarray(h), eps=1e-8)
+    assert int(r[0]) == 3 and int(s[0]) == 3
