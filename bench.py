@@ -177,17 +177,6 @@ def main():
     else:
         extra["f64_skipped"] = "compile budget exhausted"
 
-    # end-to-end driver wall-clocks + parity (promolecular analogues of
-    # the BASELINE configs); soft-fail so the headline survives
-    try:
-        from tools.parity_bench import run_parity
-        remaining = max(60.0, budget - (time.perf_counter() - t_start))
-        # sink=extra: legs land incrementally so the SIGALRM backstop
-        # emits everything measured up to the stall
-        run_parity(small=small, deadline_s=remaining, sink=extra)
-    except Exception as exc:  # pragma: no cover
-        extra["parity_error"] = f"{type(exc).__name__}: {exc}"
-
     # BASELINE-scale (256^3) end-to-end driver wall-clocks: YT, NCI,
     # grid-AUTO, qtree (BASELINE configs 1/2/3/5 shapes). Ratios are
     # against the measured single-core CPU walls of the same reference
@@ -209,6 +198,17 @@ def main():
                     CPU_MEASURED[cpu_key] / big[key], 1)
         except Exception as exc:  # pragma: no cover
             extra["big_error"] = f"{type(exc).__name__}: {exc}"
+
+    # 48^3 parity legs + molecular-config legs run with what remains
+    # of the budget (the big legs above are the operative metric)
+    try:
+        from tools.parity_bench import run_parity
+        remaining = max(60.0, budget - (time.perf_counter() - t_start))
+        # sink=extra: legs land incrementally so the SIGALRM backstop
+        # emits everything measured up to the stall
+        run_parity(small=small, deadline_s=remaining, sink=extra)
+    except Exception as exc:  # pragma: no cover
+        extra["parity_error"] = f"{type(exc).__name__}: {exc}"
 
     # headline = the f32 sweep: the production eval precision (SURVEY
     # section 7 "f32 eval + f64 Newton polish"); the harness itself

@@ -227,6 +227,10 @@ def run_parity(small: bool = False, deadline_s: float = 900.0,
     def over_budget():
         return time.perf_counter() - tstart > deadline_s
 
+    def stage(msg):
+        print(f"[run_parity +{time.perf_counter() - tstart:7.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
     out = {} if sink is None else sink
     n = 24 if small else 48
     s, g = _nacl_system((n, n, n))
@@ -240,6 +244,7 @@ def run_parity(small: bool = False, deadline_s: float = 900.0,
     res = yt_integrate(c, jnp.asarray(g))
     q = np.asarray(res.integrate(jnp.asarray(g))) * dv
     out["yt_wall_s"] = round(time.perf_counter() - t0, 3)
+    stage("yt")
     out["yt_nattr"] = int(res.nattr)
     out["yt_punity_err_e"] = float(abs(q.sum() - g.sum() * dv))
     # mixed precision: f32 basin construction, f64 accumulation (the
@@ -274,6 +279,7 @@ def run_parity(small: bool = False, deadline_s: float = 900.0,
     t0 = time.perf_counter()
     cpl = autocp(s, verbose=False)
     out["auto_wall_s"] = round(time.perf_counter() - t0, 3)
+    stage("auto ws")
     ncp, b, r, cc = cpl.counts()
     out["auto_counts"] = [ncp, b, r, cc]
     out["auto_ph"] = ncp - b + r - cc
@@ -281,6 +287,7 @@ def run_parity(small: bool = False, deadline_s: float = 900.0,
     t0 = time.perf_counter()
     cpl_g = autocp(s, verbose=False)
     out["auto_grid_wall_s"] = round(time.perf_counter() - t0, 3)
+    stage("auto grid")
     s.iref = 0
     # NCP sanity: every nucleus found within a grid step (interpolant
     # maxima sit off the analytic nuclei by interpolation error; the
@@ -321,6 +328,7 @@ def run_parity(small: bool = False, deadline_s: float = 900.0,
         t0 = time.perf_counter()
         nelec = molcalc_nelec(sw, lvl="good")
         out["wfn_mesh_wall_s"] = round(time.perf_counter() - t0, 3)
+        stage("wfn mesh")
         out["wfn_nelec_err"] = round(abs(nelec - 42.0), 8)
         if over_budget():
             return out
@@ -330,6 +338,7 @@ def run_parity(small: bool = False, deadline_s: float = 900.0,
         t0 = time.perf_counter()
         nelec_u = molcalc_nelec(sw, lvl="ultra")
         out["wfn_mesh_ultra_wall_s"] = round(time.perf_counter() - t0, 3)
+        stage("wfn mesh ultra")
         out["wfn_nelec_err_ultra"] = round(abs(nelec_u - 42.0), 10)
 
         if over_budget():
@@ -341,6 +350,7 @@ def run_parity(small: bool = False, deadline_s: float = 900.0,
         t0 = time.perf_counter()
         cplw = autocp(sw, verbose=False)
         out["wfn_auto_wall_s"] = round(time.perf_counter() - t0, 3)
+        stage("wfn auto")
         n_, b_, r_, c_ = cplw.counts()
         out["wfn_auto_counts"] = [n_, b_, r_, c_]
         out["wfn_auto_morse"] = n_ - b_ + r_ - c_
@@ -357,6 +367,7 @@ def run_parity(small: bool = False, deadline_s: float = 900.0,
         t0 = time.perf_counter()
         nci = nciplot(sw)
         out["mol_nci_wall_s"] = round(time.perf_counter() - t0, 3)
+        stage("mol nci")
         out["mol_nci_ndat"] = int(nci.ndat)
 
         if over_budget():
@@ -373,6 +384,7 @@ def run_parity(small: bool = False, deadline_s: float = 900.0,
         t0 = time.perf_counter()
         scene = fluxprint(sw, seeds, iup=-1)
         out["wfn_flux_wall_s"] = round(time.perf_counter() - t0, 3)
+        stage("wfn flux")
         out["wfn_flux_nseg"] = len(scene.seg)
 
     return out
