@@ -21,7 +21,8 @@ favoring the reference).
 Headline is the f32 sweep - the production evaluation precision
 (SURVEY section 7: "f32 eval + f64 Newton polish"); the parity harness
 demonstrates that f32 basin construction with f64 accumulation stays
-~500x inside the 1e-6 e basin-charge bar (yt_f32_parity_max_dq_e).
+inside the 1e-6 e basin-charge bar (yt_f32_parity_max_dq_e; measured
+5.8e-7 at 48^3, grid-dependent - production basin sums are f64).
 The f64 sweep rate (the v5e emulates the f64 vector ALU ~10x below
 f32) is reported in "extra" along with end-to-end YT / AUTO
 wall-clocks and parity checks on promolecular analogues of the
