@@ -192,11 +192,13 @@ def main():
             from tools.parity_bench import run_big, CPU_MEASURED
             remaining = max(60.0, budget - (time.perf_counter() - t_start))
             big = run_big(deadline_s=remaining, n=nbig, sink=extra)
-            key, cpu_key = (f"yt{nbig}_wall_s",
-                            f"yt{nbig}_cpu_seq_wall_s")
-            if key in big and cpu_key in CPU_MEASURED:
-                big[f"yt{nbig}_vs_cpu_seq"] = round(
-                    CPU_MEASURED[cpu_key] / big[key], 1)
+            for leg in ("yt", "nci", "auto"):
+                key = f"{leg}{nbig}_wall_s"
+                cpu_key = (f"yt{nbig}_cpu_seq_wall_s" if leg == "yt"
+                           else f"{leg}{nbig}_cpu_wall_s")
+                if key in big and cpu_key in CPU_MEASURED:
+                    big[f"{leg}{nbig}_vs_cpu"] = round(
+                        CPU_MEASURED[cpu_key] / big[key], 1)
         except Exception as exc:  # pragma: no cover
             extra["big_error"] = f"{type(exc).__name__}: {exc}"
 

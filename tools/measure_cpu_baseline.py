@@ -49,6 +49,52 @@ def main():
         native.yt_charges(g, offs, wts, g)
         out[f"yt{n}_cpu_seq_wall_s"] = round(time.perf_counter() - t0, 3)
 
+    # NCI-shaped wall: the reference grid fast path interpolates
+    # rho/grad/Hxx at every box node (src/nci@proc.f90:499-562, ~4
+    # interp evals/node); stand-in = one full tricubic
+    # value+grad+Hess eval per node of a 256^3 box, chunked (the
+    # 64-point stencil fetch dominates either form)
+    n = 256
+    s, g = _nacl_system((n, n, n), cache=True)
+    t0 = time.perf_counter()
+    nodes = (np.indices((n, n, 1)).reshape(3, -1).T + 0.5) / n
+    for k in range(n):           # chunk by z-plane to bound memory
+        x = nodes.copy()
+        x[:, 2] = (k + 0.5) / n
+        native.tricubic_batch(g, x)
+    out["nci256_cpu_wall_s"] = round(time.perf_counter() - t0, 2)
+
+    # grid-AUTO-shaped wall: Newton searches from the same WS seed set
+    # AUTO uses, on the native tricubic (the reference per-seed loop,
+    # src/autocp@proc.f90:690-723 + fieldmod newton :1832-1868)
+    from critic2_tpu.analysis.autocp import Seed, gen_seeds
+
+    xs = gen_seeds(s.crystal, [Seed(typ="ws")])
+    xs = np.unique(np.round(np.mod(xs, 1.0), 10), axis=0)
+    t0 = time.perf_counter()
+    x = xs.copy()
+    alive = np.ones(len(x), bool)
+    for _ in range(200):
+        if not alive.any():
+            break
+        _, gr, h6 = native.tricubic_batch(g, x[alive] % 1.0)
+        H = np.empty((alive.sum(), 3, 3))
+        H[:, 0, 0], H[:, 1, 1], H[:, 2, 2] = h6[:, 0], h6[:, 1], h6[:, 2]
+        H[:, 0, 1] = H[:, 1, 0] = h6[:, 3]
+        H[:, 0, 2] = H[:, 2, 0] = h6[:, 4]
+        H[:, 1, 2] = H[:, 2, 1] = h6[:, 5]
+        det = np.abs(np.linalg.det(H))
+        gn = np.linalg.norm(gr, axis=1)
+        ok = (gn > 1e-12) & (det > 1e-30)
+        step = np.zeros_like(gr)
+        if ok.any():
+            step[ok] = np.linalg.solve(H[ok], gr[ok, :, None])[:, :, 0]
+        x[alive] = x[alive] - step
+        idx = np.where(alive)[0]
+        alive[idx[~ok]] = False     # converged or singular: retire
+    out["auto256_cpu_wall_s"] = round(time.perf_counter() - t0, 2)
+    out["auto256_cpu_nseeds"] = int(len(xs))
+
     print(json.dumps(out, indent=1))
 
 

@@ -39,10 +39,15 @@ _REF_FCHK = "/root/reference/tests_cint/benzene-631gs.fchk"
 # BASELINE.md "Measured CPU" table. tools/measure_cpu_baseline.py
 # regenerates these.
 CPU_MEASURED = {
-    "yt48_cpu_seq_wall_s": 0.19,
-    "yt128_cpu_seq_wall_s": 6.90,
-    "yt256_cpu_seq_wall_s": 63.3,
-    "tricubic_cpu_evals_per_s": 2.1e5,     # value+grad+Hess, 1 core
+    # re-measured 2026-08-18 on an idle core (the 08-17 numbers were
+    # 3-4x slower: the TPU-tunnel outage kept compile-retry processes
+    # pinning this 1-core box; keep the clean-host values)
+    "yt48_cpu_seq_wall_s": 0.042,
+    "yt128_cpu_seq_wall_s": 1.318,
+    "yt256_cpu_seq_wall_s": 16.26,
+    "tricubic_cpu_evals_per_s": 6.8e5,     # value+grad+Hess, 1 core
+    "nci256_cpu_wall_s": 5.81,             # 256^3 interp sweep stand-in
+    "auto256_cpu_wall_s": 0.05,            # 2071 WS-seed Newton drain
 }
 
 
