@@ -70,25 +70,28 @@ def ewald_energy(crystal, charges=None) -> float:
     gv = jnp.asarray(gvec)
     g2j = jnp.asarray(g2)
 
-    @jax.jit
-    def energy():
-        # real space: 1/2 sum_ij sum_R' qi qj erfc(eta |rij+R|)/|rij+R|
-        rij = pos[:, None, :] - pos[None, :, :]            # (n, n, 3)
-        d = jnp.linalg.norm(rij[None, :, :, :] + lat[:, None, None, :],
-                            axis=-1)                       # (R, n, n)
-        mask = d > 1e-10
-        er = jnp.where(mask, erfc(eta * d) / jnp.where(mask, d, 1.0), 0.0)
-        ereal = 0.5 * jnp.einsum("i,j,rij->", q, q, er)
-        # reciprocal space
-        phase = gv @ pos.T                                  # (G, n)
-        sk = (q[None, :] * jnp.exp(1j * phase)).sum(1)
-        erec = (2.0 * jnp.pi / vol) * jnp.sum(
-            jnp.exp(-g2j / (4 * eta ** 2)) / g2j * jnp.abs(sk) ** 2)
-        eself = -eta / jnp.sqrt(jnp.pi) * jnp.sum(q * q)
-        ebg = -jnp.pi / (2.0 * vol * eta ** 2) * jnp.sum(q) ** 2
-        return ereal + erec + eself + ebg
+    return float(_energy(pos, q, lat, gv, g2j, eta, vol))
 
-    return float(energy())
+
+# module-level jits: fresh per-call closures would retrace/recompile
+# every call (seconds each through the remote-compile tunnel)
+@jax.jit
+def _energy(pos, q, lat, gv, g2j, eta, vol):
+    # real space: 1/2 sum_ij sum_R' qi qj erfc(eta |rij+R|)/|rij+R|
+    rij = pos[:, None, :] - pos[None, :, :]            # (n, n, 3)
+    d = jnp.linalg.norm(rij[None, :, :, :] + lat[:, None, None, :],
+                        axis=-1)                       # (R, n, n)
+    mask = d > 1e-10
+    er = jnp.where(mask, erfc(eta * d) / jnp.where(mask, d, 1.0), 0.0)
+    ereal = 0.5 * jnp.einsum("i,j,rij->", q, q, er)
+    # reciprocal space
+    phase = gv @ pos.T                                  # (G, n)
+    sk = (q[None, :] * jnp.exp(1j * phase)).sum(1)
+    erec = (2.0 * jnp.pi / vol) * jnp.sum(
+        jnp.exp(-g2j / (4 * eta ** 2)) / g2j * jnp.abs(sk) ** 2)
+    eself = -eta / jnp.sqrt(jnp.pi) * jnp.sum(q * q)
+    ebg = -jnp.pi / (2.0 * vol * eta ** 2) * jnp.sum(q) ** 2
+    return ereal + erec + eself + ebg
 
 
 def ewald_potential(crystal, points_cart, charges=None):
@@ -104,28 +107,29 @@ def ewald_potential(crystal, points_cart, charges=None):
     g2j = jnp.asarray(g2)
     pts = jnp.atleast_2d(jnp.asarray(points_cart))
 
-    @jax.jit
-    def pot(pts):
-        rij = pts[:, None, :] - pos[None, :, :]
-        d = jnp.linalg.norm(rij[None, :, :, :] + lat[:, None, None, :],
-                            axis=-1)                       # (R, N, n)
-        mask = d > 1e-7   # same threshold as the isnuc detection below
-        vreal = jnp.einsum("j,rnj->n", q, jnp.where(
-            mask, erfc(eta * d) / jnp.where(mask, d, 1.0), 0.0))
-        phase_p = gv @ pts.T                                # (G, N)
-        phase_a = gv @ pos.T                                # (G, n)
-        sk = (q[None, :] * jnp.exp(-1j * phase_a)).sum(1)   # (G,)
-        vrec = (4.0 * jnp.pi / vol) * jnp.real(
-            (jnp.exp(-g2j / (4 * eta ** 2)) / g2j)[:, None]
-            * sk[:, None] * jnp.exp(1j * phase_p)).sum(0)
-        vbg = -jnp.pi / (vol * eta ** 2) * jnp.sum(q)
-        # nuclear self-term: at an atomic site the reciprocal sum still
-        # contains that site's own Gaussian (potential 2*eta*q/sqrt(pi) at
-        # its center) while the masked real-space term dropped the
-        # compensating -q/d singularity; subtract it, matching the
-        # reference's isnuc branch (crystalmod@proc.f90:2145-2150)
-        onsite = (d.min(0) < 1e-7).astype(vreal.dtype)      # (N, n)
-        vself = -(2.0 * eta / jnp.sqrt(jnp.pi)) * (onsite @ q)
-        return vreal + vrec + vbg + vself
+    return np.asarray(_pot(pts, pos, q, lat, gv, g2j, eta, vol))
 
-    return np.asarray(pot(pts))
+
+@jax.jit
+def _pot(pts, pos, q, lat, gv, g2j, eta, vol):
+    rij = pts[:, None, :] - pos[None, :, :]
+    d = jnp.linalg.norm(rij[None, :, :, :] + lat[:, None, None, :],
+                        axis=-1)                       # (R, N, n)
+    mask = d > 1e-7   # same threshold as the isnuc detection below
+    vreal = jnp.einsum("j,rnj->n", q, jnp.where(
+        mask, erfc(eta * d) / jnp.where(mask, d, 1.0), 0.0))
+    phase_p = gv @ pts.T                                # (G, N)
+    phase_a = gv @ pos.T                                # (G, n)
+    sk = (q[None, :] * jnp.exp(-1j * phase_a)).sum(1)   # (G,)
+    vrec = (4.0 * jnp.pi / vol) * jnp.real(
+        (jnp.exp(-g2j / (4 * eta ** 2)) / g2j)[:, None]
+        * sk[:, None] * jnp.exp(1j * phase_p)).sum(0)
+    vbg = -jnp.pi / (vol * eta ** 2) * jnp.sum(q)
+    # nuclear self-term: at an atomic site the reciprocal sum still
+    # contains that site's own Gaussian (potential 2*eta*q/sqrt(pi) at
+    # its center) while the masked real-space term dropped the
+    # compensating -q/d singularity; subtract it, matching the
+    # reference's isnuc branch (crystalmod@proc.f90:2145-2150)
+    onsite = (d.min(0) < 1e-7).astype(vreal.dtype)      # (N, n)
+    vself = -(2.0 * eta / jnp.sqrt(jnp.pi)) * (onsite @ q)
+    return vreal + vrec + vbg + vself

@@ -11,6 +11,7 @@ and the total, giving all weights at once - no per-atom shell loop.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,27 @@ class HirshfeldResult:
             lines.append(f"{i:4d}  {nm:>4s}  {p:16.10f}  {q:16.10f}")
         lines.append(f"# total population: {self.pops.sum():.10f}")
         return "\n".join(lines)
+
+
+@partial(jax.jit, static_argnames=("nat",))
+def _hirsh_chunk(pT, rho_chunk, atpos, atspc, tab, cellidx, nat):
+    """One chunk's per-cell-atom Hirshfeld accumulation (module-level
+    jit: a fresh per-call closure would retrace/recompile every call)."""
+    from ..fields.promol import _radial_interp
+
+    aT = atpos.T
+    xx = pT[:, :, None] - aT[:, None, :]            # (3, n, M)
+    r = jnp.sqrt(jnp.maximum((xx * xx).sum(0), 1e-28))
+    s = jnp.broadcast_to(atspc[None, :], r.shape)
+    within = r <= tab["cutoff"][atspc][None, :]
+    rr, _, _ = _radial_interp(tab, s, r)
+    rr = jnp.where(within, jnp.maximum(rr, 0.0), 0.0)   # (n, M)
+    tot = rr.sum(axis=1)
+    w = rho_chunk / jnp.maximum(tot, 1e-300)
+    # per-cell-atom accumulation: sum over this chunk's points, then
+    # over the images belonging to each cell atom
+    per_image = (rr * w[:, None]).sum(0)             # (M,)
+    return jax.ops.segment_sum(per_image, cellidx, num_segments=nat)
 
 
 def hirshfeld_charges(system, block: int = 1 << 15) -> HirshfeldResult:
@@ -64,21 +86,9 @@ def hirshfeld_charges(system, block: int = 1 << 15) -> HirshfeldResult:
     xc = np.asarray(c.m_x2c) @ xf
     N = xc.shape[1]
 
-    @jax.jit
     def chunk(pT, rho_chunk):
-        aT = atpos.T
-        xx = pT[:, :, None] - aT[:, None, :]            # (3, n, M)
-        r = jnp.sqrt(jnp.maximum((xx * xx).sum(0), 1e-28))
-        s = jnp.broadcast_to(atspc[None, :], r.shape)
-        within = r <= tab["cutoff"][atspc][None, :]
-        rr, _, _ = _radial_interp(tab, s, r)
-        rr = jnp.where(within, jnp.maximum(rr, 0.0), 0.0)   # (n, M)
-        tot = rr.sum(axis=1)
-        w = rho_chunk / jnp.maximum(tot, 1e-300)
-        # per-cell-atom accumulation: sum over this chunk's points, then
-        # over the images belonging to each cell atom
-        per_image = (rr * w[:, None]).sum(0)             # (M,)
-        return jax.ops.segment_sum(per_image, cellidx, num_segments=nat)
+        return _hirsh_chunk(pT, rho_chunk, atpos, atspc, tab, cellidx,
+                            nat)
 
     pops = np.zeros(nat)
     rho_flat = rho.reshape(-1)

@@ -129,6 +129,20 @@ def _becke_weights(points, atpos):
     return P / P.sum(axis=1, keepdims=True)
 
 
+# module-level jits: fresh per-call closures/wraps would retrace (and
+# re-deserialize from the persistent compile cache) on every call
+_becke_weights_jit = jax.jit(_becke_weights)
+
+
+@jax.jit
+def _franchini_weights(x, vp0, pos_env, fscal):
+    d = jnp.linalg.norm(x[:, None, :] - pos_env[None, :, :], axis=-1)
+    vp = fscal[None, :] * jnp.exp(-2.0 * d) \
+        / jnp.maximum(d, 1e-10) ** 3
+    vpsum = jnp.maximum(vp.sum(1), vp0)
+    return vp0 / jnp.maximum(vpsum, 1e-40)
+
+
 def rmesh_franchini(n: int, z: int):
     """Franchini radial map (reference rmesh_franchini):
     r = zeta/ln2 (1+q) ln(2/(1-q)) on Gauss-Legendre q in (-1,1)."""
@@ -161,13 +175,8 @@ def franchini_mesh(crystal, lvl="good", rthres: float = 12.0) -> Mesh:
     pos_env_j = jnp.asarray(pos_env)
     fscal_j = jnp.asarray(fscal_env)
 
-    @jax.jit
     def weights(x, vp0):
-        d = jnp.linalg.norm(x[:, None, :] - pos_env_j[None, :, :], axis=-1)
-        vp = fscal_j[None, :] * jnp.exp(-2.0 * d) \
-            / jnp.maximum(d, 1e-10) ** 3
-        vpsum = jnp.maximum(vp.sum(1), vp0)
-        return vp0 / jnp.maximum(vpsum, 1e-40)
+        return _franchini_weights(x, vp0, pos_env_j, fscal_j)
 
     xs, ws = [], []
     atpos = np.asarray(c.x_cart)
@@ -215,7 +224,6 @@ def becke_mesh(crystal, lvl="good") -> Mesh:
     w = np.concatenate(ws)
     parent = np.concatenate(parents)
 
-    bw = np.asarray(jax.jit(_becke_weights)(jnp.asarray(x),
-                                            jnp.asarray(atpos)))
+    bw = np.asarray(_becke_weights_jit(jnp.asarray(x), jnp.asarray(atpos)))
     w = w * bw[np.arange(len(x)), parent]
     return Mesh(x=x, w=w)

@@ -20,6 +20,7 @@ dimplot = 0.5, rhoplot = 0.1 (src/nci@proc.f90:120-159).
 from __future__ import annotations
 
 from dataclasses import dataclass, field as dfield
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,45 @@ __all__ = ["nciplot", "NCIResult"]
 
 _CONST = 2.0 * (3.0 * np.pi ** 2) ** (1.0 / 3.0)
 _VSMALL = 1e-40
+
+
+@jax.jit
+def _rdg(rho, gf, h6):
+    lam2 = eigvalsh3s(h6)[1]
+    gmod = jnp.sqrt((gf * gf).sum(0))
+    rdg = gmod / (_CONST * jnp.maximum(rho, _VSMALL) ** (4.0 / 3.0))
+    return jnp.sign(lam2) * jnp.abs(rho) * 100.0, rdg
+
+
+# jits CACHED at module level: a fresh closure per nciplot call would
+# retrace + recompile (or re-deserialize from the persistent cache)
+# every call - seconds per call through the remote-compile tunnel
+@lru_cache(maxsize=32)
+def _fast_fn(shape, m_c2x_bytes):
+    from ..ops.eig3 import linmap, sym6_rotation
+    from ..ops.interp import interp_grid_soa
+
+    m_c2x = np.frombuffer(m_c2x_bytes).reshape(3, 3)
+    mT = m_c2x.T.copy()
+    r6 = sym6_rotation(m_c2x)
+
+    @jax.jit
+    def fast(gridf):
+        y, yp, ypp6 = interp_grid_soa(gridf, shape, nder=2)
+        gf = linmap(mT, yp.reshape(3, -1))
+        h6 = linmap(r6, ypp6.reshape(6, -1))
+        return _rdg(y.reshape(-1), gf, h6)
+
+    return fast
+
+
+@lru_cache(maxsize=32)
+def _chunk_eval_fn(fn):
+    @jax.jit
+    def chunk_eval(xT):
+        return _rdg(*fn(xT))
+
+    return chunk_eval
 
 
 @dataclass
@@ -140,13 +180,6 @@ def nciplot(system, oname: str | None = None, outdir: str | None = None,
         ijk = np.stack(np.unravel_index(idx, (n1, n2, n3))).astype(float)
         return jnp.asarray(x0[:, None] + xmat_np @ ijk)
 
-    @jax.jit
-    def _rdg(rho, gf, h6):
-        lam2 = eigvalsh3s(h6)[1]
-        gmod = jnp.sqrt((gf * gf).sum(0))
-        rdg = gmod / (_CONST * jnp.maximum(rho, _VSMALL) ** (4.0 / 3.0))
-        return jnp.sign(lam2) * jnp.abs(rho) * 100.0, rdg
-
     # ALL whole-grid arrays stay device-resident end to end; only
     # scalars and the lazily-materialized .dat selection cross the
     # host link.
@@ -154,22 +187,10 @@ def nciplot(system, oname: str | None = None, outdir: str | None = None,
         # regular-grid separable fast path (HBM-bandwidth bound on TPU);
         # the reference's analog builds FFT grad/Hxx grids
         # (src/nci@proc.f90:483-496)
-        from ..ops.eig3 import linmap, sym6_rotation
-        from ..ops.interp import interp_grid_soa
-
-        @jax.jit
-        def fast(gridf):
-            y, yp, ypp6 = interp_grid_soa(gridf, (n1, n2, n3), nder=2)
-            gf = linmap(np.asarray(c.m_c2x).T, yp.reshape(3, -1))
-            h6 = linmap(sym6_rotation(c.m_c2x), ypp6.reshape(6, -1))
-            return _rdg(y.reshape(-1), gf, h6)
-
-        crho, cgrad = fast(f.grid.f)
+        crho, cgrad = _fast_fn(
+            (n1, n2, n3), np.asarray(c.m_c2x).tobytes())(f.grid.f)
     else:
-        @jax.jit
-        def chunk_eval(xT):
-            return _rdg(*fn(xT))
-
+        chunk_eval = _chunk_eval_fn(fn)
         crs, cgs = [], []
         for lo in range(0, N, block):
             cr, cg = chunk_eval(chunk_pts(slice(lo, min(lo + block, N))))

@@ -13,12 +13,42 @@ while_loop over the whole image.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["stm", "STMResult"]
+
+
+@partial(jax.jit, static_argnames=("fn",))
+def _stm_bisect(fn, fxj, fyj, m, ztop, level):
+    """Constant-current bisection for one pixel block."""
+    lo = jnp.full(fxj.shape, ztop - 0.5)     # half a cell below vacuum
+    hi = jnp.full(fxj.shape, ztop)
+
+    def rho_at(z):
+        frac = jnp.stack([fxj, fyj, z % 1.0])
+        return fn(m @ frac)[0]
+
+    def body(st):
+        lo, hi = st
+        mid = 0.5 * (lo + hi)
+        rmid = rho_at(mid)
+        # density decreases toward vacuum (increasing z up to ztop):
+        # if rho(mid) > level, the isosurface is above mid
+        above = rmid > level
+        return jnp.where(above, mid, lo), jnp.where(above, hi, mid)
+
+    # unrolled (40 halvings): lax loops with gather indices that
+    # evolve with the carried state miscompile on the v5e backend
+    # here (see ops/newton.py docstring)
+    st = (lo, hi)
+    for _ in range(40):
+        st = body(st)
+    lo, hi = st
+    return 0.5 * (lo + hi)
 
 
 @dataclass
@@ -54,6 +84,8 @@ def stm(system, mode: str = "current", level: float | None = None,
 
     fn = f.eval_fn(nder=0)
     m = np.asarray(c.m_x2c)
+    # (module-level jit _stm_bisect: a fresh per-call closure would
+    # retrace/recompile every call)
 
     i, j = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
     fx = i.ravel() / nx
@@ -83,42 +115,13 @@ def stm(system, mode: str = "current", level: float | None = None,
         level = float(np.percentile(g, 75)) * 1e-3 + g.mean() * 1e-3
         level = max(level, 1e-6)
 
-    ztop_j = float(top)
-
-    @jax.jit
-    def bisect(fxj, fyj):
-        lo = jnp.full(fxj.shape, ztop_j - 0.5)   # half a cell below vacuum
-        hi = jnp.full(fxj.shape, ztop_j)
-
-        def rho_at(z):
-            frac = jnp.stack([fxj, fyj, z % 1.0])
-            return fn(jnp.asarray(m) @ frac)[0]
-
-        def body(_, st):
-            lo, hi = st
-            mid = 0.5 * (lo + hi)
-            rmid = rho_at(mid)
-            # density decreases toward vacuum (increasing z up to ztop):
-            # if rho(mid) > level, the isosurface is above mid
-            above = rmid > level
-            lo = jnp.where(above, mid, lo)
-            hi = jnp.where(above, hi, mid)
-            return lo, hi
-
-        # unrolled (40 halvings): lax loops with gather indices that
-        # evolve with the carried state miscompile on the v5e backend
-        # here (see ops/newton.py docstring)
-        st = (lo, hi)
-        for _ in range(40):
-            st = body(None, st)
-        lo, hi = st
-        return 0.5 * (lo + hi)
-
+    mj = jnp.asarray(m)
     out = np.empty(fx.size)
     for lo_i in range(0, fx.size, block):
         sl = slice(lo_i, lo_i + block)
-        out[sl] = np.asarray(bisect(jnp.asarray(fx[sl]),
-                                    jnp.asarray(fy[sl])))
+        out[sl] = np.asarray(_stm_bisect(fn, jnp.asarray(fx[sl]),
+                                         jnp.asarray(fy[sl]), mj,
+                                         float(top), float(level)))
     img = out.reshape(nx, ny)
     return STMResult(mode=mode, image=img,
                      extent=(float(np.linalg.norm(m[:, 0])),

@@ -148,19 +148,25 @@ def rdf(crystal, rini: float = 0.0, rend: float = 25.0,
     t = np.linspace(rini, rend, npts)
     ih = np.zeros(npts)
 
-    @jax.jit
-    def pair_hist(xi, zi):
-        d = jnp.linalg.norm(jnp.asarray(pos) - xi[None, :], axis=1)
-        w = jnp.sqrt(zi * jnp.asarray(zenv)) / nat
-        ok = (d > 1e-10) & (d < rend + 5 * sigma)
-        w = jnp.where(ok, w, 0.0)
-        return (w[None, :] * jnp.exp(
-            -(jnp.asarray(t)[:, None] - d[None, :]) ** 2
-            / (2 * sigma ** 2))).sum(1)
-
+    posj, zenvj, tj = jnp.asarray(pos), jnp.asarray(zenv), jnp.asarray(t)
     for i in range(nat):
-        ih += np.asarray(pair_hist(jnp.asarray(xc[i]), float(zs[i])))
+        ih += np.asarray(_pair_hist(jnp.asarray(xc[i]), float(zs[i]),
+                                    posj, zenvj, tj, float(nat),
+                                    float(rend + 5 * sigma),
+                                    float(sigma)))
     return Pattern(t=t, ih=ih)
+
+
+@jax.jit
+def _pair_hist(xi, zi, pos, zenv, t, nat, dcut, sigma):
+    """One atom's Gaussian-smeared pair histogram (module-level jit:
+    a per-call closure would retrace/recompile every call)."""
+    d = jnp.linalg.norm(pos - xi[None, :], axis=1)
+    w = jnp.sqrt(zi * zenv) / nat
+    ok = (d > 1e-10) & (d < dcut)
+    w = jnp.where(ok, w, 0.0)
+    return (w[None, :] * jnp.exp(
+        -(t[:, None] - d[None, :]) ** 2 / (2 * sigma ** 2))).sum(1)
 
 
 def _crosscorr_triangle(h, f, g, l):

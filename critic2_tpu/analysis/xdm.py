@@ -39,6 +39,25 @@ def _xdmdata():
 
 
 @jax.jit
+def _xdm_atom_acc(dcart_T, sidx, tab, rho_flat, pd_flat, b_flat):
+    """Per-atom-image XDM moment accumulation (module-level jit: a
+    per-call closure would retrace/recompile every call)."""
+    from ..fields.promol import _radial_interp
+
+    r = jnp.sqrt(jnp.maximum((dcart_T ** 2).sum(0), 1e-28))
+    s = jnp.full(r.shape, sidx, dtype=jnp.int32)
+    rhofree, _, _ = _radial_interp(tab, s, r)
+    rhofree = jnp.maximum(rhofree, 0.0)
+    w = rhofree * rho_flat / pd_flat
+    db = jnp.maximum(r - b_flat, 0.0)
+    out = []
+    for L in (1, 2, 3):
+        out.append((w * (r ** L - db ** L) ** 2).sum())
+    out.append((w * r ** 3).sum())
+    return jnp.stack(out)
+
+
+@jax.jit
 def br_hole_b(rho, grad, lap, tau):
     """Becke-Roussel hole displacement b on the grid (reference
     src/xdm@proc.f90:400-447): per-spin quantities, solve
@@ -162,19 +181,12 @@ def xdm_grid(system, a1: float = 0.6836, a2_ang: float = 1.5045,
     ml = np.zeros((nat, 3))
     avol = np.zeros(nat)
 
-    @jax.jit
+    rho_flat_j = jnp.asarray(rho_flat)
+    b_flat_j = jnp.asarray(b_flat)
+
     def atom_acc(dcart_T, sidx):
-        r = jnp.sqrt(jnp.maximum((dcart_T ** 2).sum(0), 1e-28))
-        s = jnp.full(r.shape, sidx, dtype=jnp.int32)
-        rhofree, _, _ = _radial_interp(tab, s, r)
-        rhofree = jnp.maximum(rhofree, 0.0)
-        w = rhofree * rho_flat / pd_flat
-        db = jnp.maximum(r - b_flat, 0.0)
-        out = []
-        for L in (1, 2, 3):
-            out.append((w * (r ** L - db ** L) ** 2).sum())
-        out.append((w * r ** 3).sum())
-        return jnp.stack(out)
+        return _xdm_atom_acc(dcart_T, sidx, tab, rho_flat_j, pd_flat,
+                             b_flat_j)
 
     for iat in range(nat):
         z = int(zs[iat])

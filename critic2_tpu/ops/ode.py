@@ -38,13 +38,11 @@ STAT_ESCAPED = 3
 STAT_MAXSTEP = 4
 
 
-@partial(jax.jit,
-         static_argnames=("eval_fn", "iup", "nsteps", "have_t", "havemol"))
-def _ode_chunk(eval_fn, st, tT, rt, m_c2x, molborder, hini, maxerr,
-               gradeps, iup, have_t, havemol, nsteps):
-    """Advance all trajectories nsteps BS23 attempts (Python-unrolled)."""
+def _make_body(eval_fn, tT, rt, m_c2x, molborder, hini, maxerr,
+               gradeps, iup, have_t, havemol):
+    """One BS23 attempt over the whole batch: st -> st (shared by the
+    plain, recorded, and fori steppers)."""
     sgn = float(iup)
-    N = st[0].shape[1]
 
     def direction(xT):
         _, gf, _ = eval_fn(xT)
@@ -54,7 +52,7 @@ def _ode_chunk(eval_fn, st, tT, rt, m_c2x, molborder, hini, maxerr,
     def nearest_target(xT):
         d2 = ((xT[:, :, None] - tT[:, None, :]) ** 2).sum(0)   # (N, K)
         k = jnp.argmin(d2, axis=1).astype(jnp.int32)
-        return k, jnp.sqrt(d2[jnp.arange(N), k])
+        return k, jnp.sqrt(d2[jnp.arange(xT.shape[1]), k])
 
     def body(st):
         xT, h, done, status, termid, plen, d1, gmod = st
@@ -110,6 +108,16 @@ def _ode_chunk(eval_fn, st, tT, rt, m_c2x, molborder, hini, maxerr,
 
         return xT, h, done, status, termid, plen, d1, gmod
 
+    return body
+
+
+@partial(jax.jit,
+         static_argnames=("eval_fn", "iup", "nsteps", "have_t", "havemol"))
+def _ode_chunk(eval_fn, st, tT, rt, m_c2x, molborder, hini, maxerr,
+               gradeps, iup, have_t, havemol, nsteps):
+    """Advance all trajectories nsteps BS23 attempts (Python-unrolled)."""
+    body = _make_body(eval_fn, tT, rt, m_c2x, molborder, hini, maxerr,
+                      gradeps, iup, have_t, havemol)
     for _ in range(nsteps):
         st = body(st)
     return st
@@ -123,13 +131,51 @@ def _ode_chunk_fori(eval_fn, st, tT, rt, m_c2x, molborder, hini, maxerr,
     compiles ONCE instead of nsteps inlined copies.  Only for
     gather-free evaluators (molecular wfn) - see ops/newton.py
     _newton_chunk_fori for the v5e gather-loop caveat."""
-    inner = _ode_chunk.__wrapped__
+    body = _make_body(eval_fn, tT, rt, m_c2x, molborder, hini, maxerr,
+                      gradeps, iup, have_t, havemol)
+    return jax.lax.fori_loop(0, nsteps, lambda _, s: body(s), st)
 
-    def body(_, st):
-        return inner(eval_fn, st, tT, rt, m_c2x, molborder, hini,
-                     maxerr, gradeps, iup, have_t, havemol, 1)
 
-    return jax.lax.fori_loop(0, nsteps, body, st)
+@partial(jax.jit,
+         static_argnames=("eval_fn", "iup", "nsteps", "have_t", "havemol"))
+def _ode_chunk_rec(eval_fn, st, tT, rt, m_c2x, molborder, hini, maxerr,
+                   gradeps, iup, have_t, havemol, nsteps):
+    """_ode_chunk that also RECORDS the position after every step:
+    returns (st, xrec (nsteps, 3, N)).  One device program per chunk
+    instead of one dispatch (plus host sync) per step - the recorded
+    tracer's wall is dispatch-latency-bound through the remote tunnel."""
+    body = _make_body(eval_fn, tT, rt, m_c2x, molborder, hini, maxerr,
+                      gradeps, iup, have_t, havemol)
+    recs = []
+    for _ in range(nsteps):
+        st = body(st)
+        recs.append(st[0])
+    return st, jnp.stack(recs)
+
+
+@partial(jax.jit,
+         static_argnames=("eval_fn", "iup", "nsteps", "have_t", "havemol"))
+def _ode_chunk_rec_scan(eval_fn, st, tT, rt, m_c2x, molborder, hini,
+                        maxerr, gradeps, iup, have_t, havemol, nsteps):
+    """Recorded chunk via lax.scan (one compiled body; gather-free
+    evaluators only, same caveat as _ode_chunk_fori)."""
+    body = _make_body(eval_fn, tT, rt, m_c2x, molborder, hini, maxerr,
+                      gradeps, iup, have_t, havemol)
+
+    def step(s, _):
+        s = body(s)
+        return s, s[0]
+
+    return jax.lax.scan(step, st, None, length=nsteps)
+
+
+@partial(jax.jit, static_argnames=("eval_fn", "iup"))
+def _ode_init(eval_fn, xT0, iup):
+    """Initial FSAL direction/gradient (jitted: an eager eval_fn call
+    here would run op-by-op through the remote-dispatch tunnel)."""
+    _, gf0, _ = eval_fn(xT0)
+    gmod0 = jnp.sqrt((gf0 * gf0).sum(0))
+    return float(iup) * gf0 / (gmod0 + 1e-80)[None, :], gmod0
 
 
 def trace_paths(eval_fn, x0, iup: int = 1, targets=None, rterm=None,
@@ -158,9 +204,7 @@ def trace_paths(eval_fn, x0, iup: int = 1, targets=None, rterm=None,
     m_c2x_j = jnp.asarray(m_c2x) if havemol else jnp.zeros((3, 3))
     molb_j = jnp.asarray(molborder) if havemol else jnp.zeros((3,))
 
-    _, gf0, _ = eval_fn(xT0)
-    gmod0 = jnp.sqrt((gf0 * gf0).sum(0))
-    d1_0 = float(iup) * gf0 / (gmod0 + 1e-80)[None, :]
+    d1_0, gmod0 = _ode_init(eval_fn, xT0, iup)
     hstart = jnp.full((N,), hini) if h0 is None else jnp.asarray(h0)
     st = (xT0, hstart,
           jnp.zeros(N, bool), jnp.full((N,), STAT_MAXSTEP, jnp.int32),
@@ -183,28 +227,52 @@ def trace_paths(eval_fn, x0, iup: int = 1, targets=None, rterm=None,
     return xT.T, status, termid, plen, h
 
 
-def trace_paths_recorded(eval_fn, x0, nrec: int = 400, **kw):
+def trace_paths_recorded(eval_fn, x0, nrec: int = 400, iup: int = 1,
+                         targets=None, rterm=None, hini: float = 0.3,
+                         maxerr: float = 1e-4, gradeps: float = 1e-7,
+                         m_c2x=None, molborder=None, chunk: int = 50,
+                         loop: str | None = None):
     """Like trace_paths but records the trajectory (host-side pruning of
     repeated tail points). Returns (paths list of (L_i, 3) arrays, status,
     termid). Runs nrec bounded steps; use for plotting (FLUXPRINT/GRDVEC),
-    not for termination-critical work."""
+    not for termination-critical work.
+
+    Positions are recorded ON DEVICE in `chunk`-step batches (one
+    dispatch per chunk): the previous one-step-per-dispatch form spent
+    ~30 s of pure tunnel latency on a 400-step trace."""
     import numpy as np
 
-    x = jnp.asarray(x0)
-    N = x.shape[0]
-    recs = [np.asarray(x)]
-    status = termid = None
-    # advance in nrec single-step traces (mstep=1 per record) would retrace;
-    # instead run progressively longer traces and record the frontier.
-    # Cheaper: step the batch nrec times with mstep=1 each.
-    cur = x
-    h = None
-    for _ in range(nrec):
-        xn, status, termid, _, h = trace_paths(eval_fn, cur, mstep=1,
-                                               h0=h, **kw)
-        recs.append(np.asarray(xn))
-        cur = jnp.asarray(xn)
-    arr = np.stack(recs)             # (nrec+1, N, 3)
+    xT0 = jnp.asarray(x0).T
+    N = xT0.shape[1]
+    have_t = targets is not None and targets.shape[0] > 0
+    tT = jnp.asarray(targets).T if have_t else jnp.zeros((3, 1))
+    rt = jnp.asarray(rterm) if have_t else jnp.zeros((1,))
+    havemol = m_c2x is not None
+    m_c2x_j = jnp.asarray(m_c2x) if havemol else jnp.zeros((3, 3))
+    molb_j = jnp.asarray(molborder) if havemol else jnp.zeros((3,))
+
+    d1_0, gmod0 = _ode_init(eval_fn, xT0, iup)
+    st = (xT0, jnp.full((N,), hini),
+          jnp.zeros(N, bool), jnp.full((N,), STAT_MAXSTEP, jnp.int32),
+          jnp.full((N,), -1, jnp.int32), jnp.zeros(N), d1_0, gmod0)
+    if loop is None:
+        loop = getattr(eval_fn, "_c2t_loop", "unroll")
+    stepper = _ode_chunk_rec_scan if loop == "fori" else _ode_chunk_rec
+    if loop == "fori":
+        chunk = max(chunk, 100)
+
+    recs = [np.asarray(xT0)[None]]
+    it = 0
+    while it < nrec:
+        n = min(chunk, nrec - it)
+        st, xrec = stepper(eval_fn, st, tT, rt, m_c2x_j, molb_j, hini,
+                           maxerr, gradeps, iup, have_t, havemol, n)
+        recs.append(np.asarray(xrec))
+        it += n
+        if bool(st[2].all()):
+            break
+    status, termid = st[3], st[4]
+    arr = np.concatenate(recs).transpose(0, 2, 1)   # (steps+1, N, 3)
     paths = []
     for i in range(N):
         p = arr[:, i, :]
