@@ -201,9 +201,29 @@ def franchini_mesh(crystal, lvl="good", rthres: float = 12.0) -> Mesh:
 
 
 def becke_mesh(crystal, lvl="good") -> Mesh:
-    """Generate the Becke molecular mesh (reference genmesh_becke)."""
+    """Generate the Becke molecular mesh (reference genmesh_becke).
+
+    Cached per (crystal, lvl): drivers re-integrate several properties
+    over the same mesh, and an ultra-level mesh of a mid-size molecule
+    costs ~10 s of device weight evaluation."""
     if isinstance(lvl, str):
         lvl = _LVL[lvl]
+    cache = getattr(crystal, "_becke_mesh_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            crystal._becke_mesh_cache = cache
+        except Exception:       # frozen dataclass: skip caching
+            cache = None
+    if cache is not None and lvl in cache:
+        return cache[lvl]
+    m = _becke_mesh_build(crystal, lvl)
+    if cache is not None:
+        cache[lvl] = m
+    return m
+
+
+def _becke_mesh_build(crystal, lvl: int) -> Mesh:
     atpos = np.asarray(crystal.x_cart)
     zs = np.asarray(crystal.zatoms)
     xs, ws, parents = [], [], []

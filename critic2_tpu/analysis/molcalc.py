@@ -16,7 +16,7 @@ __all__ = ["molcalc_integral", "molcalc_nelec", "molcalc_peach"]
 
 
 def molcalc_integral(system, expr: str, lvl: str = "good",
-                     block: int = 1 << 14) -> float:
+                     block: int = 1 << 17) -> float:
     """Integral of `expr` over the Becke mesh of the system's molecule."""
     from ..arithmetic import compile_expr
 

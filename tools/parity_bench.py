@@ -245,6 +245,7 @@ def run_parity(small: bool = False, deadline_s: float = 900.0,
 
     # --- YT (electride_yt analogue) ---------------------------------
     res = yt_integrate(c, jnp.asarray(g))          # warmup/compile
+    res.integrate(jnp.asarray(g))                  # (adjoint sweep too)
     t0 = time.perf_counter()
     res = yt_integrate(c, jnp.asarray(g))
     q = np.asarray(res.integrate(jnp.asarray(g))) * dv
@@ -289,6 +290,7 @@ def run_parity(small: bool = False, deadline_s: float = 900.0,
     out["auto_counts"] = [ncp, b, r, cc]
     out["auto_ph"] = ncp - b + r - cc
     s.iref = 1
+    cpl_g = autocp(s, verbose=False)               # warmup/compile
     t0 = time.perf_counter()
     cpl_g = autocp(s, verbose=False)
     out["auto_grid_wall_s"] = round(time.perf_counter() - t0, 3)
