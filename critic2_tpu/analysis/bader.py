@@ -19,6 +19,7 @@ walks, batched over every grid point at once (_neargrid_roots).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -72,6 +73,116 @@ class BaderResult:
         return idx, np.ones(idx.size)
 
 
+
+def _val_pbc(f, shape, p):
+    """f at integer points p (..., 3) with pbc."""
+    n1, n2, n3 = shape
+    return f[p[..., 0] % n1, p[..., 1] % n2, p[..., 2] % n3]
+
+
+def _ongrid_step(f, shape, offs, invd, p):
+    nbr = p[:, None, :] + offs[None, :, :]             # (B, 26, 3)
+    meas = (_val_pbc(f, shape, nbr)
+            - _val_pbc(f, shape, p)[:, None]) * invd[None, :]
+    k = jnp.argmax(meas, axis=1)
+    best = jnp.max(meas, axis=1)
+    pm = nbr[jnp.arange(p.shape[0]), k]
+    return jnp.where((best > 0.0)[:, None], pm, p)
+
+
+def _neargrid_step(state, f, G, offs, invd, shape):
+    p, dr, prev, done = state
+    e = jnp.eye(3, dtype=jnp.int32)
+    f0 = _val_pbc(f, shape, p)
+    fp = jnp.stack([_val_pbc(f, shape, p + e[d]) for d in range(3)], -1)
+    fm = jnp.stack([_val_pbc(f, shape, p - e[d]) for d in range(3)], -1)
+    glat = 0.5 * (fp - fm)
+    glat = jnp.where((fp < f0[:, None]) & (fm < f0[:, None]),
+                     0.0, glat)
+    gdir = glat @ G.T                                   # (B, 3)
+    gmax = jnp.abs(gdir).max(axis=1)
+    flat = gmax < 1e-30
+
+    nbr_any = (_val_pbc(f, shape, p[:, None, :] + offs[None, :, :])
+               > f0[:, None]).any(-1)
+    ismax26 = ~nbr_any          # reference is_max (26 neighbors)
+
+    g = gdir / jnp.maximum(gmax, 1e-300)[:, None]
+    pm_g = p + jnp.rint(g).astype(jnp.int32)
+    dr_g = dr + g - jnp.rint(g)
+    pm_g = pm_g + jnp.rint(dr_g).astype(jnp.int32)
+    dr_g = dr_g - jnp.rint(dr_g)
+
+    pm_o = _ongrid_step(f, shape, offs, invd, p)
+
+    use_o = flat & ~ismax26
+    pm = jnp.where(use_o[:, None], pm_o, pm_g)
+    drn = jnp.where((flat | use_o)[:, None], 0.0, dr_g)
+    # cycle guard: revisiting the previous point -> ongrid + reset
+    cyc = (pm % jnp.asarray(shape) ==
+           prev % jnp.asarray(shape)).all(-1) & ~done
+    pm = jnp.where(cyc[:, None], pm_o, pm)
+    drn = jnp.where(cyc[:, None], 0.0, drn)
+
+    newdone = done | (flat & ismax26) | (pm == p).all(-1)
+    pm = jnp.where(newdone[:, None], p, pm)
+    drn = jnp.where(newdone[:, None], 0.0, drn)
+    return pm, drn, p, newdone
+
+
+@partial(jax.jit, static_argnames=("shape", "nsteps"))
+def _neargrid_chunk(state, f, G, offs, invd, shape, nsteps):
+    """nsteps masked near-grid updates in one program (module-level
+    jit: a per-call closure would retrace/recompile every call and
+    bake the grid into the trace as a constant)."""
+    for _ in range(nsteps):
+        state = _neargrid_step(state, f, G, offs, invd, shape)
+    return state
+
+
+@partial(jax.jit, static_argnames=("shape",))
+def _succ_block(idx, rho_flat, offs, invd, shape):
+    N = rho_flat.shape[0]
+    nbr = _neighbor_flat(idx, offs, shape)            # (K, B)
+    grad = (rho_flat[nbr] - rho_flat[idx][None, :]) * invd[:, None]
+    kbest = jnp.argmax(grad, axis=0)
+    best = jnp.max(grad, axis=0)
+    s = nbr[kbest, jnp.arange(idx.shape[0])]
+    # exact plateaus (best == 0, e.g. zero-clamped vacuum): route to
+    # the lowest-flat-index equal-rho neighbor below idx so a plateau
+    # collapses to one representative instead of N self-mapped
+    # attractors (reference walks plateaus to a single maximum,
+    # src/bader@proc.f90)
+    plat = jnp.where((grad == 0.0) & (nbr < idx[None, :]),
+                     nbr, jnp.int32(N))
+    pmin = jnp.min(plat, axis=0)
+    s_plat = jnp.where(pmin < N, pmin, idx)
+    return jnp.where(best > 0.0, s,
+                     jnp.where(best == 0.0, s_plat, idx))
+
+
+@jax.jit
+def _double(s):
+    return s[s]
+
+
+@partial(jax.jit, static_argnames=("shape", "block", "nblk"))
+def _refine_pass(labels, rho_flat, offs, invd, shape, block, nblk):
+    out = labels
+    for b in range(nblk):
+        idx = jnp.arange(b * block, min((b + 1) * block,
+                                        rho_flat.shape[0]),
+                         dtype=jnp.int32)
+        nbr = _neighbor_flat(idx, offs, shape)
+        grad = (rho_flat[nbr] - rho_flat[idx][None, :]) * invd[:, None]
+        kbest = jnp.argmax(grad, axis=0)
+        best = jnp.max(grad, axis=0)
+        s = nbr[kbest, jnp.arange(idx.shape[0])]
+        newlab = jnp.where(best > 0.0, labels[s], labels[idx])
+        out = out.at[idx].set(newlab)
+    return out
+
+
 def _neargrid_roots(crystal, rho, maxiter: int | None = None):
     """Exact near-grid ascent (reference max_neargrid/step_neargrid,
     src/bader@proc.f90:363-431): every grid point walks uphill with the
@@ -101,57 +212,6 @@ def _neargrid_roots(crystal, rho, maxiter: int | None = None):
     offs = jnp.asarray(offs_np)
     invd = jnp.asarray(1.0 / dists)
 
-    def val(p):
-        """f at integer points p (..., 3) with pbc."""
-        return f[p[..., 0] % n1, p[..., 1] % n2, p[..., 2] % n3]
-
-    def ongrid_step(p):
-        nbr = p[:, None, :] + offs[None, :, :]             # (B, 26, 3)
-        meas = (val(nbr) - val(p)[:, None]) * invd[None, :]
-        k = jnp.argmax(meas, axis=1)
-        best = jnp.max(meas, axis=1)
-        pm = nbr[jnp.arange(p.shape[0]), k]
-        return jnp.where((best > 0.0)[:, None], pm, p)
-
-    @jax.jit
-    def step(state):
-        p, dr, prev, done = state
-        e = jnp.eye(3, dtype=jnp.int32)
-        f0 = val(p)
-        fp = jnp.stack([val(p + e[d]) for d in range(3)], -1)  # (B, 3)
-        fm = jnp.stack([val(p - e[d]) for d in range(3)], -1)
-        glat = 0.5 * (fp - fm)
-        glat = jnp.where((fp < f0[:, None]) & (fm < f0[:, None]),
-                         0.0, glat)
-        gdir = glat @ G.T                                   # (B, 3)
-        gmax = jnp.abs(gdir).max(axis=1)
-        flat = gmax < 1e-30
-
-        nbr_any = (val(p[:, None, :] + offs[None, :, :])
-                   > f0[:, None]).any(-1)
-        ismax26 = ~nbr_any          # reference is_max (26 neighbors)
-
-        g = gdir / jnp.maximum(gmax, 1e-300)[:, None]
-        pm_g = p + jnp.rint(g).astype(jnp.int32)
-        dr_g = dr + g - jnp.rint(g)
-        pm_g = pm_g + jnp.rint(dr_g).astype(jnp.int32)
-        dr_g = dr_g - jnp.rint(dr_g)
-
-        pm_o = ongrid_step(p)
-
-        use_o = flat & ~ismax26
-        pm = jnp.where(use_o[:, None], pm_o, pm_g)
-        drn = jnp.where((flat | use_o)[:, None], 0.0, dr_g)
-        # cycle guard: revisiting the previous point -> ongrid + reset
-        cyc = (pm % jnp.asarray(shape) ==
-               prev % jnp.asarray(shape)).all(-1) & ~done
-        pm = jnp.where(cyc[:, None], pm_o, pm)
-        drn = jnp.where(cyc[:, None], 0.0, drn)
-
-        newdone = done | (flat & ismax26) | (pm == p).all(-1)
-        pm = jnp.where(newdone[:, None], p, pm)
-        drn = jnp.where(newdone[:, None], 0.0, drn)
-        return pm, drn, p, newdone
 
     i0 = jnp.arange(N, dtype=jnp.int32)
     p = jnp.stack([i0 // (n2 * n3), (i0 // n3) % n2, i0 % n3], -1)
@@ -163,9 +223,8 @@ def _neargrid_roots(crystal, rho, maxiter: int | None = None):
         maxiter = 4 * max(shape) + 64
     it = 0
     while it < maxiter:
-        for _ in range(16):
-            state = step(state)
-            it += 1
+        state = _neargrid_chunk(state, f, G, offs, invd, shape, 16)
+        it += 16
         if bool(state[3].all()):
             break
     p = np.asarray(state[0]) % np.asarray(shape)
@@ -196,38 +255,16 @@ def bader_integrate(crystal, rho, block: int = 1 << 18,
     # tie-stable uphill measure: (drho/dist, then lower flat index wins)
     nblk = (N + block - 1) // block
 
-    @jax.jit
-    def succ_block(idx):
-        nbr = _neighbor_flat(idx, offs, shape)            # (K, B)
-        grad = (rho_flat[nbr] - rho_flat[idx][None, :]) * invd[:, None]
-        kbest = jnp.argmax(grad, axis=0)
-        best = jnp.max(grad, axis=0)
-        s = nbr[kbest, jnp.arange(idx.shape[0])]
-        # exact plateaus (best == 0, e.g. zero-clamped vacuum): route to
-        # the lowest-flat-index equal-rho neighbor below idx so a plateau
-        # collapses to one representative instead of N self-mapped
-        # attractors (reference walks plateaus to a single maximum,
-        # src/bader@proc.f90)
-        plat = jnp.where((grad == 0.0) & (nbr < idx[None, :]),
-                         nbr, jnp.int32(N))
-        pmin = jnp.min(plat, axis=0)
-        s_plat = jnp.where(pmin < N, pmin, idx)
-        return jnp.where(best > 0.0, s,
-                         jnp.where(best == 0.0, s_plat, idx))
-
     all_idx = jnp.arange(N, dtype=jnp.int32)
     succ = jnp.concatenate(
-        [succ_block(all_idx[b * block:(b + 1) * block]) for b in range(nblk)])
+        [_succ_block(all_idx[b * block:(b + 1) * block], rho_flat, offs,
+                     invd, shape) for b in range(nblk)])
 
     # pointer doubling to the attractor roots
-    @jax.jit
-    def double(s):
-        return s[s]
-
     nsteps = int(np.ceil(np.log2(max(N, 2)))) + 1
     root = succ
     for _ in range(nsteps):
-        root = double(root)
+        root = _double(root)
 
     roots_np = np.unique(np.asarray(root))
     nattr = len(roots_np)
@@ -237,22 +274,9 @@ def bader_integrate(crystal, rho, block: int = 1 << 18,
 
     # edge refinement: recompute succ labels from the *current* labeling;
     # an edge point takes the label of its steepest uphill neighbor
-    @jax.jit
-    def refine(labels):
-        out = labels
-        for b in range(nblk):
-            idx = all_idx[b * block:(b + 1) * block]
-            nbr = _neighbor_flat(idx, offs, shape)
-            grad = (rho_flat[nbr] - rho_flat[idx][None, :]) * invd[:, None]
-            kbest = jnp.argmax(grad, axis=0)
-            best = jnp.max(grad, axis=0)
-            s = nbr[kbest, jnp.arange(idx.shape[0])]
-            newlab = jnp.where(best > 0.0, labels[s], labels[idx])
-            out = out.at[idx].set(newlab)
-        return out
-
     for _ in range(refine_iters):
-        new = refine(labels)
+        new = _refine_pass(labels, rho_flat, offs, invd, shape, block,
+                           nblk)
         if bool((new == labels).all()):
             break
         labels = new
