@@ -192,7 +192,11 @@ def main():
             from tools.parity_bench import run_big, CPU_MEASURED
             remaining = max(60.0, budget - (time.perf_counter() - t_start))
             big = run_big(deadline_s=remaining, n=nbig, sink=extra)
-            for leg in ("yt", "nci", "auto"):
+            # ratios only where the CPU stand-in runs the same whole
+            # workload (YT: exact sequential sweep; NCI: full interp
+            # sweep). The auto Newton-drain stand-in is Newton-only,
+            # not the full driver - reported raw, never as a ratio.
+            for leg in ("yt", "nci"):
                 key = f"{leg}{nbig}_wall_s"
                 cpu_key = (f"yt{nbig}_cpu_seq_wall_s" if leg == "yt"
                            else f"{leg}{nbig}_cpu_wall_s")

@@ -45,7 +45,7 @@ def cpreport_scene(system, cpl, file: str, graph: bool = True,
     if graph:
         bcps = [cp for cp in cpl.cps if cp.typ == -1]
         if bcps:
-            fn = system.ref.eval_fn(nder=2)
+            fn = system.ref.eval_fn(nder=1)
             import jax.numpy as jnp
             for cp in bcps:
                 if cp.brvec is None:
@@ -115,7 +115,7 @@ def fluxprint(system, seeds_cart, iup: int = 1, file: str | None = None,
     scene = Scene()
     if structure:
         _add_structure(scene, system.crystal)
-    fn = system.ref.eval_fn(nder=2)
+    fn = system.ref.eval_fn(nder=1)
     paths, status, termid = trace_paths_recorded(
         fn, jnp.asarray(np.atleast_2d(seeds_cart)), nrec=nrec, iup=iup)
     for p in paths:

@@ -149,7 +149,8 @@ class QtreeResult:
 
 
 def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
-                    block: int = 1 << 13, integ: str = "keast",
+                    block: int = 1 << 13, field_block: int = 1 << 16,
+                    integ: str = "keast",
                     keastnum: int = 7, keastlow: int = 4,
                     cub_abs: float = 1e-7, cub_rel: float = 1e-6,
                     maxrefine: int = 8, max_queue: int = 1 << 16,
@@ -178,7 +179,8 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
     """
     c = system.crystal
     f = system.ref
-    fn = f.eval_fn(nder=2)
+    fn = f.eval_fn(nder=1)      # traces use the gradient only
+    fnv = f.eval_fn(nder=0)     # cubature uses values only
     iat = 0 if origin_atom is None else origin_atom
     x0 = np.asarray(c.x_cart[iat])
     nat = c.ncel
@@ -295,16 +297,21 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
     nrefined = 0
 
     def _field_at(pts_flat):
-        """Batched field values with shape-stable padded evals."""
+        """Batched field values with shape-stable padded evals.
+
+        field_block > block: value-only evals are cheaper than the
+        3-derivative traces, and the cubature queue is otherwise
+        dispatch-latency-bound (hundreds of 8k chunks per level)."""
         npts = len(pts_flat)
-        pad = (-npts) % block if npts > block else block - npts
+        fb = field_block
+        pad = (-npts) % fb if npts > fb else fb - npts
         p = (np.concatenate([pts_flat, np.repeat(pts_flat[-1:], pad,
                                                  axis=0)])
              if pad else pts_flat)
         out = np.empty(len(p))
-        for lo in range(0, len(p), block):
-            out[lo:lo + block] = np.asarray(
-                fn(jnp.asarray(p[lo:lo + block].T))[0])
+        for lo in range(0, len(p), fb):
+            out[lo:lo + fb] = np.asarray(
+                fnv(jnp.asarray(p[lo:lo + fb].T))[0])
         return out[:npts]
 
     def _outside_spheres(pts):

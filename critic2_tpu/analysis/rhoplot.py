@@ -209,7 +209,7 @@ def grdvec(system, x0, x1, x2, cpl=None, nseed: int = 8,
                  for a, b in zip(uu.ravel(), vv.ravel())]
     seeds = np.asarray(seeds)
 
-    fn = system.ref.eval_fn(nder=2)
+    fn = system.ref.eval_fn(nder=1)
     paths2d = []
     for iup in (1, -1):
         paths, _, _ = trace_paths_recorded(fn, jnp.asarray(seeds),

@@ -1413,7 +1413,7 @@ class Repl:
         d /= np.linalg.norm(d, axis=1, keepdims=True)
         seeds = np.asarray(sy.crystal.x2c(x0))[None, :] + delta * d
         scene = fluxprint(sy, seeds, iup=1, file=None)
-        fn = sy.ref.eval_fn(nder=2)
+        fn = sy.ref.eval_fn(nder=1)
         down, _, _ = trace_paths_recorded(fn, jnp.asarray(seeds),
                                           nrec=300, iup=-1)
         for p in down:
