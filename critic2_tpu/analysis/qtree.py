@@ -57,7 +57,13 @@ def _ws_tetrahedra(crystal):
 
 
 def _subdivide(tets):
-    """8-fold subdivision of tetrahedra (T,4,3) -> (8T,4,3)."""
+    """8-fold subdivision of tetrahedra (T,4,3) -> (8T,4,3).
+
+    PARENT-MAJOR order: children of parent i occupy rows 8i..8i+7, so
+    per-parent payloads (colors, orbit-group ids) carry over with
+    np.repeat(x, 8).  (A type-major concatenation here once scrambled
+    the refinement queue's colors across parents - 9.8 e of a 31.6-e
+    cell tagged with other basins' colors.)"""
     a, b, c, d = tets[:, 0], tets[:, 1], tets[:, 2], tets[:, 3]
     ab = 0.5 * (a + b); ac = 0.5 * (a + c); ad = 0.5 * (a + d)
     bc = 0.5 * (b + c); bd = 0.5 * (b + d); cd = 0.5 * (c + d)
@@ -66,7 +72,8 @@ def _subdivide(tets):
         (ab, ac, ad, bd), (ab, ac, bc, bd), (ac, ad, bd, cd),
         (ac, bc, bd, cd),
     ]
-    return np.concatenate([np.stack(s, axis=1) for s in subs])
+    kids = np.stack([np.stack(s, axis=1) for s in subs], axis=1)
+    return kids.reshape(-1, 4, 3)
 
 
 def _tet_volume(tets):
@@ -148,7 +155,8 @@ class QtreeResult:
         return "\n".join(lines)
 
 
-def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
+def qtree_integrate(system, maxl: int = 3, minl: int = 4,
+                    origin_atom: int | None = None,
                     block: int = 1 << 13, field_block: int = 1 << 16,
                     integ: str = "keast",
                     keastnum: int = 7, keastlow: int = 4,
@@ -160,6 +168,17 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
 
     The WS cell is centered on an atom (default: atom 0, the reference
     ws_origin); colors come from batched uphill traces to the nuclei.
+
+    minl: minimum subdivision level BEFORE the 4-corner uniformity test
+    is trusted (reference minl, default 4, src/global@proc.f90:148; the
+    reference makes maxl <= minl a fatal error,
+    src/qtree_basic@proc.f90:167 - here minl clamps to maxl instead so
+    shallow runs stay usable).  Without it a coarse tetrahedron whose 4
+    corners all trace to one basin can straddle the interatomic surface
+    and swallow another basin's nuclear region wholesale: on a
+    symmetric two-Gaussian test crystal, trusting level-1 uniformity
+    misassigned 7.5 e of 31.6.  Levels < minl always subdivide (and
+    skip the corner traces entirely - their corners recur at minl).
 
     integ: "keast" (adaptive Keast-pair cubature with host refinement,
     the CUBPACK role - rules `keastnum`/`keastlow`, tolerances
@@ -218,19 +237,26 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
             sphrad[i] = (sphfactor if sphfactor else 0.8) * 0.5 * dmin
 
     def _traced_colors(pts, rt):
-        """One padded fixed-size batched trace -> colors. Padding keeps
-        a single compiled device program across levels (variable batch
-        shapes recompile the unrolled ODE chunk every level)."""
+        """Pow-2-bucketed batched traces -> colors.  Bucketing bounds
+        the set of compiled device programs (variable batch shapes
+        would recompile the unrolled ODE chunk every level) without
+        paying a full `block`-lane eval for a 50-point batch.
+        Coloring-grade ODE tolerances: basin identity only needs the
+        path to land on the right side of the separatrix (misassignment
+        tube measured < 0.01 bohr at these settings), and gradeps 1e-5
+        retires separatrix ridge crawlers early - the proximity
+        fallback classifies them."""
         npts = len(pts)
-        pad = (-npts) % block if npts > block else block - npts
+        nb = min(block, max(256, 1 << int(np.ceil(np.log2(max(npts, 1))))))
+        pad = (-npts) % nb
         if pad:
             pts = np.concatenate([pts, np.repeat(pts[-1:], pad, axis=0)])
         cols = np.empty(len(pts), dtype=int)
-        for lo in range(0, len(pts), block):
-            sl = slice(lo, lo + block)
+        for lo in range(0, len(pts), nb):
+            sl = slice(lo, lo + nb)
             xf_, status, termid, _, _ = trace_paths(
                 fn, jnp.asarray(pts[sl]), iup=1, targets=tgtj,
-                rterm=rt, mstep=600)
+                rterm=rt, mstep=600, gradeps=1e-5)
             st = np.asarray(status)
             ti = np.asarray(termid)
             cc = np.where((st == 0) & (ti >= 0),
@@ -415,8 +441,16 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
             cur_g = np.repeat(cur_g[bad], 8)
             depth += 1
 
+    minl_eff = min(minl, maxl)
     level = 0
     while True:
+        if level < minl_eff:
+            # below minl the uniformity test is never consulted - no
+            # traces needed here, every corner recurs at level minl
+            tets = _subdivide(tets)
+            gidx = np.repeat(gidx, 8)
+            level += 1
+            continue
         # nudge corners toward the centroid: level-0 corners sit exactly
         # on symmetry points with zero gradient
         centers = tets.mean(axis=1, keepdims=True)
@@ -429,17 +463,15 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
         gidx = gidx[~uniform]
         if len(tets) == 0 or level >= maxl:
             if len(tets):
-                # deepest level: split mixed tetrahedra among their
-                # corner colors. Keast points inside the tet are
-                # assigned to the nearest corner's color (a Voronoi
-                # split of the rule - quadrature-consistent with
-                # retire(), much better than a 0.25-volume vertex
-                # estimate near curved interatomic surfaces)
+                # deepest level: split the mixed (separatrix-crossing)
+                # tetrahedra by TRACING the color of every Keast node -
+                # the rule then integrates the exactly-masked field, so
+                # the residual is pure quadrature error on the
+                # indicator (the reference's gradient-path point
+                # assignment inside boundary tets,
+                # src/qtree_tetrawork.f90 paint/color flow)
                 from ..ops.quadrature import keast_points
 
-                cen = tets.mean(axis=1, keepdims=True)
-                ccols = colors_of((tets + 1e-3 * (cen - tets))
-                                  .reshape(-1, 3)).reshape(-1, 4)
                 qpts, qw = keast_points(tets, keastnum)
                 fv = _field_at(qpts.reshape(-1, 3)).reshape(qw.shape)
                 if sphrad is not None and integ != "corner":
@@ -447,15 +479,12 @@ def qtree_integrate(system, maxl: int = 3, origin_atom: int | None = None,
                         qpts.reshape(-1, 3)).reshape(qw.shape)
                 else:
                     outs = np.ones_like(fv)
-                # nearest corner per quadrature node
-                d = np.linalg.norm(qpts[:, :, None, :]
-                                   - tets[:, None, :, :], axis=3)
-                near = d.argmin(axis=2)                    # (T, K)
-                for corner in range(4):
-                    m = (near == corner) * outs
+                ncols = colors_of(qpts.reshape(-1, 3)).reshape(qw.shape)
+                for col in np.unique(ncols):
+                    m = (ncols == col) * outs
                     accumulate((fv * qw * m).sum(axis=1),
                                (qw * m).sum(axis=1),
-                               ccols[:, corner], gidx)
+                               np.full(len(tets), col, dtype=int), gidx)
             break
         tets = _subdivide(tets)
         gidx = np.repeat(gidx, 8)

@@ -402,6 +402,12 @@ class Repl:
         """KEASTNUM n: qtree Keast rule order (reference KEASTNUM)."""
         self.opts["keastnum"] = int(args[0])
 
+    def cmd_minl(self, args, lines):
+        """MINL n: qtree minimum subdivision level before the corner
+        uniformity test is trusted (reference QTREE_MINL,
+        src/global@proc.f90:529, default 4)."""
+        self.opts["qtree_minl"] = int(args[0])
+
     def cmd_integ_mode(self, args, lines):
         """INTEG_MODE [level] n: n in 1..10 -> Keast rule n; 11 ->
         corner sum (reference INTEG_MODE, src/global@proc.f90)."""
@@ -1497,6 +1503,7 @@ class Repl:
         for opt, kwname in (("cub_abs", "cub_abs"), ("cub_rel", "cub_rel"),
                             ("keastnum", "keastnum"),
                             ("qtree_integ", "integ"),
+                            ("qtree_minl", "minl"),
                             ("qtree_origin", "origin_atom")):
             if opt in self.opts and kwname not in kw:
                 kw[kwname] = self.opts[opt]

@@ -182,7 +182,7 @@ def trace_paths(eval_fn, x0, iup: int = 1, targets=None, rterm=None,
                 hini: float = 0.3, maxerr: float = 1e-4,
                 gradeps: float = 1e-7, mstep: int = 4000,
                 m_c2x=None, molborder=None, h0=None, chunk: int = 16,
-                loop: str | None = None):
+                loop: str | None = None, compact: bool = True):
     """Trace gradient paths from Cartesian seeds x0 (N, 3).
 
     eval_fn: SoA evaluator (3, N) -> (f, gf (3, N), h6).
@@ -193,8 +193,17 @@ def trace_paths(eval_fn, x0, iup: int = 1, targets=None, rterm=None,
     m_c2x/molborder: enable molecular-cell escape detection (iup == -1).
 
     h0: optional per-trajectory initial step (resume support).
+    compact: between chunks, gather still-live trajectories into a
+    power-of-2-sized batch once fewer than half the lanes are live.
+    Straggler paths (separatrix ridge crawlers whose step collapses to
+    the local feature size) otherwise keep the FULL batch evaluating
+    for the whole mstep budget - a handful of crawlers in an 8192-lane
+    batch cost 8192-lane field evals per iteration.  Pow-2 bucketing
+    bounds the set of compiled stepper shapes.
     Returns (x (N, 3), status (N,), termid (N,), plen (N,), h (N,)).
     """
+    import numpy as np
+
     xT0 = jnp.asarray(x0).T
     N = xT0.shape[1]
     have_t = targets is not None and targets.shape[0] > 0
@@ -215,16 +224,63 @@ def trace_paths(eval_fn, x0, iup: int = 1, targets=None, rterm=None,
         stepper, chunk = _ode_chunk_fori, max(chunk, 200)
     else:
         stepper = _ode_chunk
+
+    # final results for lanes compacted out of the working batch
+    out_x = np.empty((3, N))
+    out_h = np.empty(N)
+    out_stat = np.empty(N, np.int32)
+    out_term = np.empty(N, np.int32)
+    out_plen = np.empty(N)
+    order = np.arange(N)            # original index per working lane
+
+    def flush(sel_np, st_np):
+        xT, h, done, status, termid, plen = st_np
+        idx = order[sel_np]
+        keep = idx >= 0             # padding lanes carry order -1
+        idx = idx[keep]
+        out_x[:, idx] = xT[:, sel_np][:, keep]
+        out_h[idx] = h[sel_np][keep]
+        out_stat[idx] = status[sel_np][keep]
+        out_term[idx] = termid[sel_np][keep]
+        out_plen[idx] = plen[sel_np][keep]
+
     it = 0
     while it < mstep:
         n = min(chunk, mstep - it)
         st = stepper(eval_fn, st, tT, rt, m_c2x_j, molb_j, hini,
                      maxerr, gradeps, iup, have_t, havemol, n)
         it += n
-        if bool(st[2].all()):
+        done_np = np.asarray(st[2])
+        if done_np.all():
             break
-    xT, h, done, status, termid, plen, _, _ = st
-    return xT.T, status, termid, plen, h
+        nlive = int((~done_np & (order >= 0)).sum())
+        if (compact and it < mstep and len(done_np) > 256
+                and nlive <= len(done_np) // 2):
+            st_np = (np.asarray(st[0]), np.asarray(st[1]), done_np,
+                     np.asarray(st[3]), np.asarray(st[4]),
+                     np.asarray(st[5]))
+            flush(done_np, st_np)
+            live = np.nonzero(~done_np & (order >= 0))[0]
+            nbatch = max(256, 1 << int(np.ceil(np.log2(max(nlive, 1)))))
+            pad = nbatch - len(live)
+            rows = np.concatenate([live, np.repeat(live[:1], pad)])
+            d1_np = np.asarray(st[6])
+            gmod_np = np.asarray(st[7])
+            st = (jnp.asarray(st_np[0][:, rows]),
+                  jnp.asarray(st_np[1][rows]),
+                  jnp.asarray(np.concatenate(
+                      [np.zeros(len(live), bool), np.ones(pad, bool)])),
+                  jnp.asarray(st_np[3][rows]),
+                  jnp.asarray(st_np[4][rows]),
+                  jnp.asarray(st_np[5][rows]),
+                  jnp.asarray(d1_np[:, rows]),
+                  jnp.asarray(gmod_np[rows]))
+            order = np.concatenate([order[live], np.full(pad, -1)])
+    st_np = (np.asarray(st[0]), np.asarray(st[1]), np.asarray(st[2]),
+             np.asarray(st[3]), np.asarray(st[4]), np.asarray(st[5]))
+    flush(np.ones(len(order), bool), st_np)
+    return (out_x.T, jnp.asarray(out_stat), jnp.asarray(out_term),
+            jnp.asarray(out_plen), jnp.asarray(out_h))
 
 
 def trace_paths_recorded(eval_fn, x0, nrec: int = 400, iup: int = 1,

@@ -5,6 +5,42 @@ virtual CPU devices (the driver separately dry-runs the multichip path).
 Must set the env vars before jax is imported anywhere.
 """
 import os
+import sys
+
+# The axon sitecustomize (on PYTHONPATH) registers a PJRT plugin whose
+# remote_compile=1 mode ships EVERY XLA compile - including XLA:CPU
+# programs - through the TPU tunnel's POST /remote_compile: a novel
+# kernel shape then costs minutes of tunnel round-trip instead of ~1 s
+# of local compile (measured: first promolecular eval 8192-batch >250 s
+# with the plugin, 1.3 s without).  Tests are CPU-only, so re-exec once
+# with the axon site scrubbed from PYTHONPATH; fall through on any
+# doubt (slow but correct).
+_pp = os.environ.get("PYTHONPATH", "")
+if ".axon_site" in _pp and os.environ.get("C2T_NO_REEXEC") != "1":
+    # pytest's global FD capture is already active during conftest
+    # import and its saved copies of the real stdout/stderr are
+    # non-inheritable (closed on exec) - suspend it first so the
+    # re-exec'd run writes to the real streams, not a dead tempfile.
+    try:
+        import gc
+
+        import _pytest.capture as _cap
+
+        for _obj in gc.get_objects():
+            if isinstance(_obj, _cap.CaptureManager):
+                _obj.suspend_global_capture(in_=True)
+                break
+    except Exception:
+        pass
+    _env = dict(os.environ)
+    _root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _env["PYTHONPATH"] = ":".join(
+        [p for p in _pp.split(":") if p and ".axon_site" not in p]
+        + [_root])
+    _env["JAX_PLATFORMS"] = "cpu"
+    _env["C2T_NO_REEXEC"] = "1"
+    os.execve(sys.executable,
+              [sys.executable, "-m", "pytest"] + sys.argv[1:], _env)
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")

@@ -97,3 +97,70 @@ def test_qtree_vs_yt_same_field():
     # total charge: interpolant cell integral vs grid sum (equal to
     # O(h^2) interpolation error at the cusp nodes)
     assert abs(qq.sum() - qy.sum()) < 0.1 * 1e-2 * qy.sum() + 0.3
+
+
+def _two_gauss_system(amp2, alpha2, n=48, a=8.0):
+    import jax.numpy as jnp
+
+    from critic2_tpu.fields.field import Field
+    from critic2_tpu.fields.grid3 import Grid3
+
+    c = Crystal(m_x2c=m_x2c_from_cellpar([a, a, a], [90, 90, 90]),
+                x_frac=np.array([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]]),
+                species_of=np.array([0, 1]),
+                species=[Species("Na", 11), Species("Cl", 17)])
+    ii, jj, kk = np.meshgrid(*[np.arange(n) / n] * 3, indexing="ij")
+    xf = np.stack([ii, jj, kk], axis=-1)
+
+    def gauss(center, amp, alpha):
+        d = xf - center
+        d -= np.round(d)
+        r2 = ((d * a) ** 2).sum(-1)
+        return amp * np.exp(-alpha * r2)
+
+    g = (gauss(np.zeros(3), 2.0, 0.8) + gauss(np.full(3, 0.5), amp2,
+                                              alpha2) + 1e-3)
+    s = System.from_structure(c)
+    s.load_field(Field.from_grid(c, Grid3(jnp.asarray(g)), name="smooth"))
+    s.iref = 1
+    return c, s, g
+
+
+@pytest.mark.slow
+def test_qtree_exact_half_symmetric_field():
+    """The 1e-5-e-class qtree accuracy bar, against an EXACT answer:
+    two equal Gaussians at (0,0,0) and (.5,.5,.5) make the interatomic
+    surface an exact symmetry plane, so each basin holds exactly half
+    the cell charge.  (This test caught two real bugs: trusting the
+    4-corner uniformity test on coarse tetrahedra - 7.5 e of 31.6
+    misassigned, fixed by the reference's minl floor - and a
+    type-major/parent-major mismatch between _subdivide and
+    np.repeat'd colors that scrambled the refinement queue.)"""
+    c, s, g = _two_gauss_system(2.0, 0.8)
+    qt = qtree_integrate(s, maxl=5)
+    half = qt.pops.sum() / 2
+    assert np.abs(qt.pops - half).max() < 2e-5
+
+
+@pytest.mark.slow
+def test_qtree_vs_yt_smooth_field():
+    """Cross-method consistency on a smooth asymmetric field: qtree's
+    separatrix cubature and YT's discrete watershed must agree to the
+    48^3 grid-resolution floor (~1e-3 e of 28 e; YT's own boundary
+    discretization dominates - qtree's self-error is 1e-5-class, see
+    test_qtree_exact_half_symmetric_field)."""
+    import jax.numpy as jnp
+
+    from critic2_tpu.analysis.yt import yt_integrate
+
+    c, s, g = _two_gauss_system(1.0, 0.6)
+    n = 48
+    dv = c.volume / n ** 3
+    res = yt_integrate(c, jnp.asarray(g))
+    qy = np.asarray(res.integrate(jnp.asarray(g))) * dv
+    assert res.nattr == 2
+
+    qt = qtree_integrate(s, maxl=4, sphfactor=0.9)
+    qq = np.sort(qt.pops)[::-1]
+    qys = np.sort(qy)[::-1]
+    assert np.abs(qq - qys).max() < 3e-3

@@ -185,7 +185,7 @@ def test_hirshfeld_nacl():
     from critic2_tpu.fields.field import Field
     from critic2_tpu.fields.grid3 import Grid3
 
-    g = _rasterize_field(s.fields[0], (24, 24, 24))
+    g = _rasterize_field(s.fields[0], (16, 16, 16))
     s.load_field(Field.from_grid(s.crystal, Grid3(g)))
     res = hirshfeld_charges(s)
     # partition of unity: populations sum exactly to the grid integral
