@@ -13,8 +13,8 @@ this kernel reads every operand once per pass:
 
   - axis 0 is pipelined plane by plane; the +-H halo comes from feeding
     the once-per-pass axis-0-padded s with 2H+1 plane-offset BlockSpecs
-    (affine index maps only — modular maps break Mosaic under x64, see
-    ops/pallas_sweep.py).
+    (affine index maps only — modular index maps break Mosaic under
+    x64).
   - in-plane offsets are pltpu.roll on VMEM-resident planes (free wrap).
 
 f64 operands are rejected by the TPU custom-call path under x64
@@ -107,7 +107,7 @@ def yt_pass(chiP, s, f3, *, offs, adjoint: bool = True):
 
     # index maps derive every component from the i32 grid index (i * 0,
     # not literal 0): Python int literals lower to i64 under x64 and
-    # Mosaic rejects mixed-width index tuples (see ops/pallas_sweep.py)
+    # Mosaic rejects mixed-width index tuples
     win = lambda d: pl.BlockSpec((P, R, n2, n3),
                                  (lambda i, d=d: (i * 0, i + d, i * 0,
                                                   i * 0)),

@@ -25,7 +25,6 @@ def main():
     from critic2_tpu.crystal.cell import m_x2c_from_cellpar
     from critic2_tpu.ops.eig3 import linmap, sym6_rotation
     from critic2_tpu.ops.interp import interp_grid_soa
-    from critic2_tpu.ops.pallas_sweep import sweep_shifted
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     npts = n ** 3
@@ -44,12 +43,6 @@ def main():
     def step_xla(g):
         y, yp, ypp6 = interp_grid_soa(g, (n, n, n), origin=(sh, sh, sh),
                                       nder=2)
-        gf = linmap(m_c2x.T, yp)
-        h6 = linmap(r6, ypp6)
-        return y.sum() + gf.sum() + h6.sum()
-
-    def step_pallas(g):
-        y, yp, ypp6 = sweep_shifted(g, shift=0.5, nder=2)
         gf = linmap(m_c2x.T, yp)
         h6 = linmap(r6, ypp6)
         return y.sum() + gf.sum() + h6.sum()
@@ -97,19 +90,6 @@ def main():
         dt = time_once(fK, g, f"xla fori{K} {tag}") / K
         print(f"xla fori{K} {tag}: {dt*1e3:.1f} ms/sweep -> "
               f"{npts/dt/1e6:.1f}M evals/s", flush=True)
-
-        try:
-            fp = jax.jit(step_pallas)
-            dt = time_once(fp, g, f"pallas single {tag}")
-            print(f"pallas single {tag}: {dt*1e3:.1f} ms -> "
-                  f"{npts/dt/1e6:.1f}M evals/s", flush=True)
-            fpK = loopK(step_pallas, K)
-            dt = time_once(fpK, g, f"pallas fori{K} {tag}") / K
-            print(f"pallas fori{K} {tag}: {dt*1e3:.1f} ms/sweep -> "
-                  f"{npts/dt/1e6:.1f}M evals/s", flush=True)
-        except Exception as exc:
-            print(f"pallas {tag} FAILED: {type(exc).__name__}: "
-                  f"{str(exc)[:300]}", flush=True)
 
 
 if __name__ == "__main__":
