@@ -104,15 +104,24 @@ def parse_symop(s):
     return rot, trans
 
 
+def _norm_tag(t):
+    """Normalize a CIF tag: lowercase, and mmCIF-style dotted names
+    (`_atom_site.fract_x`) fold onto the classic underscore form
+    (`_atom_site_fract_x`) so both dialects hit the same lookups."""
+    return t.lower().replace(".", "_")
+
+
 def _split_blocks(tokens):
     """Split the token stream into (name, tokens) data blocks.  A CIF
     with no data_ header is one anonymous block (ciftbx data_ accepts
     any block; reference read_cif takes the first,
-    src/crystalseedmod@proc.f90 read_cif)."""
+    src/crystalseedmod@proc.f90 read_cif).  Multiline text-field
+    tokens are data values - a 'data_...' line INSIDE one must not
+    start a new block."""
     blocks = []
     cur_name, cur = "", []
     for t in tokens:
-        if t.lower().startswith("data_") and len(t) >= 5:
+        if t.lower().startswith("data_") and len(t) >= 5 and "\n" not in t:
             if cur or blocks or cur_name:
                 blocks.append((cur_name, cur))
             cur_name, cur = t[5:], []
@@ -141,7 +150,7 @@ def _parse_block(tokens):
             i += 1
             cols = []
             while i < n and tokens[i].startswith("_"):
-                cols.append(tokens[i].lower())
+                cols.append(_norm_tag(tokens[i]))
                 i += 1
             rows = []
             while i < n and not tokens[i].startswith("_") and \
@@ -154,7 +163,7 @@ def _parse_block(tokens):
             continue
         if t.startswith("_"):
             if i + 1 < n:
-                tags[low] = tokens[i + 1]
+                tags[_norm_tag(t)] = tokens[i + 1]
             i += 2
             continue
         i += 1

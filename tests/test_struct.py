@@ -147,6 +147,39 @@ X9 ? ? ? ? 0.0
         read_cif(str(p), block="absent")
 
 
+def test_cif_mmcif_dialect(tmp_path):
+    """mmCIF-style dotted tag names fold onto the classic underscore
+    form, and a 'data_' line inside a semicolon text field must not
+    split the block (ciftbx treats text fields as opaque values)."""
+    from critic2_tpu.io.cif import read_cif
+
+    cif = """data_block1
+_struct.title
+;
+ notes: this text mentions
+data_fake and loop_ markers
+;
+_cell.length_a 4.0
+_cell.length_b 4.0
+_cell.length_c 4.0
+_cell.angle_alpha 90
+_cell.angle_beta 90
+_cell.angle_gamma 90
+loop_
+_atom_site.label
+_atom_site.type_symbol
+_atom_site.fract_x
+_atom_site.fract_y
+_atom_site.fract_z
+PO1 O2- 0.0 0.0 0.0
+"""
+    p = tmp_path / "mm.cif"
+    p.write_text(cif)
+    seed = read_cif(str(p))
+    assert len(seed.x_frac) == 1
+    assert seed.species[seed.species_of[0]].z == 8      # 'O2-' -> O
+
+
 def test_cif_ita_number_fallback(tmp_path):
     from critic2_tpu.io.cif import read_cif
 
