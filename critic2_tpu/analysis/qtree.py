@@ -241,11 +241,11 @@ def qtree_integrate(system, maxl: int = 3, minl: int = 4,
         the set of compiled device programs (variable batch shapes
         would recompile the unrolled ODE chunk every level) without
         paying a full `block`-lane eval for a 50-point batch.
-        Coloring-grade ODE tolerances: basin identity only needs the
-        path to land on the right side of the separatrix (misassignment
-        tube measured < 0.01 bohr at these settings), and gradeps 1e-5
-        retires separatrix ridge crawlers early - the proximity
-        fallback classifies them."""
+        (gradeps stays at the production 1e-7: a looser gradient floor
+        retires traces mid-path in genuinely-flat low-density regions
+        of smooth fields, dropping their charge into the unresolved
+        bucket - measured 2e-4-e-class losses on a two-Gaussian
+        crystal at 1e-5.)"""
         npts = len(pts)
         nb = min(block, max(256, 1 << int(np.ceil(np.log2(max(npts, 1))))))
         pad = (-npts) % nb
@@ -256,7 +256,7 @@ def qtree_integrate(system, maxl: int = 3, minl: int = 4,
             sl = slice(lo, lo + nb)
             xf_, status, termid, _, _ = trace_paths(
                 fn, jnp.asarray(pts[sl]), iup=1, targets=tgtj,
-                rterm=rt, mstep=600, gradeps=1e-5)
+                rterm=rt, mstep=600)
             st = np.asarray(status)
             ti = np.asarray(termid)
             cc = np.where((st == 0) & (ti >= 0),
@@ -480,6 +480,22 @@ def qtree_integrate(system, maxl: int = 3, minl: int = 4,
                 else:
                     outs = np.ones_like(fv)
                 ncols = colors_of(qpts.reshape(-1, 3)).reshape(qw.shape)
+                if (ncols < 0).any():
+                    # unresolved nodes (paths that died at a CP/ridge):
+                    # inherit the nearest corner's color rather than
+                    # dropping their volume (the reference inherits
+                    # neighbor colors for failed terms)
+                    cen = tets.mean(axis=1, keepdims=True)
+                    ccols = colors_of((tets + 1e-3 * (cen - tets))
+                                      .reshape(-1, 3)).reshape(-1, 4)
+                    d = np.linalg.norm(qpts[:, :, None, :]
+                                       - tets[:, None, :, :], axis=3)
+                    near = np.take_along_axis(
+                        np.broadcast_to(ccols[:, None, :], d.shape)
+                        .reshape(-1, 4),
+                        d.argmin(axis=2).reshape(-1, 1), axis=1
+                    ).reshape(qw.shape)
+                    ncols = np.where(ncols < 0, near, ncols)
                 for col in np.unique(ncols):
                     m = (ncols == col) * outs
                     accumulate((fv * qw * m).sum(axis=1),

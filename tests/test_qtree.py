@@ -66,11 +66,14 @@ def test_qtree_symmetry_reduction_parity():
 @pytest.mark.slow
 def test_qtree_vs_yt_same_field():
     """Qtree and YT decompose the SAME tricubic grid interpolant; the
-    sorted basin charges agree to ~0.22 e at 32^3 INDEPENDENT of maxl
-    (measured maxl 2/3/4 -> 0.13/0.25/0.22): the floor is the
-    grid-sum (YT) vs interpolant-integral (qtree) mismatch at
-    h = 0.33 bohr near the nuclear cusps, which shrinks O(h^2) with
-    the grid - at 256^3 the bench reports the converged comparison.
+    sorted basin charges agree to ~0.06 e at 32^3 INDEPENDENT of maxl
+    (measured maxl 3/4 -> 0.056/0.061 post minl/subdivision fixes; the
+    TOTAL integrals already differ by 0.14): the floor is the grid-sum
+    (YT) vs interpolant-integral (qtree) mismatch at h = 0.33 bohr
+    near the nuclear cusps, which shrinks O(h^2) with the grid - at
+    256^3 the bench reports the converged comparison.  Qtree's own
+    boundary accuracy is 1e-5-e class, see
+    test_qtree_exact_half_symmetric_field.
     Reference parity flow: src/qtree@proc.f90 vs src/yt@proc.f90 on
     one field."""
     import sys
@@ -93,7 +96,7 @@ def test_qtree_vs_yt_same_field():
     s.iref = 1
     qt = qtree_integrate(s, maxl=3, sphfactor=0.9)
     qq = np.sort(qt.pops)[::-1]
-    assert np.abs(qq - qy).max() < 0.5
+    assert np.abs(qq - qy).max() < 0.15
     # total charge: interpolant cell integral vs grid sum (equal to
     # O(h^2) interpolation error at the cusp nodes)
     assert abs(qq.sum() - qy.sum()) < 0.1 * 1e-2 * qy.sum() + 0.3
