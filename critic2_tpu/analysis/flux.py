@@ -105,6 +105,21 @@ def write_cml(system, path_points, file):
         fh.write('\n'.join(lines))
 
 
+def _nucleus_targets(c):
+    """Nuclei (and their periodic images for crystals) as trace
+    termination targets: uphill gradient paths end at nuclei (reference
+    gradient termination, src/fieldmod@proc.f90:2194-2210), and early
+    capture also spares the recorded tracer its full step budget."""
+    at = np.asarray(c.x_cart)
+    if c.ismolecule or c.ncel == 0:
+        return at
+    shifts = np.array([[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1)
+                       for k in (-1, 0, 1)], dtype=float)
+    return ((at[None, :, :]
+             + (shifts @ np.asarray(c.m_x2c).T)[:, None, :])
+            .reshape(-1, 3))
+
+
 def fluxprint(system, seeds_cart, iup: int = 1, file: str | None = None,
               nrec: int = 300, structure: bool = True) -> Scene:
     """Trace and plot gradient paths from Cartesian seed points
@@ -116,8 +131,13 @@ def fluxprint(system, seeds_cart, iup: int = 1, file: str | None = None,
     if structure:
         _add_structure(scene, system.crystal)
     fn = system.ref.eval_fn(nder=1)
+    tgt = _nucleus_targets(system.crystal) if iup > 0 else None
+    tgtj = jnp.asarray(tgt) if tgt is not None and len(tgt) else None
+    rt = (jnp.full(len(tgt), 0.2) if tgtj is not None else None)
     paths, status, termid = trace_paths_recorded(
-        fn, jnp.asarray(np.atleast_2d(seeds_cart)), nrec=nrec, iup=iup)
+        fn, jnp.asarray(np.atleast_2d(seeds_cart)), nrec=nrec, iup=iup,
+        targets=tgtj, rterm=rt)
+    scene.pathpts = paths        # raw trajectories for programmatic use
     for p in paths:
         scene.path(p, color=(0.9, 0.4, 0.1) if iup > 0 else (0.1, 0.4, 0.9))
     if file:

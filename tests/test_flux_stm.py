@@ -31,10 +31,16 @@ def test_scene_writers(tmp_path):
 
 
 def test_fluxprint(s, tmp_path):
-    seeds = s.crystal.x_cart[0] + np.array([[0.5, 0, 0], [0, 0.5, 0]])
+    # seeds mid-basin: uphill paths must run to the nucleus and CAPTURE
+    # there (termination targets, reference src/fieldmod@proc.f90:2194)
+    seeds = s.crystal.x_cart[0] + np.array([[2.0, 0, 0], [0, 2.0, 0]])
     scene = fluxprint(s, seeds, iup=1, file=str(tmp_path / "flux.obj"))
     assert (tmp_path / "flux.obj").exists()
-    assert len(scene.seg) > 10
+    assert len(scene.seg) > 4
+    # every path's last point sits at the capture radius of atom 0
+    for pth in scene.pathpts:
+        d = np.linalg.norm(pth[-1] - np.asarray(s.crystal.x_cart[0]))
+        assert d < 0.35
 
 
 @pytest.mark.slow
