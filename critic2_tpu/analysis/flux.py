@@ -131,12 +131,20 @@ def fluxprint(system, seeds_cart, iup: int = 1, file: str | None = None,
     if structure:
         _add_structure(scene, system.crystal)
     fn = system.ref.eval_fn(nder=1)
-    tgt = _nucleus_targets(system.crystal) if iup > 0 else None
+    c = system.crystal
+    tgt = _nucleus_targets(c) if iup > 0 else None
     tgtj = jnp.asarray(tgt) if tgt is not None and len(tgt) else None
     rt = (jnp.full(len(tgt), 0.2) if tgtj is not None else None)
+    # downhill molecular paths terminate on leaving the molecular cell
+    # (reference gradient termination, src/fieldmod@proc.f90:2158-2175)
+    # - without this every path burns the full nrec budget wandering
+    # the exponential tail
+    mol = c.ismolecule and iup < 0
     paths, status, termid = trace_paths_recorded(
         fn, jnp.asarray(np.atleast_2d(seeds_cart)), nrec=nrec, iup=iup,
-        targets=tgtj, rterm=rt)
+        targets=tgtj, rterm=rt,
+        m_c2x=jnp.asarray(c.m_c2x) if mol else None,
+        molborder=jnp.asarray(c.molborder) if mol else None)
     scene.pathpts = paths        # raw trajectories for programmatic use
     for p in paths:
         scene.path(p, color=(0.9, 0.4, 0.1) if iup > 0 else (0.1, 0.4, 0.9))
