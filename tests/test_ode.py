@@ -36,6 +36,37 @@ def test_trace_to_nucleus():
     assert (np.asarray(plen) > 0).all()
 
 
+def test_trace_compaction_preserves_results():
+    """Batch compaction (pow-2 regather of live lanes between chunks)
+    must be invisible in the results: same final positions, statuses,
+    termini and path lengths as the uncompacted trace.  Mixed batch:
+    fast finishers (seeds near the nucleus) force compaction while
+    slow ridge-side seeds are still live."""
+    s = _nacl()
+    c = s.crystal
+    rng = np.random.default_rng(1)
+    near = c.x_cart[0] + rng.normal(0, 0.3, (280, 3))
+    # seeds near the basin boundary (long traces)
+    far = c.x_cart[0] + 4.5 * rng.normal(0, 1.0, (20, 3))
+    seeds = np.concatenate([near, far])
+    shifts = np.array([[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1)
+                       for k in (-1, 0, 1)])
+    imgs = c.x2c((np.asarray(c.x_frac)[None, :, :] + shifts[:, None, :])
+                 .reshape(-1, 3))
+    fn = s.ref.eval_fn(nder=2)
+    kw = dict(iup=1, targets=jnp.asarray(imgs),
+              rterm=jnp.full(len(imgs), 0.2), mstep=400)
+    x1, st1, ti1, pl1, _ = trace_paths(fn, jnp.asarray(seeds),
+                                       compact=True, **kw)
+    x2, st2, ti2, pl2, _ = trace_paths(fn, jnp.asarray(seeds),
+                                       compact=False, **kw)
+    np.testing.assert_array_equal(np.asarray(st1), np.asarray(st2))
+    np.testing.assert_array_equal(np.asarray(ti1), np.asarray(ti2))
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(pl1), np.asarray(pl2),
+                               atol=1e-12)
+
+
 @pytest.mark.slow
 def test_makegraph_bcp_connects_na_cl():
     s = _nacl()
