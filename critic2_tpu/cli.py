@@ -324,6 +324,22 @@ class Repl:
         else:
             raise CliError(f"unknown units {args[0]}")
 
+    def cmd_radii(self, args, lines):
+        """RADII {at r}...: override covalent radii used for the bond
+        network (reference atmcov assignment,
+        src/global@proc.f90:596-619); r in the current input units."""
+        from . import param
+
+        scale = (param.ANGSTROM_TO_BOHR
+                 if self.opts.get("units", "bohr") == "ang" else 1.0)
+        for i in range(0, len(args) - 1, 2):
+            at = args[i]
+            z = int(at) if at.lstrip("+-").isdigit() else \
+                param.symbol_to_z(at)
+            if z < 1:
+                raise CliError(f"unknown element {at!r} in RADII")
+            param.set_covalent_radius(z, float(args[i + 1]) * scale)
+
     def cmd_symprec(self, args, lines):
         self.opts["symprec"] = float(args[0])
         if self.sy is not None:
@@ -407,6 +423,31 @@ class Repl:
         uniformity test is trusted (reference QTREE_MINL,
         src/global@proc.f90:529, default 4)."""
         self.opts["qtree_minl"] = int(args[0])
+
+    cmd_qtree_minl = cmd_minl               # the reference keyword name
+
+    def cmd_cub_mpts(self, args, lines):
+        """CUB_MPTS n: qtree adaptive-cubature evaluation budget
+        (reference CUB_MPTS, the CUBPACK MAXPTS role); maps to the
+        refinement queue's max candidate count."""
+        self.opts["cub_mpts"] = int(args[0])
+
+    def cmd_precisecube(self, args, lines):
+        """PRECISECUBE: E22.14 cube values (reference default,
+        src/global@proc.f90:90)."""
+        from . import config
+        config.PRECISECUBE = True
+
+    def cmd_standardcube(self, args, lines):
+        """STANDARDCUBE: 1p,e12.5 cube values (reference
+        src/global@proc.f90:591)."""
+        from . import config
+        config.PRECISECUBE = False
+
+    def cmd_gradeps(self, args, lines):
+        """GRADEPS f: gradient-path |grad| termination threshold
+        (reference gradeps under ODE_MODE, src/global@proc.f90)."""
+        self.opts["ode_gradeps"] = float(args[0])
 
     def cmd_integ_mode(self, args, lines):
         """INTEG_MODE [level] n: n in 1..10 -> Keast rule n; 11 ->
@@ -1504,6 +1545,7 @@ class Repl:
                             ("keastnum", "keastnum"),
                             ("qtree_integ", "integ"),
                             ("qtree_minl", "minl"),
+                            ("cub_mpts", "max_queue"),
                             ("qtree_origin", "origin_atom")):
             if opt in self.opts and kwname not in kw:
                 kw[kwname] = self.opts[opt]

@@ -17,3 +17,9 @@ import numpy as _np
 
 FDTYPE = _np.float64  # accumulation / host-parity tier
 EDTYPE = _np.float32  # throughput tier for device eval (opt-in)
+
+# Cube-file write precision (reference `precisecube`, default true,
+# src/global@proc.f90:90: E22.14 body values; STANDARDCUBE switches the
+# reference to 1p,e12.5). Toggled by the PRECISECUBE/STANDARDCUBE CLI
+# keywords; consumed by io/cube.write_cube.
+PRECISECUBE = True

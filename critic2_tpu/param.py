@@ -87,12 +87,24 @@ def cutrad(z: int) -> float:
     return 0.0
 
 
+_COVRAD_OVERRIDE: dict = {}
+
+
 def covalent_radius(z: int) -> float:
-    """Covalent radius in bohr (role of reference src/param.F90 atmcov)."""
+    """Covalent radius in bohr (role of reference src/param.F90 atmcov).
+    Per-element overrides come from the RADII settings keyword
+    (reference atmcov assignment, src/global@proc.f90:596-619)."""
+    if z in _COVRAD_OVERRIDE:
+        return _COVRAD_OVERRIDE[z]
     t = _load_tables()["atmcov"]
     if 1 <= z <= len(t):
         return float(t[z - 1])
     return 0.0
+
+
+def set_covalent_radius(z: int, r_bohr: float) -> None:
+    """Override an element's covalent radius (RADII keyword)."""
+    _COVRAD_OVERRIDE[int(z)] = float(r_bohr)
 
 
 VSMALL = 1e-40
