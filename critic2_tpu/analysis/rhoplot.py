@@ -210,10 +210,24 @@ def grdvec(system, x0, x1, x2, cpl=None, nseed: int = 8,
     seeds = np.asarray(seeds)
 
     fn = system.ref.eval_fn(nder=1)
+    # uphill paths capture at nuclei; downhill molecular paths stop at
+    # the molecular cell border (reference gradient termination,
+    # src/fieldmod@proc.f90:2158-2210) - both also spare the recorded
+    # tracer its full step budget
+    from .flux import _nucleus_targets
+
+    tgt = _nucleus_targets(c)
+    tgtj = jnp.asarray(tgt) if len(tgt) else None
+    rt = jnp.full(len(tgt), 0.2) if tgtj is not None else None
     paths2d = []
     for iup in (1, -1):
-        paths, _, _ = trace_paths_recorded(fn, jnp.asarray(seeds),
-                                           nrec=nrec, iup=iup)
+        mol = c.ismolecule and iup < 0
+        paths, _, _ = trace_paths_recorded(
+            fn, jnp.asarray(seeds), nrec=nrec, iup=iup,
+            targets=tgtj if iup > 0 else None,
+            rterm=rt if iup > 0 else None,
+            m_c2x=jnp.asarray(c.m_c2x) if mol else None,
+            molborder=jnp.asarray(c.molborder) if mol else None)
         for p in paths:
             d = p - o_cart[None, :]
             paths2d.append(np.stack([d @ eu, d @ ev], axis=1))
