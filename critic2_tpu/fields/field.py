@@ -337,12 +337,7 @@ class Field:
                      ).reshape(-1, 3).T)
 
         ftype = self.type
-        grid_f = self.grid.f if ftype == "grid" else None
         grid_mode = self.grid.mode if ftype == "grid" else None
-        spl = self.grid.spline_coeffs if (
-            ftype == "grid" and grid_mode == "trispline") else None
-        starc2 = self.grid.star_c2 if (
-            ftype == "grid" and grid_mode == "tristar") else None
         promol = self.promol
         wfn = self.wfn
         mtfield = self.mt
@@ -351,23 +346,50 @@ class Field:
         expr_fn = self.expr
         env = self.coreenv
 
+        # Big device arrays travel as ARGUMENTS (the `consts` pytree),
+        # not closure captures: a closure-captured array is inlined into
+        # the lowered StableHLO as a literal, so every jitted Newton/ODE
+        # chunk over a 256^3 f64 grid field shipped a 134 MB MLIR
+        # payload through the remote-compile tunnel (measured; it
+        # OOM-killed the compile helper). Jitted consumers (ops/newton,
+        # ops/ode) call fn._c2t_raw(consts, xT) with consts as a real
+        # argument; fn(xT) stays the eager convenience form.
+        consts: dict = {}
+        if ftype == "grid":
+            consts["grid_f"] = self.grid.f
+            if grid_mode == "trispline":
+                consts["spl"] = self.grid.spline_coeffs
+            if grid_mode == "tristar":
+                consts["starc2"] = self.grid.star_c2
+        elif ftype == "promol":
+            consts["p_atpos"] = promol.atpos
+            consts["p_atspc"] = promol.atspc
+            consts["p_tab"] = promol.tab
+        if env is not None:
+            consts["c_atpos"] = env.atpos
+            consts["c_atspc"] = env.atspc
+            consts["c_tab"] = env.tab
+        if imgsT is not None:
+            consts["imgsT"] = imgsT
+
         from ..ops.interp import interp_soa
         from .promol import promolecular_soa
 
-        def fn(xT):
+        def raw(cst, xT):
             wx = linmap(m_c2x_np, xT)
             wx = wx - jnp.floor(wx)
             wc = linmap(m_x2c_np, wx)
             if ftype == "grid":
-                if spl is not None:
+                grid_f = cst["grid_f"]
+                if grid_mode == "trispline":
                     from ..ops.trispline import trispline_soa
 
-                    y, yp, ypp6 = trispline_soa(spl, wx, nder=nder)
-                elif starc2 is not None:
+                    y, yp, ypp6 = trispline_soa(cst["spl"], wx, nder=nder)
+                elif grid_mode == "tristar":
                     from ..ops.trispline import trispline_star_soa
 
-                    y, yp, ypp6 = trispline_star_soa(grid_f, starc2, wx,
-                                                     nder=nder)
+                    y, yp, ypp6 = trispline_star_soa(grid_f, cst["starc2"],
+                                                     wx, nder=nder)
                 else:
                     # scattered tricubic: on TPU the whole-row gather
                     # formulation beats the 64-element stencil gather
@@ -388,7 +410,8 @@ class Field:
                 f = y
             elif ftype == "promol":
                 f, gf, h6 = promolecular_soa(
-                    wc, promol.atpos, promol.atspc, promol.tab, nder=nder)
+                    wc, cst["p_atpos"], cst["p_atspc"], cst["p_tab"],
+                    nder=nder)
             elif ftype == "wfn":
                 f, gf, h6 = wfn.rho_eval_soa(xT, nder=nder)
             elif ftype == "ghost":
@@ -412,14 +435,20 @@ class Field:
                 raise ValueError(f"eval_fn unsupported for type {ftype}")
             if env is not None:
                 cf, cg, ch6 = promolecular_soa(
-                    wc, env.atpos, env.atspc, env.tab, nder=nder)
+                    wc, cst["c_atpos"], cst["c_atspc"], cst["c_tab"],
+                    nder=nder)
                 f, gf, h6 = f + cf, gf + cg, h6 + ch6
             if imgsT is not None:
-                d2 = ((wc[:, :, None] - imgsT[:, None, :]) ** 2).sum(0)
+                d2 = ((wc[:, :, None] - cst["imgsT"][:, None, :]) ** 2).sum(0)
                 isnuc = d2.min(axis=1) < 1e-10
                 gf = jnp.where(isnuc[None, :], 0.0, gf)
             return f, gf, h6
 
+        def fn(xT):
+            return raw(consts, xT)
+
+        fn._c2t_raw = raw
+        fn._c2t_consts = consts
         # gather-free evaluators (dense wfn without promolecular core
         # augmentation) may be iterated with lax.fori_loop; gather-based
         # ones must use the unrolled steppers (ops/newton.py docstring).

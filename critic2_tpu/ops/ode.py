@@ -38,14 +38,19 @@ STAT_ESCAPED = 3
 STAT_MAXSTEP = 4
 
 
-def _make_body(eval_fn, tT, rt, m_c2x, molborder, hini, maxerr,
+def _make_body(eval_fn, consts, tT, rt, m_c2x, molborder, hini, maxerr,
                gradeps, iup, have_t, havemol):
     """One BS23 attempt over the whole batch: st -> st (shared by the
-    plain, recorded, and fori steppers)."""
+    plain, recorded, and fori steppers).  `consts` is the evaluator's
+    device-constant pytree (fields' _c2t_consts) passed as a REAL jit
+    argument - closure-captured grids inline into the lowered StableHLO
+    (a 256^3 f64 grid = 134 MB of MLIR per compile; see
+    fields/field.py _build_eval_fn)."""
     sgn = float(iup)
 
     def direction(xT):
-        _, gf, _ = eval_fn(xT)
+        _, gf, _ = (eval_fn(xT) if consts is None
+                    else eval_fn(consts, xT))
         gmod = jnp.sqrt((gf * gf).sum(0))
         return sgn * gf / (gmod + 1e-80)[None, :], gmod
 
@@ -113,11 +118,11 @@ def _make_body(eval_fn, tT, rt, m_c2x, molborder, hini, maxerr,
 
 @partial(jax.jit,
          static_argnames=("eval_fn", "iup", "nsteps", "have_t", "havemol"))
-def _ode_chunk(eval_fn, st, tT, rt, m_c2x, molborder, hini, maxerr,
+def _ode_chunk(eval_fn, consts, st, tT, rt, m_c2x, molborder, hini, maxerr,
                gradeps, iup, have_t, havemol, nsteps):
     """Advance all trajectories nsteps BS23 attempts (Python-unrolled)."""
-    body = _make_body(eval_fn, tT, rt, m_c2x, molborder, hini, maxerr,
-                      gradeps, iup, have_t, havemol)
+    body = _make_body(eval_fn, consts, tT, rt, m_c2x, molborder, hini,
+                      maxerr, gradeps, iup, have_t, havemol)
     for _ in range(nsteps):
         st = body(st)
     return st
@@ -125,27 +130,27 @@ def _ode_chunk(eval_fn, st, tT, rt, m_c2x, molborder, hini, maxerr,
 
 @partial(jax.jit,
          static_argnames=("eval_fn", "iup", "nsteps", "have_t", "havemol"))
-def _ode_chunk_fori(eval_fn, st, tT, rt, m_c2x, molborder, hini, maxerr,
+def _ode_chunk_fori(eval_fn, consts, st, tT, rt, m_c2x, molborder, hini, maxerr,
                     gradeps, iup, have_t, havemol, nsteps):
     """_ode_chunk via lax.fori_loop: the BS23 body (3 eval_fn calls)
     compiles ONCE instead of nsteps inlined copies.  Only for
     gather-free evaluators (molecular wfn) - see ops/newton.py
     _newton_chunk_fori for the v5e gather-loop caveat."""
-    body = _make_body(eval_fn, tT, rt, m_c2x, molborder, hini, maxerr,
-                      gradeps, iup, have_t, havemol)
+    body = _make_body(eval_fn, consts, tT, rt, m_c2x, molborder, hini,
+                      maxerr, gradeps, iup, have_t, havemol)
     return jax.lax.fori_loop(0, nsteps, lambda _, s: body(s), st)
 
 
 @partial(jax.jit,
          static_argnames=("eval_fn", "iup", "nsteps", "have_t", "havemol"))
-def _ode_chunk_rec(eval_fn, st, tT, rt, m_c2x, molborder, hini, maxerr,
+def _ode_chunk_rec(eval_fn, consts, st, tT, rt, m_c2x, molborder, hini, maxerr,
                    gradeps, iup, have_t, havemol, nsteps):
     """_ode_chunk that also RECORDS the position after every step:
     returns (st, xrec (nsteps, 3, N)).  One device program per chunk
     instead of one dispatch (plus host sync) per step - the recorded
     tracer's wall is dispatch-latency-bound through the remote tunnel."""
-    body = _make_body(eval_fn, tT, rt, m_c2x, molborder, hini, maxerr,
-                      gradeps, iup, have_t, havemol)
+    body = _make_body(eval_fn, consts, tT, rt, m_c2x, molborder, hini,
+                      maxerr, gradeps, iup, have_t, havemol)
     recs = []
     for _ in range(nsteps):
         st = body(st)
@@ -155,12 +160,13 @@ def _ode_chunk_rec(eval_fn, st, tT, rt, m_c2x, molborder, hini, maxerr,
 
 @partial(jax.jit,
          static_argnames=("eval_fn", "iup", "nsteps", "have_t", "havemol"))
-def _ode_chunk_rec_scan(eval_fn, st, tT, rt, m_c2x, molborder, hini,
-                        maxerr, gradeps, iup, have_t, havemol, nsteps):
+def _ode_chunk_rec_scan(eval_fn, consts, st, tT, rt, m_c2x, molborder,
+                        hini, maxerr, gradeps, iup, have_t, havemol,
+                        nsteps):
     """Recorded chunk via lax.scan (one compiled body; gather-free
     evaluators only, same caveat as _ode_chunk_fori)."""
-    body = _make_body(eval_fn, tT, rt, m_c2x, molborder, hini, maxerr,
-                      gradeps, iup, have_t, havemol)
+    body = _make_body(eval_fn, consts, tT, rt, m_c2x, molborder, hini,
+                      maxerr, gradeps, iup, have_t, havemol)
 
     def step(s, _):
         s = body(s)
@@ -170,10 +176,10 @@ def _ode_chunk_rec_scan(eval_fn, st, tT, rt, m_c2x, molborder, hini,
 
 
 @partial(jax.jit, static_argnames=("eval_fn", "iup"))
-def _ode_init(eval_fn, xT0, iup):
+def _ode_init(eval_fn, consts, xT0, iup):
     """Initial FSAL direction/gradient (jitted: an eager eval_fn call
     here would run op-by-op through the remote-dispatch tunnel)."""
-    _, gf0, _ = eval_fn(xT0)
+    _, gf0, _ = eval_fn(xT0) if consts is None else eval_fn(consts, xT0)
     gmod0 = jnp.sqrt((gf0 * gf0).sum(0))
     return float(iup) * gf0 / (gmod0 + 1e-80)[None, :], gmod0
 
@@ -213,7 +219,9 @@ def trace_paths(eval_fn, x0, iup: int = 1, targets=None, rterm=None,
     m_c2x_j = jnp.asarray(m_c2x) if havemol else jnp.zeros((3, 3))
     molb_j = jnp.asarray(molborder) if havemol else jnp.zeros((3,))
 
-    d1_0, gmod0 = _ode_init(eval_fn, xT0, iup)
+    raw = getattr(eval_fn, "_c2t_raw", eval_fn)
+    consts = getattr(eval_fn, "_c2t_consts", None)
+    d1_0, gmod0 = _ode_init(raw, consts, xT0, iup)
     hstart = jnp.full((N,), hini) if h0 is None else jnp.asarray(h0)
     st = (xT0, hstart,
           jnp.zeros(N, bool), jnp.full((N,), STAT_MAXSTEP, jnp.int32),
@@ -247,7 +255,7 @@ def trace_paths(eval_fn, x0, iup: int = 1, targets=None, rterm=None,
     it = 0
     while it < mstep:
         n = min(chunk, mstep - it)
-        st = stepper(eval_fn, st, tT, rt, m_c2x_j, molb_j, hini,
+        st = stepper(raw, consts, st, tT, rt, m_c2x_j, molb_j, hini,
                      maxerr, gradeps, iup, have_t, havemol, n)
         it += n
         done_np = np.asarray(st[2])
@@ -307,7 +315,9 @@ def trace_paths_recorded(eval_fn, x0, nrec: int = 400, iup: int = 1,
     m_c2x_j = jnp.asarray(m_c2x) if havemol else jnp.zeros((3, 3))
     molb_j = jnp.asarray(molborder) if havemol else jnp.zeros((3,))
 
-    d1_0, gmod0 = _ode_init(eval_fn, xT0, iup)
+    raw = getattr(eval_fn, "_c2t_raw", eval_fn)
+    consts = getattr(eval_fn, "_c2t_consts", None)
+    d1_0, gmod0 = _ode_init(raw, consts, xT0, iup)
     st = (xT0, jnp.full((N,), hini),
           jnp.zeros(N, bool), jnp.full((N,), STAT_MAXSTEP, jnp.int32),
           jnp.full((N,), -1, jnp.int32), jnp.zeros(N), d1_0, gmod0)
@@ -321,7 +331,7 @@ def trace_paths_recorded(eval_fn, x0, nrec: int = 400, iup: int = 1,
     it = 0
     while it < nrec:
         n = min(chunk, nrec - it)
-        st, xrec = stepper(eval_fn, st, tT, rt, m_c2x_j, molb_j, hini,
+        st, xrec = stepper(raw, consts, st, tT, rt, m_c2x_j, molb_j, hini,
                            maxerr, gradeps, iup, have_t, havemol, n)
         recs.append(np.asarray(xrec))
         it += n
