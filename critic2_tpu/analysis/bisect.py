@@ -128,12 +128,15 @@ def bisect_basin(system, center_frac, dirs, rmax: float | None = None,
 
 
 def basinplot(system, center_frac, level: int = 2, file: str | None = None,
-              rmax: float | None = None):
-    """Triangulated basin surface of the attractor (reference BASINPLOT)."""
+              rmax: float | None = None, tol: float = 1e-4,
+              maxit: int = 40):
+    """Triangulated basin surface of the attractor (reference BASINPLOT;
+    tol/maxit mirror the reference PREC option)."""
     from ..io.graphics import Scene
 
     dirs, faces = basin_rays(level)
-    r = bisect_basin(system, center_frac, dirs, rmax=rmax)
+    r = bisect_basin(system, center_frac, dirs, rmax=rmax, tol=tol,
+                     maxit=maxit)
     x0 = system.crystal.x2c(np.asarray(center_frac))
     verts = x0[None, :] + r[:, None] * dirs
     scene = Scene()

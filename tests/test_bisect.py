@@ -33,14 +33,15 @@ def test_bisect_and_plot(cscl, tmp_path):
     # tol 1e-3 keeps the gradient-trace batches small; the radius
     # assertion is at the 0.2*d111 scale, 3 orders above the tolerance
     dirs, faces = basin_rays(level=2)
-    r = bisect_basin(cscl, [0.0, 0.0, 0.0], dirs, tol=1e-3, maxit=24)
+    r = bisect_basin(cscl, [0.0, 0.0, 0.0], dirs, tol=1e-2, maxit=12)
     # basin radius along (111) is around half the Cs-Cl distance
     d111 = 7.0 * np.sqrt(3) / 2
     along = dirs @ (np.ones(3) / np.sqrt(3))
     r111 = r[np.argmax(along)]
     assert 0.35 * d111 < r111 < 0.75 * d111
     verts, faces, r = basinplot(cscl, [0.0, 0.0, 0.0], level=1,
-                                file=str(tmp_path / "basin.obj"))
+                                file=str(tmp_path / "basin.obj"),
+                                tol=1e-2, maxit=12)
     assert (tmp_path / "basin.obj").exists()
     assert len(faces) > 10
 

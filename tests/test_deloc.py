@@ -249,7 +249,13 @@ def test_deloc_sum_rules_and_parity(setup):
     assert res.population().sum() == pytest.approx(4.0, abs=1e-6)
     assert np.all(res.li() <= res.population() + 1e-12)
 
-    # loop-level parity with the reference algorithm mirror
+
+@pytest.mark.slow
+def test_deloc_brute_parity(setup):
+    """Loop-level parity with the reference algorithm mirror."""
+    c, qe, rho, path, kf, at = setup
+    decomp = yt_integrate(c, rho)
+    res = deloc_wannier(c, decomp, qe, useu=False)
     S_b, fa_b = _deloc_brute(c, decomp, qe, useu=False)
     np.testing.assert_allclose(res.sij[0], S_b, atol=1e-10)
     np.testing.assert_allclose(res.fa[0], fa_b, atol=1e-10)

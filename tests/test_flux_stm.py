@@ -34,7 +34,8 @@ def test_fluxprint(s, tmp_path):
     # seeds mid-basin: uphill paths must run to the nucleus and CAPTURE
     # there (termination targets, reference src/fieldmod@proc.f90:2194)
     seeds = s.crystal.x_cart[0] + np.array([[2.0, 0, 0], [0, 2.0, 0]])
-    scene = fluxprint(s, seeds, iup=1, file=str(tmp_path / "flux.obj"))
+    scene = fluxprint(s, seeds, iup=1, file=str(tmp_path / "flux.obj"),
+                      nrec=80)
     assert (tmp_path / "flux.obj").exists()
     assert len(scene.seg) > 4
     # every path's last point sits at the capture radius of atom 0

@@ -45,9 +45,9 @@ def test_trace_compaction_preserves_results():
     s = _nacl()
     c = s.crystal
     rng = np.random.default_rng(1)
-    near = c.x_cart[0] + rng.normal(0, 0.3, (280, 3))
+    near = c.x_cart[0] + rng.normal(0, 0.3, (60, 3))
     # seeds near the basin boundary (long traces)
-    far = c.x_cart[0] + 4.5 * rng.normal(0, 1.0, (20, 3))
+    far = c.x_cart[0] + 4.5 * rng.normal(0, 1.0, (8, 3))
     seeds = np.concatenate([near, far])
     shifts = np.array([[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1)
                        for k in (-1, 0, 1)])
@@ -55,7 +55,7 @@ def test_trace_compaction_preserves_results():
                  .reshape(-1, 3))
     fn = s.ref.eval_fn(nder=2)
     kw = dict(iup=1, targets=jnp.asarray(imgs),
-              rterm=jnp.full(len(imgs), 0.2), mstep=400)
+              rterm=jnp.full(len(imgs), 0.2), mstep=200)
     x1, st1, ti1, pl1, _ = trace_paths(fn, jnp.asarray(seeds),
                                        compact=True, **kw)
     x2, st2, ti2, pl2, _ = trace_paths(fn, jnp.asarray(seeds),
