@@ -89,24 +89,72 @@ def _sweep_rate(n: int, dtype_name: str, nrep: int) -> float:
 
 
 _partial = {"extra": {}}
+# fd 1 saved before the whole-process stdout->stderr redirect; the JSON
+# line is written HERE so no library log can share the stream (round-2
+# post-mortem: a multi-KB jax exception string inside `extra` plus
+# libtpu C-level stdout chatter made the emitted line unparseable)
+_stdout_fd = {"fd": None}
+
+_MAX_STR = 300          # longest string value allowed inside extra
+_MAX_LINE = 16384       # hard bound on the emitted line length
+
+
+def _sanitize(obj):
+    """Bound every string inside the JSON payload: exception reprs from
+    jax embed full compiler/tunnel logs (kilobytes), which is what broke
+    the round-2 artifact."""
+    if isinstance(obj, str):
+        return obj if len(obj) <= _MAX_STR else obj[:_MAX_STR] + "...[cut]"
+    if isinstance(obj, dict):
+        return {str(k)[:80]: _sanitize(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_sanitize(v) for v in obj[:64]]
+    if isinstance(obj, float):
+        return obj if np.isfinite(obj) else str(obj)
+    return obj
 
 
 def _emit(rate32, n, extra):
-    print(json.dumps({
+    import os
+
+    payload = {
         "metric": (f"tricubic rho/grad/Hess evals/sec (full {n}^3 "
                    "sweep, f32 eval / f64 accumulation; basin-charge "
                    "parity vs f64 in extra)"),
         "value": round(rate32, 1),
         "unit": "evals/s",
         "vs_baseline": round(rate32 / BASELINE_EVALS_PER_S, 3),
-        "extra": extra,
-    }), flush=True)
+        "extra": _sanitize(extra),
+    }
+    line = json.dumps(payload, separators=(",", ":"), allow_nan=False)
+    if len(line) > _MAX_LINE:       # last resort: drop the bulkiest keys
+        ex = payload["extra"]
+        for k in sorted(ex, key=lambda k: -len(json.dumps(ex[k]))):
+            del ex[k]
+            ex["dropped_oversize"] = True
+            line = json.dumps(payload, separators=(",", ":"),
+                              allow_nan=False)
+            if len(line) <= _MAX_LINE:
+                break
+    fd = _stdout_fd["fd"]
+    if fd is None:
+        print(line, flush=True)
+    else:
+        os.write(fd, line.encode() + b"\n")
 
 
 def main():
     import os
     import signal
     import jax
+
+    # whole-process stdout -> stderr: libtpu / absl / tunnel chatter can
+    # write to fd 1 at the C level, which corrupted the round-2 artifact.
+    # The final JSON line is written to the SAVED fd, guaranteed to be
+    # the only stdout content.
+    _stdout_fd["fd"] = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
 
     t_start = time.perf_counter()
     budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
@@ -123,6 +171,22 @@ def main():
 
     signal.signal(signal.SIGALRM, _on_alarm)
     signal.alarm(int(budget * 1.15))
+
+    if "--emit-test" in sys.argv:
+        # exercise the emission path under hostile conditions: C-level
+        # stdout chatter + oversized strings + non-finite floats inside
+        # extra.  tests/test_bench_emit.py asserts the last stdout line
+        # parses and is bounded.
+        os.write(1, b"FAKE LIBTPU LOG LINE ON FD1\n")
+        print("python-level stdout print")
+        _emit(1.0e9, 64, {
+            "big_error": "x" * 5000,
+            "nested": {"log": "y" * 5000, "ok": 1.5},
+            "nan_val": float("nan"),
+            "inf_val": float("inf"),
+            "wall_s": 0.123,
+        })
+        return
 
     if "--cpu" in sys.argv:
         jax.config.update("jax_platforms", "cpu")
