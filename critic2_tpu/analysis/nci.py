@@ -38,7 +38,10 @@ _VSMALL = 1e-40
 def _rdg(rho, gf, h6):
     lam2 = eigvalsh3s(h6)[1]
     gmod = jnp.sqrt((gf * gf).sum(0))
-    rdg = gmod / (_CONST * jnp.maximum(rho, _VSMALL) ** (4.0 / 3.0))
+    # f32 floor 1e-30: rho**(4/3) of anything smaller underflows (TPU
+    # flushes subnormals), turning far-from-atom RDG into inf
+    vsmall = _VSMALL if rho.dtype == jnp.float64 else 1e-30
+    rdg = gmod / (_CONST * jnp.maximum(rho, vsmall) ** (4.0 / 3.0))
     return jnp.sign(lam2) * jnp.abs(rho) * 100.0, rdg
 
 
@@ -46,7 +49,23 @@ def _rdg(rho, gf, h6):
 # retrace + recompile (or re-deserialize from the persistent cache)
 # every call - seconds per call through the remote-compile tunnel
 @lru_cache(maxsize=32)
-def _fast_fn(shape, m_c2x_bytes):
+def _fast_fn(shape, m_c2x_bytes, onlyneg: bool, has_inter: bool,
+             f32: bool):
+    """ONE fused device program for the whole grid-field NCI compute:
+    separable tricubic sweep -> frame rotation -> middle eigenvalue ->
+    RDG -> dat selection + plot-cutoff masking.
+
+    Round-2 post-mortem: the fast path ran the sweep in one jit but left
+    ~10 post-sweep jnp ops (abs/compare/where/sum) un-jitted - each a
+    separate dispatch through the remote-device tunnel - and computed in
+    f64 end-to-end (every f64 vector op on the v5e is emulated at ~1/10
+    f32 rate). Fusing + the YT precision recipe (f32 compute; nothing
+    here is accumulated, so no f64 pass is needed) takes the 256^3 leg
+    from 3.62 s to the bandwidth-bound sweep cost.
+
+    Cutoffs are traced scalar args (no recompile when they change);
+    onlyneg/has_inter/f32 are static.
+    """
     from ..ops.eig3 import linmap, sym6_rotation
     from ..ops.interp import interp_grid_soa
 
@@ -55,11 +74,26 @@ def _fast_fn(shape, m_c2x_bytes):
     r6 = sym6_rotation(m_c2x)
 
     @jax.jit
-    def fast(gridf):
+    def fast(gridf, rhocut, dimcut, rhoplot, srho_lo, srho_hi,
+             inter=None):
+        if f32:
+            gridf = gridf.astype(jnp.float32)
         y, yp, ypp6 = interp_grid_soa(gridf, shape, nder=2)
         gf = linmap(mT, yp.reshape(3, -1))
         h6 = linmap(r6, ypp6.reshape(6, -1))
-        return _rdg(y.reshape(-1), gf, h6)
+        crho, cgrad_raw = _rdg(y.reshape(-1), gf, h6)
+        acr = jnp.abs(crho)
+        sel = (acr < rhocut * 100.0) & (cgrad_raw < dimcut)
+        mask = acr > rhoplot * 100.0
+        mask = mask | (crho < srho_lo * 100.0) | (crho > srho_hi * 100.0)
+        if has_inter:
+            sel = sel & inter
+            mask = mask | (~inter)
+        if onlyneg:
+            mask = mask | (crho > 0)
+        cgrad = jnp.where(mask, jnp.asarray(100.0, cgrad_raw.dtype),
+                          cgrad_raw)
+        return crho, cgrad, cgrad_raw, sel
 
     return fast
 
@@ -143,7 +177,7 @@ def nciplot(system, oname: str | None = None, outdir: str | None = None,
             fragments=None, rhoparam: float = 0.95, rhoparam2: float = 0.75,
             rho_void: float = -1.0, isden: bool = True,
             block: int = 1 << 15, write_files: bool = False,
-            molmotif: bool = False) -> NCIResult:
+            molmotif: bool = False, precision: str = "f32") -> NCIResult:
     """Run the NCI analysis on the reference field of `system`."""
     if dimcut is None:
         dimcut = 2.0 if isden else 1.0
@@ -180,25 +214,8 @@ def nciplot(system, oname: str | None = None, outdir: str | None = None,
         ijk = np.stack(np.unravel_index(idx, (n1, n2, n3))).astype(float)
         return jnp.asarray(x0[:, None] + xmat_np @ ijk)
 
-    # ALL whole-grid arrays stay device-resident end to end; only
-    # scalars and the lazily-materialized .dat selection cross the
-    # host link.
-    if fastpath:
-        # regular-grid separable fast path (HBM-bandwidth bound on TPU);
-        # the reference's analog builds FFT grad/Hxx grids
-        # (src/nci@proc.f90:483-496)
-        crho, cgrad = _fast_fn(
-            (n1, n2, n3), np.asarray(c.m_c2x).tobytes())(f.grid.f)
-    else:
-        chunk_eval = _chunk_eval_fn(fn)
-        crs, cgs = [], []
-        for lo in range(0, N, block):
-            cr, cg = chunk_eval(chunk_pts(slice(lo, min(lo + block, N))))
-            crs.append(cr)
-            cgs.append(cg)
-        crho = jnp.concatenate(crs)
-        cgrad = jnp.concatenate(cgs)
-
+    # promolecular / fragment densities FIRST: the `inter` filter feeds
+    # the fused fast path as a device array
     from ..fields.promol import promolecular_soa
 
     rhoat = rhofrag = None
@@ -220,15 +237,56 @@ def nciplot(system, oname: str | None = None, outdir: str | None = None,
             rhofrag = jnp.concatenate(rfs, axis=1)
 
     # fragment inter/intra filter (reference :577-583)
-    inter = jnp.ones(N, dtype=bool)
+    inter = None
     if nfrag:
         tot = rhofrag.sum(axis=0)
         inter = (tot >= rhoparam2 * rhoat) & \
             (rhofrag <= tot[None, :] * rhoparam).all(axis=0)
-    void = None
+    voidmask = None
     if rho_void > 0.0:
         voidmask = rhoat < rho_void
-        inter = inter & voidmask
+        inter = voidmask if inter is None else inter & voidmask
+
+    has_inter = inter is not None
+    srho_lo, srho_hi = float(srhorange[0]), float(srhorange[1])
+
+    # ALL whole-grid arrays stay device-resident end to end; only
+    # scalars and the lazily-materialized .dat selection cross the
+    # host link.
+    if fastpath:
+        # regular-grid separable fast path (HBM-bandwidth bound on TPU);
+        # the reference's analog builds FFT grad/Hxx grids
+        # (src/nci@proc.f90:483-496). One fused device program.
+        fused = _fast_fn((n1, n2, n3), np.asarray(c.m_c2x).tobytes(),
+                         onlyneg, has_inter, precision == "f32")
+        args = (f.grid.f, rhocut, dimcut, rhoplot, srho_lo, srho_hi)
+        if has_inter:
+            crho, cgrad, cgrad_raw, sel = fused(*args, inter=inter)
+        else:
+            crho, cgrad, cgrad_raw, sel = fused(*args)
+    else:
+        chunk_eval = _chunk_eval_fn(fn)
+        crs, cgs = [], []
+        for lo in range(0, N, block):
+            cr, cg = chunk_eval(chunk_pts(slice(lo, min(lo + block, N))))
+            crs.append(cr)
+            cgs.append(cg)
+        crho = jnp.concatenate(crs)
+        cgrad_raw = jnp.concatenate(cgs)
+        inter_b = inter if has_inter else jnp.ones(N, dtype=bool)
+        # .dat scatter selection under cutoffs (reference :593-596);
+        # materialized lazily by NCIResult.dat
+        sel = (jnp.abs(crho) < rhocut * 100.0) \
+            & (cgrad_raw < dimcut) & inter_b
+        # plot cutoffs applied to the RDG cube (reference :597-600)
+        mask = (jnp.abs(crho) > rhoplot * 100.0) | (~inter_b)
+        mask = mask | (crho < srho_lo * 100.0) | (crho > srho_hi * 100.0)
+        if onlyneg:
+            mask = mask | (crho > 0)
+        cgrad = jnp.where(mask, 100.0, cgrad_raw)
+
+    void = None
+    if rho_void > 0.0:
         omega_cell = c.volume
         void = {
             "charge": float((jnp.abs(crho) * voidmask).sum() / 100.0
@@ -236,19 +294,6 @@ def nciplot(system, oname: str | None = None, outdir: str | None = None,
             "pcharge": float((rhoat * voidmask).sum() * omega_cell / N),
             "volume": float(voidmask.sum() * omega_cell / N),
         }
-
-    # .dat scatter selection under cutoffs (reference :593-596);
-    # materialized lazily by NCIResult.dat
-    sel = (jnp.abs(crho) < rhocut * 100.0) & (cgrad < dimcut) & inter
-
-    # plot cutoffs applied to the RDG cube (reference :597-600)
-    cgrad_raw = cgrad
-    mask = (jnp.abs(crho) > rhoplot * 100.0) | (~inter)
-    mask = mask | (crho < srhorange[0] * 100.0) \
-        | (crho > srhorange[1] * 100.0)
-    if onlyneg:
-        mask = mask | (crho > 0)
-    cgrad = jnp.where(mask, 100.0, cgrad)
 
     res = NCIResult(
         crho=crho.reshape(n1, n2, n3), cgrad=cgrad.reshape(n1, n2, n3),
