@@ -449,9 +449,24 @@ class Field:
 
         fn._c2t_raw = raw
         fn._c2t_consts = consts
-        # gather-free evaluators (dense wfn without promolecular core
-        # augmentation) may be iterated with lax.fori_loop; gather-based
-        # ones must use the unrolled steppers (ops/newton.py docstring).
-        fn._c2t_loop = ("fori" if ftype == "wfn" and env is None
-                        else "unroll")
+        # All evaluators iterate with lax.fori_loop/scan steppers: the
+        # loop body (3 field evals for BS23) compiles once instead of
+        # nsteps inlined copies.  History: until 2026-08-16 the v5e
+        # backend in this environment miscompiled loop bodies whose
+        # gather indices evolve with the carried state, forcing
+        # Python-unrolled chunks for gather-based (grid) fields; on the
+        # 2026-08-19 stack the fori/scan steppers bit-match the unrolled
+        # ones on both scattered-stencil and row-gather interp paths
+        # (ODE and Newton, verified on hardware), while the UNROLLED
+        # form now OOM-kills the remote compile helper at >=16 inlined
+        # evals over a 64^3 f64 grid.  CRITIC2_TPU_UNROLL_LOOPS=1
+        # restores the old behavior for grid fields if a regression
+        # reappears.
+        import os
+
+        if os.environ.get("CRITIC2_TPU_UNROLL_LOOPS"):
+            fn._c2t_loop = ("fori" if ftype == "wfn" and env is None
+                            else "unroll")
+        else:
+            fn._c2t_loop = "fori"
         return fn

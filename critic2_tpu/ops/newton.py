@@ -10,15 +10,18 @@ Layout: batch-last SoA throughout the loop - positions (3, N), gradients
 (3, N), Hessians (6, N) - so every loop-carried array is lane-dense on
 TPU (see ops/interp.py docstring). The public interface stays (N, 3).
 
-Loop structure: Python-UNROLLED fixed-size chunks inside one jit with a
-host-side convergence check between chunks. lax.while_loop/fori_loop
-are deliberately NOT used here: the v5e backend in this environment
-miscompiles loop bodies whose gather indices evolve with the carried
-state (the field evaluator inside the loop returns values inconsistent
-with the same graph outside; post-hoc |grad| up to 3e-2 at points the
-in-loop check claimed converged to 1e-12 - reproduced and bisected
-2026-08-16, unrolled bodies are correct). The chunked form also
-amortizes the tunnel dispatch latency.
+Loop structure: a lax.while_loop with on-device early exit runs the
+whole iteration budget in one device program. History: until
+2026-08-16 the v5e backend in this environment miscompiled loop bodies
+whose gather indices evolve with the carried state (the field evaluator
+inside the loop returned values inconsistent with the same graph
+outside; post-hoc |grad| up to 3e-2 at points the in-loop check claimed
+converged to 1e-12), which forced Python-unrolled chunks for grid
+fields. On the 2026-08-19 stack the loop steppers bit-match the
+unrolled ones on hardware (both interp paths, ODE and Newton), while
+the unrolled form now OOM-kills the remote compile helper at >=16
+inlined evals over a 64^3 f64 grid; the unrolled steppers remain as
+a fallback (CRITIC2_TPU_UNROLL_LOOPS=1).
 
 Semantics mirror the reference exactly: stop when |grad f| < gfnormeps
 (success), when |det H| < 1e-30 (singular failure), or after maxit
@@ -80,8 +83,8 @@ def _newton_chunk_fori(eval_fn, consts, xT, conv, failed, gfnormeps,
     is matmuls + selects, which round-trip correctly (verified vs the
     unrolled path in tests/test_autocp.py)."""
 
-    def body(_, carry):
-        xT, conv, failed = carry
+    def body(carry):
+        i, xT, conv, failed = carry
         f, gf, h6 = (eval_fn(xT) if consts is None
                      else eval_fn(consts, xT))
         gfmod2 = (gf * gf).sum(0)
@@ -94,10 +97,14 @@ def _newton_chunk_fori(eval_fn, consts, xT, conv, failed, gfnormeps,
         active = ~(conv | failed)
         step = step_num / jnp.where(sing, 1.0, det)[None, :]
         xT = jnp.where(active[None, :], xT - step, xT)
-        return xT, conv, failed
+        return i + 1, xT, conv, failed
 
-    xT, conv, failed = jax.lax.fori_loop(0, nsteps, body,
-                                         (xT, conv, failed))
+    def cond(carry):
+        i, _, conv, failed = carry
+        return (i < nsteps) & ~(conv | failed).all()
+
+    _, xT, conv, failed = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), xT, conv, failed))
     f, gf, h6 = eval_fn(xT) if consts is None else eval_fn(consts, xT)
     cfin = (gf * gf).sum(0) < gfnormeps * gfnormeps
     conv = conv | (cfin & ~failed)
@@ -125,7 +132,9 @@ def newton_batch(eval_fn, x0, gfnormeps: float = 1e-12, maxit: int = 200,
     conv = jnp.zeros(N, bool)
     failed = jnp.zeros(N, bool)
     if loop == "fori":
-        stepper, chunk = _newton_chunk_fori, max(chunk, 50)
+        # early-exit while_loop: run the whole maxit budget in one
+        # dispatch; converged batches stop on device
+        stepper, chunk = _newton_chunk_fori, max(chunk, maxit)
     else:
         stepper = _newton_chunk
     it = 0

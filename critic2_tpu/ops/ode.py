@@ -12,11 +12,11 @@ TPU decomposition: the reference traces one path at a time inside OpenMP
 loops; here ALL paths advance in lockstep with per-trajectory step
 sizes, accept/reject masks and termination states - each iteration is
 one BS23 attempt costing three batched field evaluations for every live
-trajectory. Iterations run as Python-UNROLLED chunks inside one jit
-with a host-side all-done check between chunks: lax.while_loop/
-fori_loop are avoided because the v5e backend in this environment
-miscompiles loop bodies whose gather indices evolve with the carried
-state (see ops/newton.py docstring for the bisection record).
+trajectory. Iterations run inside a lax.while_loop with on-device
+early exit (all-done), so a whole trace batch is typically one device
+program; Python-unrolled chunk steppers remain as a fallback
+(CRITIC2_TPU_UNROLL_LOOPS; see fields/field.py _c2t_loop for the v5e
+gather-in-loop miscompile history that once forced them).
 
 Status codes: 0 = reached attractor (termid >= 0), 1 = converged to a
 gradient zero away from the list, 2 = step collapse/bounce, 3 = left the
@@ -132,13 +132,22 @@ def _ode_chunk(eval_fn, consts, st, tT, rt, m_c2x, molborder, hini, maxerr,
          static_argnames=("eval_fn", "iup", "nsteps", "have_t", "havemol"))
 def _ode_chunk_fori(eval_fn, consts, st, tT, rt, m_c2x, molborder, hini, maxerr,
                     gradeps, iup, have_t, havemol, nsteps):
-    """_ode_chunk via lax.fori_loop: the BS23 body (3 eval_fn calls)
-    compiles ONCE instead of nsteps inlined copies.  Only for
-    gather-free evaluators (molecular wfn) - see ops/newton.py
-    _newton_chunk_fori for the v5e gather-loop caveat."""
+    """_ode_chunk via lax.while_loop with ON-DEVICE early exit: the BS23
+    body (3 eval_fn calls) compiles ONCE instead of nsteps inlined
+    copies, and the loop stops as soon as every trajectory is done - so
+    a whole trace batch is typically ONE device program regardless of
+    how unevenly the paths terminate (the round-2 flux leg paid one
+    dispatch per 16-step chunk through the remote tunnel: 32 s for 64
+    paths)."""
     body = _make_body(eval_fn, consts, tT, rt, m_c2x, molborder, hini,
                       maxerr, gradeps, iup, have_t, havemol)
-    return jax.lax.fori_loop(0, nsteps, lambda _, s: body(s), st)
+
+    def cond(c):
+        i, s = c
+        return (i < nsteps) & ~s[2].all()
+
+    return jax.lax.while_loop(cond, lambda c: (c[0] + 1, body(c[1])),
+                              (jnp.asarray(0, jnp.int32), st))[1]
 
 
 @partial(jax.jit,
@@ -229,7 +238,10 @@ def trace_paths(eval_fn, x0, iup: int = 1, targets=None, rterm=None,
     if loop is None:
         loop = getattr(eval_fn, "_c2t_loop", "unroll")
     if loop == "fori":
-        stepper, chunk = _ode_chunk_fori, max(chunk, 200)
+        # early-exit while_loop: a big chunk costs nothing when paths
+        # terminate early, so most batches finish in ONE dispatch;
+        # compaction between chunks still bounds straggler cost
+        stepper, chunk = _ode_chunk_fori, max(chunk, 512)
     else:
         stepper = _ode_chunk
 
