@@ -63,6 +63,9 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/critic2_tpu_testcache")
 # re-missed every run under the default threshold
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# bound the cache (round-2 advisor: store-everything + no eviction grew
+# without limit across runs); 1 GB LRU keeps every suite entry warm
+jax.config.update("jax_compilation_cache_max_size", 1 << 30)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
