@@ -333,7 +333,8 @@ class YTResult:
         Accepts one integrand (N,) or a stack (nprops, N); the adjoint
         sweep batches all integrands in one device program."""
         f = jnp.asarray(field_flat)
-        single = f.size == int(np.prod(self.shape))
+        # a (1, N) stack also has size N: detect stacks by ndim, not size
+        single = f.ndim == 1 or f.shape == self.shape
         f3 = f.reshape((1 if single else f.shape[0],) + self.shape)
         if not jnp.issubdtype(f3.dtype, jnp.floating):
             f3 = f3.astype(self._chiP.dtype)

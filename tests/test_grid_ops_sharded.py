@@ -154,3 +154,40 @@ def test_yt_sharded_matches_single_device(rng):
     np.testing.assert_allclose(q[1], q2_ref[perm], rtol=1e-10, atol=1e-10)
     # partition of unity: basin sums recover the cell totals
     assert abs(q[0].sum() - rho.sum()) < 1e-10
+
+
+@pytest.mark.slow
+def test_yt_sharded_adjoint_128_matches_single_device():
+    """128^3 promolecular-analogue grid on the virtual 8-device mesh:
+    the adjoint sharded charges match the single-device YT at 1e-10
+    (round-2 verdict item 7 done-bar)."""
+    from critic2_tpu.analysis.yt import yt_integrate
+    from critic2_tpu.crystal.cell import m_x2c_from_cellpar
+    from critic2_tpu.crystal.crystal import Crystal, Species
+    from critic2_tpu.parallel.yt_sharded import yt_integrate_sharded
+
+    n = 128
+    c = Crystal(m_x2c=m_x2c_from_cellpar([10.66] * 3, [90] * 3),
+                x_frac=np.array([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5],
+                                 [0.5, 0.5, 0.0], [0.0, 0.0, 0.5]]),
+                species_of=np.array([0, 1, 0, 1]),
+                species=[Species("Na", 11), Species("Cl", 17)])
+    g = np.meshgrid(*[np.arange(n) / n] * 3, indexing="ij")
+    g = np.stack(g, axis=-1)
+    rho = np.zeros((n, n, n))
+    m = np.asarray(c.m_x2c)
+    for site, amp, alpha in zip(c.x_frac, (11.0, 17.0, 11.0, 17.0),
+                                (1.0, 0.7, 1.0, 0.7)):
+        d = g - site
+        d -= np.rint(d)
+        rho += amp * np.exp(-alpha * ((d @ m.T) ** 2).sum(-1))
+
+    mesh = make_mesh(8)
+    sh = yt_integrate_sharded(mesh, c, rho, result=True)
+    q_sh = sh.integrate(rho.reshape(-1))
+    res = yt_integrate(c, jnp.asarray(rho))
+    q1 = np.asarray(res.integrate(rho.reshape(-1)))
+    assert sh.nattr == res.nattr
+    np.testing.assert_allclose(np.sort(q_sh), np.sort(q1),
+                               rtol=1e-10, atol=1e-10)
+    assert abs(q_sh.sum() - rho.sum()) < 1e-8
