@@ -37,9 +37,30 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
+import jax
+
 from ..ops.ode import trace_paths
 
 __all__ = ["qtree_integrate", "QtreeResult"]
+
+
+@jax.jit
+def _sphere_mask_dev(ptsT, tgtT, rads):
+    """(inside_any (N,) bool, kmin (N,) i32, dmin (N,)) vs the 27-cell
+    target images.  Device-side: the host numpy version of this N x 108
+    distance reduction was 75% of the qtree wall at 256^3 (profiled:
+    112 s of 152 on the 1-core host)."""
+    d2 = ((ptsT[:, :, None] - tgtT[:, None, :]) ** 2).sum(0)    # (N, K)
+    k = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    dmin2 = jnp.take_along_axis(d2, k[:, None], axis=1)[:, 0]
+    inside = (d2 <= (rads[None, :] ** 2)).any(axis=1)
+    return inside, k, jnp.sqrt(dmin2)
+
+
+@jax.jit
+def _masked_keast_reduce(fv, outs, qw):
+    """((fv*outs*qw).sum(1), (outs*qw).sum(1)) on device."""
+    return (fv * outs * qw).sum(axis=1), (outs * qw).sum(axis=1)
 
 
 def _ws_tetrahedra(crystal):
@@ -162,7 +183,7 @@ def qtree_integrate(system, maxl: int = 3, minl: int = 4,
                     keastnum: int = 7, keastlow: int = 4,
                     cub_abs: float = 1e-7, cub_rel: float = 1e-6,
                     maxrefine: int = 8, max_queue: int = 1 << 16,
-                    usesym: bool = True,
+                    usesym: bool = True, precision: str = "f64",
                     sphfactor: float | None = None) -> QtreeResult:
     """Basin populations/volumes of the reference field by qtree coloring.
 
@@ -198,7 +219,24 @@ def qtree_integrate(system, maxl: int = 3, minl: int = 4,
     """
     c = system.crystal
     f = system.ref
-    fn = f.eval_fn(nder=1)      # traces use the gradient only
+    # precision="f32" traces on an f32 shadow of the grid (the v5e f32
+    # row-gather interp is 5.6x the emulated-f64 rate).  NOT the
+    # default: measured at 256^3/maxl=4, f32 traces fail near CPs
+    # (|grad| under the f32 noise floor jitters the BS23 error control)
+    # - 86302 traces vs 66907 at f64, 3x the wall, and a 0.03-e charge
+    # shift.  The option stays for coarse exploratory runs.
+    fn = None
+    if (precision == "f32" and f.type == "grid"
+            and f.grid.mode in ("tricubic", "trilinear")):
+        from ..fields.field import Field
+        from ..fields.grid3 import Grid3
+
+        f32fld = Field.from_grid(
+            c, Grid3(jnp.asarray(f.grid.f, jnp.float32),
+                     mode=f.grid.mode), name="_qtree_trace32")
+        fn = f32fld.eval_fn(nder=1)
+    if fn is None:
+        fn = f.eval_fn(nder=1)  # traces use the gradient only
     fnv = f.eval_fn(nder=0)     # cubature uses values only
     iat = 0 if origin_atom is None else origin_atom
     x0 = np.asarray(c.x_cart[iat])
@@ -305,9 +343,11 @@ def qtree_integrate(system, maxl: int = 3, minl: int = 4,
         nonlocal ntraced
         keys = [tuple(np.round(p, 8)) for p in points]
         if sphrad is not None:
-            d = np.linalg.norm(points[:, None, :] - tgt[None, :, :], axis=2)
-            kb = d.argmin(axis=1)
-            inside = d[np.arange(len(points)), kb] <= sphrad[tgt_ids[kb]]
+            # inside-any-sphere check on device (beta spheres are
+            # disjoint, so "inside any" == "inside the nearest")
+            ins_d, km_d, _ = _sphere_info_dev(points)
+            inside = np.asarray(ins_d)
+            kb = np.asarray(km_d)
             for i in np.nonzero(inside)[0]:
                 color_cache.setdefault(keys[i], int(tgt_ids[kb[i]]))
         need = [i for i, k in enumerate(keys) if k not in color_cache]
@@ -322,8 +362,10 @@ def qtree_integrate(system, maxl: int = 3, minl: int = 4,
     vols = np.zeros(nat + 1)
     nrefined = 0
 
-    def _field_at(pts_flat):
-        """Batched field values with shape-stable padded evals.
+    def _field_at_dev(pts_flat):
+        """Batched field values with shape-stable padded evals,
+        DEVICE-resident output (host transfers happen only after the
+        per-tet reduction).
 
         field_block > block: value-only evals are cheaper than the
         3-derivative traces, and the cubature queue is otherwise
@@ -334,18 +376,45 @@ def qtree_integrate(system, maxl: int = 3, minl: int = 4,
         p = (np.concatenate([pts_flat, np.repeat(pts_flat[-1:], pad,
                                                  axis=0)])
              if pad else pts_flat)
-        out = np.empty(len(p))
-        for lo in range(0, len(p), fb):
-            out[lo:lo + fb] = np.asarray(
-                fnv(jnp.asarray(p[lo:lo + fb].T))[0])
+        outs = [fnv(jnp.asarray(p[lo:lo + fb].T))[0]
+                for lo in range(0, len(p), fb)]
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
         return out[:npts]
+
+    def _field_at(pts_flat):
+        return np.asarray(_field_at_dev(pts_flat))
+
+    tgtT_j = jnp.asarray(tgt.T)
+    rads_j = (jnp.asarray(sphrad[tgt_ids]) if sphrad is not None
+              else jnp.zeros(len(tgt)))
+
+    def _sphere_info_dev(pts):
+        """Device (inside_any, kmin, dmin) in shape-stable chunks.
+        The host numpy version of this N x 108 distance reduction was
+        75% of the 256^3 qtree wall (profiled: 112 s of 152 on the
+        1-core host)."""
+        npts = len(pts)
+        fb = field_block
+        pad = (-npts) % fb if npts > fb else fb - npts
+        p = (np.concatenate([pts, np.repeat(pts[-1:], pad, axis=0)])
+             if pad else pts)
+        parts = [_sphere_mask_dev(jnp.asarray(p[lo:lo + fb].T),
+                                  tgtT_j, rads_j)
+                 for lo in range(0, len(p), fb)]
+        if len(parts) == 1:
+            ins, km, dm = parts[0]
+        else:
+            ins = jnp.concatenate([q[0] for q in parts])
+            km = jnp.concatenate([q[1] for q in parts])
+            dm = jnp.concatenate([q[2] for q in parts])
+        return ins[:npts], km[:npts], dm[:npts]
 
     def _outside_spheres(pts):
         """1.0 where the point lies outside every atom's beta sphere
-        (min-image via the 27-cell target images), else 0.0."""
-        d = np.linalg.norm(pts[:, None, :] - tgt[None, :, :], axis=2)
-        inside = (d < sphrad[tgt_ids][None, :]).any(axis=1)
-        return np.where(inside, 0.0, 1.0)
+        (min-image via the 27-cell target images), else 0.0 - device
+        compute, numpy result."""
+        ins, _, _ = _sphere_info_dev(pts)
+        return np.where(np.asarray(ins), 0.0, 1.0)
 
     def _keast_contrib(tets_, rule):
         """Keast-rule (integral, volume) per tetrahedron. With beta
@@ -353,18 +422,28 @@ def qtree_integrate(system, maxl: int = 3, minl: int = 4,
         (the reference integrates them by radial quadrature instead -
         qtree sphere integration, src/qtree@proc.f90 beta-sphere flow);
         the volume is then the same rule applied to the exterior
-        indicator, so pops and vols stay consistent."""
+        indicator, so pops and vols stay consistent.
+
+        Tet count padded to pow-2 (zero weights): the per-tet reduce
+        then compiles once per (rule, bucket) instead of per queue
+        depth, and only (T,) sums cross the host link."""
         from ..ops.quadrature import keast_points
 
         qpts, qw = keast_points(tets_, rule)
-        fv = _field_at(qpts.reshape(-1, 3)).reshape(qw.shape)
+        T, nq = qw.shape
+        Tp = 1 << int(np.ceil(np.log2(max(T, 256))))
+        if Tp != T:
+            qpts = np.concatenate([qpts, np.zeros((Tp - T, nq, 3))])
+            qw = np.concatenate([qw, np.zeros((Tp - T, nq))])
+        fv = _field_at_dev(qpts.reshape(-1, 3)).reshape(Tp, nq)
+        qwj = jnp.asarray(qw)
         if sphrad is not None:
-            outs = _outside_spheres(qpts.reshape(-1, 3)).reshape(qw.shape)
-            fv = fv * outs
-            volq = (outs * qw).sum(axis=1)
+            ins, _, _ = _sphere_info_dev(qpts.reshape(-1, 3))
+            outs = jnp.where(ins, 0.0, 1.0).reshape(Tp, nq)
         else:
-            volq = qw.sum(axis=1)          # = tet volume (weights sum)
-        return (fv * qw).sum(axis=1), volq
+            outs = jnp.ones((Tp, nq))
+        c, v = _masked_keast_reduce(fv, outs, qwj)
+        return np.asarray(c)[:T], np.asarray(v)[:T]
 
     def _sphere_integrals(nrad: int = 64, nang: int = 170):
         """Beta-sphere interiors by Gauss-Legendre radial x Lebedev

@@ -25,7 +25,7 @@ import numpy as np
 
 from .. import param
 
-__all__ = ["xdm_grid", "br_hole_b", "XDMResult"]
+__all__ = ["xdm_grid", "xdm_qe", "br_hole_b", "XDMResult"]
 
 _XDM = None
 
@@ -243,16 +243,26 @@ def _xdm_coefs_energy(c, zs, ml, avol, a1, a2_ang, upto, ecut):
     a2 = a2_ang * param.ANGSTROM_TO_BOHR
     rvdw = a1 * rc + a2
 
-    maxc6 = c6.max()
+    etotal, forces, ehadd = _edisp_sum(c, c6, c8, c10, rvdw, upto, ecut)
+
+    return XDMResult(volumes=avol, vfree=vfree, moments=ml, alpha=alpha,
+                     c6=c6, c8=c8, c10=c10, rc=rc, rvdw=rvdw,
+                     energy=float(etotal), forces=forces, ehadd=ehadd)
+
+
+def _edisp_sum(c, c6, c8, c10, rvdw, upto: int = 10, ecut: float = 1e-11):
+    """Damped -C_n/R^n dispersion lattice sum + forces (reference
+    calc_edisp, src/xdm@proc.f90:577-705)."""
+    nat = c6.shape[0]
+    maxc6 = max(c6.max(), 1e-300)
     rmax = (maxc6 / ecut) ** (1.0 / 6.0)
     pos_env, spc_env, cidx_env = c.atomic_environment(rmax)
     xc_at = np.asarray(c.x_cart)
-    nat_ = nat
     etotal = 0.0
-    forces = np.zeros((nat_, 3))
+    forces = np.zeros((nat, 3))
     ehadd = {6: 0.0, 8: 0.0, 10: 0.0}
     cn_by_order = {6: c6, 8: c8, 10: c10}
-    for ii in range(nat_):
+    for ii in range(nat):
         d = pos_env - xc_at[ii][None, :]
         ri = np.linalg.norm(d, axis=1)
         sel = (ri > 1e-10) & (ri < rmax)
@@ -269,8 +279,86 @@ def _xdm_coefs_energy(c, zs, ml, avol, a1, a2_ang, upto, ecut):
             forces[ii] += (fxx[:, None] * dd).sum(0)
     etotal = -0.5 * etotal
     ehadd = {k: -0.5 * v for k, v in ehadd.items()}
+    return etotal, forces, ehadd
 
-    return XDMResult(volumes=avol, vfree=vfree, moments=ml, alpha=alpha,
+
+def xdm_qe(system, path: str | None = None, between=None, and_=None,
+           upto: int = 10, ecut: float = 1e-11) -> XDMResult:
+    """XDM energy from the coefficients printed in a Quantum ESPRESSO
+    pw.x output (reference xdm_qe, src/xdm@proc.f90:751-889): parse a1,
+    a2 and the lower-triangular per-pair C6/C8/C10/Rc/Rvdw table from
+    the '* XDM dispersion' / '+ Dispersion coefficients' blocks, zero
+    the coefficients of pairs outside the BETWEEN x AND atom sets, and
+    run the same damped lattice sum as the grid/wfn variants.
+
+    between/and_: 1-based cell-atom index lists (reference BETWEEN/AND
+    keywords); both or neither must be given."""
+    c = system.crystal
+    nat = c.ncel
+    if path is None:
+        path = getattr(c, "file", None)
+        if not path:
+            raise ValueError("XDM QE needs the QE output file "
+                             "(CRYSTAL source or explicit path)")
+    if (between is None) != (and_ is None):
+        raise ValueError("BETWEEN and AND must be given together")
+
+    c6 = np.zeros((nat, nat))
+    c8 = np.zeros((nat, nat))
+    c10 = np.zeros((nat, nat))
+    rc = np.zeros((nat, nat))
+    rvdw = np.zeros((nat, nat))
+    a1 = a2 = None
+    with open(path) as fh:
+        lines = iter(fh.read().splitlines())
+    lit = list(lines)
+    i = 0
+    got_coefs = False
+    while i < len(lit):
+        line = lit[i]
+        if line.strip() == "* XDM dispersion":
+            # a1 on the next '='-line, a2 two lines later (reference
+            # reads getline/=, getline, getline/=)
+            a1 = float(lit[i + 1].split("=")[1].split()[0])
+            a2 = float(lit[i + 3].split("=")[1].split()[0])
+            i += 4
+            continue
+        if line.strip() == "+ Dispersion coefficients":
+            k = i + 1
+            for ii in range(nat):
+                for jj in range(ii + 1):
+                    f = lit[k].split()
+                    k += 1
+                    i1, i2 = int(f[0]), int(f[1])
+                    if i1 != ii + 1 or i2 != jj + 1:
+                        raise ValueError(
+                            f"XDM QE: indices {i1},{i2} do not match "
+                            f"expected {ii + 1},{jj + 1}")
+                    c6[ii, jj] = c6[jj, ii] = float(f[2])
+                    c8[ii, jj] = c8[jj, ii] = float(f[3])
+                    c10[ii, jj] = c10[jj, ii] = float(f[4])
+                    rc[ii, jj] = rc[jj, ii] = float(f[5])
+                    rvdw[ii, jj] = rvdw[jj, ii] = float(f[6])
+            got_coefs = True
+            i = k
+            continue
+        i += 1
+    if not got_coefs:
+        raise ValueError(f"no '+ Dispersion coefficients' block in {path}")
+
+    if between is not None:
+        lfrom = np.zeros(nat, bool)
+        lto = np.zeros(nat, bool)
+        lfrom[np.asarray(between, dtype=int) - 1] = True
+        lto[np.asarray(and_, dtype=int) - 1] = True
+        keep = (lto[:, None] & lfrom[None, :]) | (lto[None, :]
+                                                  & lfrom[:, None])
+        c6 = np.where(keep, c6, 0.0)
+        c8 = np.where(keep, c8, 0.0)
+        c10 = np.where(keep, c10, 0.0)
+
+    etotal, forces, ehadd = _edisp_sum(c, c6, c8, c10, rvdw, upto, ecut)
+    return XDMResult(volumes=None, vfree=None, moments=None, alpha=None,
                      c6=c6, c8=c8, c10=c10, rc=rc, rvdw=rvdw,
                      energy=float(etotal), forces=forces, ehadd=ehadd)
 

@@ -1610,30 +1610,49 @@ class Repl:
         self.write(res.table())
 
     def cmd_xdm(self, args, lines):
-        from .analysis.xdm import xdm_grid, xdm_wfn
+        from .analysis.xdm import xdm_grid, xdm_qe, xdm_wfn
 
         sy = self.need_system()
-        kw = {}
-        if len(args) >= 2:
-            try:
-                kw["a1"] = float(args[0])
-                kw["a2_ang"] = float(args[1])
-            except ValueError:
-                pass
-        # molecular wavefunction reference -> mesh variant (reference
-        # xdm_wfn, src/xdm@proc.f90:1014)
-        if sy.ref.type == "wfn":
-            res = xdm_wfn(sy, **kw)
+        if args and args[0].upper() == "QE":
+            # XDM QE [BETWEEN i... AND j...] - coefficients from the QE
+            # output the crystal was read from (reference xdm_qe,
+            # src/xdm@proc.f90:751)
+            between = and_ = path = None
+            tail = list(args[1:])
+            if tail and tail[0].upper() not in ("BETWEEN", "AND"):
+                path = tail.pop(0)      # explicit pw.x output path
+            rest = [a.upper() for a in tail]
+            if "BETWEEN" in rest:
+                bi = rest.index("BETWEEN")
+                ai = rest.index("AND") if "AND" in rest else len(rest)
+                between = [int(v) for v in rest[bi + 1:ai]]
+                and_ = [int(v) for v in rest[ai + 1:]] if ai < len(rest) \
+                    else None
+            res = xdm_qe(sy, path=path, between=between, and_=and_)
         else:
-            res = xdm_grid(sy, **kw)
+            kw = {}
+            if len(args) >= 2:
+                try:
+                    kw["a1"] = float(args[0])
+                    kw["a2_ang"] = float(args[1])
+                except ValueError:
+                    pass
+            # molecular wavefunction reference -> mesh variant
+            # (reference xdm_wfn, src/xdm@proc.f90:1014)
+            if sy.ref.type == "wfn":
+                res = xdm_wfn(sy, **kw)
+            else:
+                res = xdm_grid(sy, **kw)
         self.write(f"+ XDM: Evdw = {res.energy:.10e} Ha")
         for nn, v in res.ehadd.items():
             self.write(f"  Evdw{nn} = {v:.10e} Ha")
-        self.write("# i  V            Vfree        alpha        C6(ii)")
-        for q in range(len(res.volumes)):
-            self.write(f"{q + 1:4d} {res.volumes[q]:12.6f} "
-                       f"{res.vfree[q]:12.6f} {res.alpha[q]:12.6f} "
-                       f"{res.c6[q, q]:12.6f}")
+        if res.volumes is not None:
+            self.write("# i  V            Vfree        alpha        "
+                       "C6(ii)")
+            for q in range(len(res.volumes)):
+                self.write(f"{q + 1:4d} {res.volumes[q]:12.6f} "
+                           f"{res.vfree[q]:12.6f} {res.alpha[q]:12.6f} "
+                           f"{res.c6[q, q]:12.6f}")
 
     def cmd_stm(self, args, lines):
         from .analysis.stm import stm

@@ -433,8 +433,15 @@ class Wavefunction:
                 self.eval_closure(nder=nder, extras=extras))
         return self._jit_cache[key]
 
-    def rho_eval_soa(self, xT, nder: int = 2, block: int = 4096):
-        """(f, gf (3,N), h6 (6,N)) with internal chunking."""
+    def rho_eval_soa(self, xT, nder: int = 2, block: int | None = None):
+        """(f, gf (3,N), h6 (6,N)) with internal chunking.
+
+        The chunk size scales with the derivative order: value-only
+        evals keep ~6 (P, N) temporaries live vs ~20 at nder=2, and a
+        4096-point chunk on a 3M-point mesh is ~800 dispatches of pure
+        tunnel latency (the round-2 wfn-mesh leg's 24.7 s wall)."""
+        if block is None:
+            block = {0: 1 << 17, 1: 1 << 15, 2: 1 << 12}[min(nder, 2)]
         fn = self._jitted(nder)
         N = xT.shape[1]
         if N <= block:

@@ -20,7 +20,64 @@ from ..crystal.cell import m_x2c_from_cellpar
 from ..crystal.seed import CrystalSeed
 from ..crystal.crystal import Species
 
-__all__ = ["read_cif", "parse_symop"]
+__all__ = ["read_cif", "parse_symop", "validate_cif"]
+
+_DIC = None
+
+
+def _cif_dict():
+    """The CIF core dictionary tag table ({tag: ddl1-type}), extracted
+    from the reference's dat/cif/cif_core.dic (v2.4.3) by
+    tools/extract_cif_dict.py - the same dictionary ciftbx validates
+    against (/root/reference/src/ciftbx/)."""
+    global _DIC
+    if _DIC is None:
+        import json
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "..", "data",
+                            "cif_core_tags.json")
+        with open(path) as fh:
+            _DIC = json.load(fh)
+    return _DIC
+
+
+_NUMB_RE = re.compile(
+    r"^[+-]?(\d+\.?\d*|\.\d+)([eEdD][+-]?\d+)?(\(\d+\))?$")
+
+
+def validate_cif(path: str) -> list:
+    """Validate a CIF file against the core dictionary: unknown tags
+    and non-numeric values in numb-typed tags are reported as warning
+    strings (empty list = clean).  The ciftbx role
+    (reference dict_ validation, src/ciftbx/)."""
+    dic = _cif_dict()
+    text = open(path, errors="replace").read()
+    warns = []
+
+    def check_value(tag, val):
+        if dic.get(tag) == "numb" and val not in ("?", "."):
+            if not _NUMB_RE.match(val):
+                warns.append(f"non-numeric value '{val}' for numb-typed "
+                             f"tag {tag}")
+
+    for bname, btoks in _split_blocks(_tokenize(text)):
+        tags, loops = _parse_block(btoks)
+        seen = set(tags)
+        for cols, rows in loops:
+            seen.update(cols)
+            for row in rows:
+                for tag, val in row.items():
+                    check_value(tag, val)
+        for tag, val in tags.items():
+            check_value(tag, val)
+        for tag in sorted(seen):
+            # non-core namespaces the dictionary does not govern
+            # (mmCIF/_pdbx, _geom_*_publ_flag-style locals are still
+            # core; publication/journal tags are)
+            if tag not in dic:
+                warns.append(f"tag {tag} not in the CIF core dictionary")
+    return warns
 
 
 def _tokenize(text):

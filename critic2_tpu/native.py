@@ -53,6 +53,7 @@ def _load():
         lib.c2n_yt_labels.restype = ctypes.c_int
         lib.c2n_yt_charges.restype = ctypes.c_int
         lib.c2n_tricubic_batch.restype = None
+        lib.c2n_nci_sweep.restype = ctypes.c_longlong
         lib.c2n_omp_threads.restype = ctypes.c_int
         _LIB = lib
         return lib
@@ -204,6 +205,26 @@ def tricubic_batch(f, xfrac):
         grad.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         hess.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return y, grad, hess
+
+
+def nci_sweep(f, m_c2x, rhocut: float = 0.2, dimcut: float = 2.0) -> int:
+    """Full NCI-driver CPU stand-in: per grid node, tricubic
+    value/grad/Hess + Cartesian rotation + middle Hessian eigenvalue +
+    RDG + cutoff test (the reference hot loop src/nci@proc.f90:496-562
+    work shape - interp + eig + cutoffs, not interp alone).  Returns
+    the dat-selection count."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built "
+                           "(python -m critic2_tpu.native)")
+    f = np.ascontiguousarray(f, dtype=np.float64)
+    m = np.ascontiguousarray(m_c2x, dtype=np.float64)
+    return int(lib.c2n_nci_sweep(
+        ctypes.c_int(f.shape[0]), ctypes.c_int(f.shape[1]),
+        ctypes.c_int(f.shape[2]),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_double(rhocut), ctypes.c_double(dimcut)))
 
 
 def omp_threads() -> int:

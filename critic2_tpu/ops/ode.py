@@ -238,10 +238,14 @@ def trace_paths(eval_fn, x0, iup: int = 1, targets=None, rterm=None,
     if loop is None:
         loop = getattr(eval_fn, "_c2t_loop", "unroll")
     if loop == "fori":
-        # early-exit while_loop: a big chunk costs nothing when paths
-        # terminate early, so most batches finish in ONE dispatch;
-        # compaction between chunks still bounds straggler cost
-        stepper, chunk = _ode_chunk_fori, max(chunk, 512)
+        # early-exit while_loop: a chunk costs only as many iterations
+        # as its slowest LIVE lane, so dispatch count stays small - but
+        # the chunk must stay moderate so the between-chunk straggler
+        # COMPACTION still fires: separatrix crawlers otherwise keep
+        # the full lane batch evaluating for the whole mstep budget
+        # (measured: chunk 512 on the qtree trace load ran 4x slower
+        # than chunk 64 for exactly this reason)
+        stepper, chunk = _ode_chunk_fori, max(chunk, 64)
     else:
         stepper = _ode_chunk
 

@@ -17,10 +17,12 @@ import jax.numpy as jnp
 __all__ = ["xc_eval", "XC_IDS"]
 
 XC_IDS = {
-    1: "lda_x", 7: "lda_c_vwn", 8: "lda_c_vwn_rpa", 12: "lda_c_pw",
-    101: "gga_x_pbe", 130: "gga_c_pbe", 106: "gga_x_b88",
-    131: "gga_c_lyp", 132: "gga_c_p86", 202: "mgga_x_tpss",
-    231: "mgga_c_tpss",
+    1: "lda_x", 7: "lda_c_vwn", 8: "lda_c_vwn_rpa", 9: "lda_c_pz",
+    12: "lda_c_pw",
+    101: "gga_x_pbe", 102: "gga_x_pbe_r", 116: "gga_x_pbe_sol",
+    117: "gga_x_rpbe", 130: "gga_c_pbe", 133: "gga_c_pbe_sol",
+    106: "gga_x_b88", 131: "gga_c_lyp", 132: "gga_c_p86",
+    202: "mgga_x_tpss", 231: "mgga_c_tpss",
 }
 
 _TINY = 1e-30
@@ -117,9 +119,10 @@ def gga_x_b88(rho, grad):
 # ---------------------------------------------------------------------------
 # GGA correlation
 # ---------------------------------------------------------------------------
-def _pbe_c_eps(rho, grad, zeta1: bool = False):
-    """PBE correlation energy per particle; zeta1 -> fully polarized."""
-    beta = 0.066725          # PRL 77, 3865 published value (see gga_x_pbe)
+def _pbe_c_eps(rho, grad, zeta1: bool = False, beta: float = 0.066725):
+    """PBE correlation energy per particle; zeta1 -> fully polarized.
+    beta defaults to the PRL 77, 3865 published value (see gga_x_pbe);
+    PBEsol passes 0.046."""
     gamma = (1.0 - jnp.log(2.0)) / jnp.pi ** 2
     rho = _safe(rho)
     rs = (3.0 / (4.0 * jnp.pi * rho)) ** (1.0 / 3.0)
@@ -178,6 +181,45 @@ def _pz81_eps(rs):
           + 0.0020 * rs * jnp.log(jnp.maximum(rs, _TINY)) - 0.0116 * rs)
     hi = -0.1423 / (1.0 + 1.0529 * jnp.sqrt(rs) + 0.3334 * rs)
     return jnp.where(rs < 1.0, lo, hi)
+
+
+def lda_c_pz(rho):
+    """Perdew-Zunger 81 local correlation (libxc LDA_C_PZ, id 9)."""
+    rho = _safe(rho)
+    rs = (3.0 / (4.0 * jnp.pi * rho)) ** (1.0 / 3.0)
+    return rho * _pz81_eps(rs)
+
+
+def _pbe_x_family(rho, grad, kappa, mu):
+    s = _s_red(rho, grad)
+    fx = 1.0 + kappa - kappa / (1.0 + mu * s * s / kappa)
+    return lda_x(rho) * fx
+
+
+def gga_x_pbe_r(rho, grad):
+    """revPBE exchange (Zhang-Yang, libxc GGA_X_PBE_R, id 102):
+    PBE form with kappa = 1.245."""
+    return _pbe_x_family(rho, grad, 1.245, 0.2195149727645171)
+
+
+def gga_x_pbe_sol(rho, grad):
+    """PBEsol exchange (libxc GGA_X_PBE_SOL, id 116): mu = 10/81."""
+    return _pbe_x_family(rho, grad, 0.8040, 10.0 / 81.0)
+
+
+def gga_x_rpbe(rho, grad):
+    """RPBE exchange (Hammer-Hansen-Norskov, libxc GGA_X_RPBE,
+    id 117): F_x = 1 + kappa (1 - exp(-mu s^2 / kappa))."""
+    kappa, mu = 0.8040, 0.2195149727645171
+    s = _s_red(rho, grad)
+    fx = 1.0 + kappa * (1.0 - jnp.exp(-mu * s * s / kappa))
+    return lda_x(rho) * fx
+
+
+def gga_c_pbe_sol(rho, grad):
+    """PBEsol correlation (libxc GGA_C_PBE_SOL, id 133):
+    PBE form with beta = 0.046."""
+    return _safe(rho) * _pbe_c_eps(rho, grad, beta=0.046)
 
 
 def gga_c_p86(rho, grad):
@@ -251,8 +293,11 @@ def mgga_c_tpss(rho, grad, lap, tau):
 
 _FUNCS = {
     "lda_x": (lda_x, 1), "lda_c_vwn": (lda_c_vwn, 1),
-    "lda_c_vwn_rpa": (lda_c_vwn_rpa, 1), "lda_c_pw": (lda_c_pw, 1),
-    "gga_x_pbe": (gga_x_pbe, 2), "gga_c_pbe": (gga_c_pbe, 2),
+    "lda_c_vwn_rpa": (lda_c_vwn_rpa, 1), "lda_c_pz": (lda_c_pz, 1),
+    "lda_c_pw": (lda_c_pw, 1),
+    "gga_x_pbe": (gga_x_pbe, 2), "gga_x_pbe_r": (gga_x_pbe_r, 2),
+    "gga_x_pbe_sol": (gga_x_pbe_sol, 2), "gga_x_rpbe": (gga_x_rpbe, 2),
+    "gga_c_pbe": (gga_c_pbe, 2), "gga_c_pbe_sol": (gga_c_pbe_sol, 2),
     "gga_x_b88": (gga_x_b88, 2), "gga_c_lyp": (gga_c_lyp, 2),
     "gga_c_p86": (gga_c_p86, 2),
     "mgga_x_tpss": (mgga_x_tpss, 4), "mgga_c_tpss": (mgga_c_tpss, 4),

@@ -441,6 +441,124 @@ void c2n_tricubic_batch(int n1, int n2, int n3, const double* f,
     }
 }
 
+// ---------------------------------------------------------------------
+// Full NCI-driver stand-in (reference hot loop, src/nci@proc.f90:496-562):
+// per grid node, tricubic value/grad/Hess, rotate derivatives to
+// Cartesian (m_c2x sandwich), middle Hessian eigenvalue (closed-form
+// trigonometric symmetric eig), RDG s = |grad|/(2 (3 pi^2)^(1/3)
+// rho^(4/3)), and the dat-selection cutoff test.  Returns the number of
+// nodes under the cutoffs (consumes every computed quantity, so nothing
+// is dead code).  This is the honest single-core denominator for the
+// device NCI leg: interp + eig + cutoffs, not interp alone.
+// ---------------------------------------------------------------------
+long long c2n_nci_sweep(int n1, int n2, int n3, const double* f,
+                        const double* m_c2x, double rhocut,
+                        double dimcut) {
+    const double CONST = 2.0 * std::cbrt(3.0 * M_PI * M_PI);
+    const int nn[3] = {n1, n2, n3};
+    long long ndat = 0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) reduction(+ : ndat)
+#endif
+    for (long long p = 0; p < (long long)n1 * n2 * n3; ++p) {
+        const int i = (int)(p / ((long long)n2 * n3));
+        const int j = (int)((p / n3) % n2);
+        const int k = (int)(p % n3);
+        const int ig[3] = {i, j, k};
+        double w[3][4], dw[3][4], sw[3][4];
+        int idx[3][4];
+        for (int a = 0; a < 3; ++a) {
+            // node-centered box grid: x = i/n (exact grid nodes)
+            int i0 = ig[a];
+            double t = 0.0;
+            cr_w(t, w[a], dw[a], sw[a]);
+            for (int s = 0; s < 4; ++s)
+                idx[a][s] = ((i0 + s - 1) % nn[a] + nn[a]) % nn[a];
+        }
+        double v = 0, gx = 0, gy = 0, gz = 0;
+        double hxx = 0, hyy = 0, hzz = 0, hxy = 0, hxz = 0, hyz = 0;
+        for (int a = 0; a < 4; ++a)
+            for (int b = 0; b < 4; ++b) {
+                const double* base =
+                    f + ((long long)idx[0][a] * n2 + idx[1][b]) * n3;
+                double rz = 0, rdz = 0, rsz = 0;
+                for (int c = 0; c < 4; ++c) {
+                    const double g = base[idx[2][c]];
+                    rz += w[2][c] * g;
+                    rdz += dw[2][c] * g;
+                    rsz += sw[2][c] * g;
+                }
+                const double wab = w[0][a] * w[1][b];
+                v += wab * rz;
+                gx += dw[0][a] * w[1][b] * rz;
+                gy += w[0][a] * dw[1][b] * rz;
+                gz += wab * rdz;
+                hxx += sw[0][a] * w[1][b] * rz;
+                hyy += w[0][a] * sw[1][b] * rz;
+                hzz += wab * rsz;
+                hxy += dw[0][a] * dw[1][b] * rz;
+                hxz += dw[0][a] * w[1][b] * rdz;
+                hyz += w[0][a] * dw[1][b] * rdz;
+            }
+        // fractional -> Cartesian: g_c = m_c2x^T g_f (n-scaled),
+        // H_c = m_c2x^T H_f m_c2x
+        double gf[3] = {gx * n1, gy * n2, gz * n3};
+        double Hf[3][3] = {
+            {hxx * (double)n1 * n1, hxy * (double)n1 * n2,
+             hxz * (double)n1 * n3},
+            {hxy * (double)n1 * n2, hyy * (double)n2 * n2,
+             hyz * (double)n2 * n3},
+            {hxz * (double)n1 * n3, hyz * (double)n2 * n3,
+             hzz * (double)n3 * n3}};
+        double gc[3] = {0, 0, 0};
+        for (int a = 0; a < 3; ++a)
+            for (int b = 0; b < 3; ++b)
+                gc[a] += m_c2x[3 * b + a] * gf[b];
+        double T[3][3] = {{0, 0, 0}, {0, 0, 0}, {0, 0, 0}};
+        for (int a = 0; a < 3; ++a)
+            for (int b = 0; b < 3; ++b)
+                for (int cc = 0; cc < 3; ++cc)
+                    T[a][b] += m_c2x[3 * cc + a] * Hf[cc][b];
+        double Hc[3][3] = {{0, 0, 0}, {0, 0, 0}, {0, 0, 0}};
+        for (int a = 0; a < 3; ++a)
+            for (int b = 0; b < 3; ++b)
+                for (int cc = 0; cc < 3; ++cc)
+                    Hc[a][b] += T[a][cc] * m_c2x[3 * cc + b];
+        // middle eigenvalue, trigonometric closed form
+        const double q = (Hc[0][0] + Hc[1][1] + Hc[2][2]) / 3.0;
+        const double da = Hc[0][0] - q, db = Hc[1][1] - q,
+                     dc = Hc[2][2] - q;
+        const double p2 = da * da + db * db + dc * dc
+            + 2.0 * (Hc[0][1] * Hc[0][1] + Hc[0][2] * Hc[0][2]
+                     + Hc[1][2] * Hc[1][2]);
+        const double pp = std::sqrt(p2 / 6.0);
+        double lam2 = q;
+        if (pp > 0) {
+            const double sp = pp;
+            const double na = da / sp, nb = db / sp, nc = dc / sp;
+            const double nxy = Hc[0][1] / sp, nxz = Hc[0][2] / sp,
+                         nyz = Hc[1][2] / sp;
+            double r = (na * (nb * nc - nyz * nyz)
+                        - nxy * (nxy * nc - nyz * nxz)
+                        + nxz * (nxy * nyz - nb * nxz)) / 2.0;
+            r = std::max(-1.0, std::min(1.0, r));
+            const double phi = std::acos(r) / 3.0;
+            const double e1 = q + 2.0 * pp * std::cos(phi);
+            const double e3 =
+                q + 2.0 * pp * std::cos(phi + 2.0 * M_PI / 3.0);
+            lam2 = 3.0 * q - e1 - e3;
+        }
+        const double gmod =
+            std::sqrt(gc[0] * gc[0] + gc[1] * gc[1] + gc[2] * gc[2]);
+        const double rho = std::max(v, 1e-40);
+        const double rdg = gmod / (CONST * std::pow(rho, 4.0 / 3.0));
+        const double crho =
+            (lam2 >= 0 ? 1.0 : -1.0) * std::fabs(v) * 100.0;
+        if (std::fabs(crho) < rhocut * 100.0 && rdg < dimcut) ++ndat;
+    }
+    return ndat;
+}
+
 int c2n_omp_threads() {
 #ifdef _OPENMP
     int n = 0;

@@ -71,3 +71,20 @@ def test_yt_native_matches_device(rng):
     res = yt_integrate(c, jnp.asarray(rho), block=256)
     assert nattr == res.nattr
     np.testing.assert_array_equal(lab, res.labels)
+
+
+def test_nci_sweep_matches_device(rng):
+    """The native full-NCI-driver stand-in (interp + eig + RDG +
+    cutoffs, the honest CPU denominator) agrees with the device fused
+    fast path on the dat-selection count."""
+    import jax.numpy as jnp
+
+    from critic2_tpu.analysis.nci import _fast_fn
+
+    n = 24
+    g = np.abs(rng.random((n, n, n))) + 0.01
+    m_c2x = np.eye(3) / 8.0
+    ndat_native = native.nci_sweep(g, m_c2x, 0.2, 2.0)
+    fused = _fast_fn((n, n, n), m_c2x.tobytes(), False, False, False)
+    _, _, _, sel = fused(jnp.asarray(g), 0.2, 2.0, 0.1, -1e30, 1e30)
+    assert ndat_native == int(sel.sum())

@@ -360,3 +360,48 @@ def test_round2_writers(tmp_path):
     write_structure(c, p)
     txt = open(p).read()
     assert txt.count("v ") > 20 and "f " in txt
+
+
+def test_cif_dictionary_validation(tmp_path):
+    """validate_cif checks tags and numb-typed values against the core
+    dictionary extracted from the reference's dat/cif/cif_core.dic
+    (the ciftbx dict_ role, src/ciftbx/)."""
+    from critic2_tpu.io.cif import validate_cif
+
+    clean = """data_NaCl
+_cell_length_a 5.6402(12)
+_cell_length_b 5.6402
+_cell_length_c 5.6402
+_cell_angle_alpha 90
+_cell_angle_beta 90
+_cell_angle_gamma 90
+_symmetry_space_group_name_H-M 'F m -3 m'
+loop_
+_atom_site_label
+_atom_site_fract_x
+_atom_site_fract_y
+_atom_site_fract_z
+Na 0 0 0
+Cl 0.5 0.5 0.5
+"""
+    p = tmp_path / "clean.cif"
+    p.write_text(clean)
+    assert validate_cif(str(p)) == []
+
+    messy = """data_bad
+_cell_length_a abc
+_my_private_tag 1.0
+loop_
+_atom_site_label
+_atom_site_fract_x
+Na xyz
+"""
+    p2 = tmp_path / "messy.cif"
+    p2.write_text(messy)
+    warns = validate_cif(str(p2))
+    assert any("non-numeric value 'abc'" in w for w in warns)
+    assert any("non-numeric value 'xyz'" in w for w in warns)
+    assert any("_my_private_tag" in w and "not in the CIF core" in w
+               for w in warns)
+    # exactly the three problems, nothing spurious
+    assert len(warns) == 3

@@ -81,3 +81,48 @@ def test_xc_converged_pins(h2o):
         v = molcalc_integral(h2o, expr, lvl="ultra")
         assert abs(v - ours) < 2e-7, f"{expr}: {v} vs converged {ours}"
         assert abs(v - pin) < tolpin, f"{expr}: {v} vs pin {pin}"
+
+
+def test_extra_lda_gga_ids():
+    """Round-3 breadth ids: LDA_C_PZ (9), revPBE (102), PBEsol x/c
+    (116/133), RPBE (117) - limit checks against the established
+    functionals."""
+    import numpy as np
+
+    from critic2_tpu.ops.xc import xc_eval
+
+    rho = np.array([1e-3, 0.05, 0.3, 1.0, 5.0])
+    grad = np.array([1e-5, 0.02, 0.2, 1.0, 8.0])
+    zero = np.zeros_like(rho)
+
+    # s -> 0: every PBE-family exchange reduces to LDA exchange
+    e_lda = np.asarray(xc_eval(1, rho))
+    for fid in (101, 102, 116, 117):
+        e0 = np.asarray(xc_eval(fid, rho, zero))
+        np.testing.assert_allclose(e0, e_lda, rtol=1e-12)
+
+    # RPBE tracks PBE at small s, is less negative at large s
+    e_pbe = np.asarray(xc_eval(101, rho, grad))
+    e_rpbe = np.asarray(xc_eval(117, rho, grad))
+    assert abs(e_rpbe[0] - e_pbe[0]) < 1e-8
+    # revPBE enhances more than PBE (kappa 1.245 > 0.804)
+    e_rev = np.asarray(xc_eval(102, rho, grad))
+    assert (e_rev <= e_pbe + 1e-14).all()
+
+    # PBEsol exchange between LDA and PBE (mu smaller)
+    e_sol = np.asarray(xc_eval(116, rho, grad))
+    assert ((e_sol >= e_pbe - 1e-14) & (e_sol <= e_lda + 1e-12)).all()
+
+    # PZ local correlation within 3% of PW92 (different fits of the
+    # same Ceperley-Alder data)
+    c_pz = np.asarray(xc_eval(9, rho))
+    c_pw = np.asarray(xc_eval(12, rho))
+    np.testing.assert_allclose(c_pz, c_pw, rtol=0.03)
+
+    # PBEsol correlation differs from PBE but shares the t -> 0 limit
+    c_pbe0 = np.asarray(xc_eval(130, rho, zero))
+    c_sol0 = np.asarray(xc_eval(133, rho, zero))
+    np.testing.assert_allclose(c_sol0, c_pbe0, rtol=1e-10)
+    c_pbe = np.asarray(xc_eval(130, rho, grad))
+    c_sol = np.asarray(xc_eval(133, rho, grad))
+    assert np.max(np.abs(c_sol - c_pbe)) > 1e-8

@@ -104,3 +104,49 @@ def test_xdm_wfn_h2o():
     assert 2.0 < res.volumes[1] < 10.0        # H
     assert (res.alpha > 0).all() and (res.alpha < 10).all()
     assert res.c6[0, 0] > res.c6[1, 1]        # C6(O) > C6(H)
+
+
+def test_xdm_qe_parses_and_sums(tmp_path):
+    """XDM QE: parse a1/a2 + the pairwise coefficient table from a QE
+    pw.x output and run the damped lattice sum (reference xdm_qe,
+    src/xdm@proc.f90:751-889); BETWEEN/AND zeroes the excluded pairs."""
+    import numpy as np
+
+    from critic2_tpu import System
+    from critic2_tpu.analysis.xdm import xdm_qe, _edisp_sum
+    from critic2_tpu.crystal.cell import m_x2c_from_cellpar
+    from critic2_tpu.crystal.crystal import Crystal, Species
+
+    c = Crystal(m_x2c=m_x2c_from_cellpar([8.0] * 3, [90] * 3),
+                x_frac=np.array([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]]),
+                species_of=np.array([0, 0]), species=[Species("Ar", 18)])
+    s = System.from_structure(c)
+
+    c6 = np.array([[64.3, 61.7], [61.7, 60.0]])
+    c8 = 20.0 * c6
+    c10 = 300.0 * c6
+    rc = np.full((2, 2), 3.1)
+    rvdw = np.full((2, 2), 4.6)
+    qeout = ["some pw.x header", "* XDM dispersion", "  a1 = 0.6836",
+             "  junk", "  a2 = 1.5045", "", "+ Dispersion coefficients"]
+    for i in range(2):
+        for j in range(i + 1):
+            qeout.append(f" {i + 1} {j + 1} {c6[i, j]} {c8[i, j]} "
+                         f"{c10[i, j]} {rc[i, j]} {rvdw[i, j]}")
+    path = tmp_path / "pw.out"
+    path.write_text("\n".join(qeout) + "\n")
+
+    res = xdm_qe(s, path=str(path))
+    e_ref, _, _ = _edisp_sum(c, c6, c8, c10, rvdw)
+    assert res.energy == e_ref
+    assert res.energy < 0.0
+    np.testing.assert_allclose(res.c6, c6)
+
+    # BETWEEN 1 AND 2 keeps only the 1-2 pair
+    res12 = xdm_qe(s, path=str(path), between=[1], and_=[2])
+    keep = np.array([[False, True], [True, False]])
+    e12_ref, _, _ = _edisp_sum(c, np.where(keep, c6, 0.0),
+                               np.where(keep, c8, 0.0),
+                               np.where(keep, c10, 0.0), rvdw)
+    assert res12.energy == e12_ref
+    assert abs(res12.energy) < abs(res.energy)

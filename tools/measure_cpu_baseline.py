@@ -64,6 +64,16 @@ def main():
         native.tricubic_batch(g, x)
     out["nci256_cpu_wall_s"] = round(time.perf_counter() - t0, 2)
 
+    # FULL NCI-driver stand-in: interp + Cartesian rotation + middle
+    # Hessian eigenvalue + RDG + cutoff test per node (the round-2
+    # verdict asked for the full driver, not interp alone - the device
+    # leg does all of this inside its fused program)
+    t0 = time.perf_counter()
+    m_c2x = np.linalg.inv(np.asarray(s.crystal.m_x2c))
+    ndat = native.nci_sweep(g, m_c2x, 0.2, 2.0)
+    out["nci256_cpu_driver_wall_s"] = round(time.perf_counter() - t0, 2)
+    out["nci256_cpu_driver_ndat"] = int(ndat)
+
     # grid-AUTO-shaped wall: Newton searches from the same WS seed set
     # AUTO uses, on the native tricubic (the reference per-seed loop,
     # src/autocp@proc.f90:690-723 + fieldmod newton :1832-1868)

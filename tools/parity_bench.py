@@ -190,6 +190,102 @@ def run_big(deadline_s: float = 900.0, n: int = 256,
     return out
 
 
+def _wfn_derivs_numpy(w, pts):
+    """Independent host GTO evaluator (pure NumPy, no JAX): rho, grad,
+    Hessian at Cartesian points - the wfn-side twin of the native C++
+    tricubic verifier.  Mirrors the reference rho2 contraction
+    (src/wfn_private@proc.F90:2032-2228) directly from the wfn arrays."""
+    from critic2_tpu.fields.wfn import _LI
+
+    li = np.asarray(_LI[w.itype - 1], dtype=int)        # (P, 3)
+    ctr = np.asarray(w.atpos)[w.icenter]                # (P, 3)
+    al = np.asarray(w.e)
+    C = np.asarray(w.cmo)
+    occ = np.asarray(w.occ)
+
+    def pw(v, n):
+        # v^n with n possibly negative (-> 0), exact repeated multiply
+        out = np.where(n == 0, 1.0, 0.0)
+        vk = v.copy()
+        for k in range(1, int(n.max()) + 1):
+            out = np.where(n == k, vk, out)
+            vk = vk * v
+        return out
+
+    rhos, grads, hesss = [], [], []
+    for x in np.asarray(pts, dtype=float):
+        dx = x[None, :] - ctr                           # (P, 3)
+        r2 = (dx * dx).sum(1)
+        ex = np.exp(-al * r2)
+        a, b, cc_ = li[:, 0], li[:, 1], li[:, 2]
+        X, Y, Z = dx[:, 0], dx[:, 1], dx[:, 2]
+        xa, yb, zc = pw(X, a), pw(Y, b), pw(Z, cc_)
+        dxa = a * pw(X, a - 1) - 2.0 * al * pw(X, a + 1)
+        dyb = b * pw(Y, b - 1) - 2.0 * al * pw(Y, b + 1)
+        dzc = cc_ * pw(Z, cc_ - 1) - 2.0 * al * pw(Z, cc_ + 1)
+        sxa = (a * (a - 1)) * pw(X, a - 2) \
+            - 2.0 * al * (2 * a + 1) * xa + 4.0 * al ** 2 * pw(X, a + 2)
+        syb = (b * (b - 1)) * pw(Y, b - 2) \
+            - 2.0 * al * (2 * b + 1) * yb + 4.0 * al ** 2 * pw(Y, b + 2)
+        szc = (cc_ * (cc_ - 1)) * pw(Z, cc_ - 2) \
+            - 2.0 * al * (2 * cc_ + 1) * zc + 4.0 * al ** 2 * pw(Z, cc_ + 2)
+        phi = C @ (xa * yb * zc * ex)
+        px = C @ (dxa * yb * zc * ex)
+        py = C @ (xa * dyb * zc * ex)
+        pz = C @ (xa * yb * dzc * ex)
+        pxx = C @ (sxa * yb * zc * ex)
+        pyy = C @ (xa * syb * zc * ex)
+        pzz = C @ (xa * yb * szc * ex)
+        pxy = C @ (dxa * dyb * zc * ex)
+        pxz = C @ (dxa * yb * dzc * ex)
+        pyz = C @ (xa * dyb * dzc * ex)
+        rhos.append(occ @ (phi * phi))
+        grads.append(2.0 * np.stack([occ @ (phi * px), occ @ (phi * py),
+                                     occ @ (phi * pz)]))
+        H = np.empty((3, 3))
+        H[0, 0] = 2.0 * (occ @ (phi * pxx + px * px))
+        H[1, 1] = 2.0 * (occ @ (phi * pyy + py * py))
+        H[2, 2] = 2.0 * (occ @ (phi * pzz + pz * pz))
+        H[0, 1] = H[1, 0] = 2.0 * (occ @ (phi * pxy + px * py))
+        H[0, 2] = H[2, 0] = 2.0 * (occ @ (phi * pxz + px * pz))
+        H[1, 2] = H[2, 1] = 2.0 * (occ @ (phi * pyz + py * pz))
+        hesss.append(H)
+    return np.array(rhos), np.array(grads), np.array(hesss)
+
+
+def _cp_parity_wfn(w, cpl, maxit: int = 60) -> float:
+    """Max |x_device - x_hostNewton| (bohr) over the wfn CP list:
+    each device CP re-converged by a damped host Newton on the
+    independent NumPy GTO evaluator (the wfn AUTO parity gate the
+    round-2 verdict asked for).
+
+    Nuclear CPs are EXCLUDED: they enter the list at the exact atom
+    positions (reference init_cplist does the same), while the GTO
+    density maximum sits ~1e-2 bohr off the nucleus (no cusp in a
+    Gaussian basis) - re-converging them measures that physical offset,
+    not implementation parity."""
+    cps = [cp for cp in cpl.cps if not cp.isnuc]
+    if not cps:
+        return 0.0
+    x = np.array([cp.r for cp in cps], dtype=float)       # Cartesian
+    x0 = x.copy()
+    for _ in range(maxit):
+        _, gr, H = _wfn_derivs_numpy(w, x)
+        gn = np.linalg.norm(gr, axis=1)
+        det = np.abs(np.linalg.det(H))
+        ok = (gn > 1e-13) & (det > 1e-30)
+        if not ok.any():
+            break
+        step = np.zeros_like(x)
+        step[ok] = np.linalg.solve(H[ok], gr[ok][:, :, None])[:, :, 0]
+        # damp: CP refinement moves are sub-0.1-bohr
+        nrm = np.linalg.norm(step, axis=1, keepdims=True)
+        step = np.where(nrm > 0.1, step * (0.1 / np.maximum(nrm, 1e-30)),
+                        step)
+        x = x - step
+    return float(np.linalg.norm(x - x0, axis=1).max())
+
+
 def _cp_parity_native(c, g, cpl, tol_bohr: float = 1e-6,
                       maxit: int = 100) -> float:
     """Max |x_device - x_native| (bohr) over the CP list after
@@ -308,17 +404,21 @@ def run_parity(small: bool = False, deadline_s: float = 900.0,
         d -= np.round(d)
         dc = np.linalg.norm(d @ np.asarray(c.m_x2c).T, axis=1).min()
         dmax = max(dmax, float(dc))
-    out["auto_ncp_maxdev_bohr"] = round(dmax, 6)
-    out["auto_ncp_tol_bohr"] = round(2 * h, 6)
+    # informational only (the nuclei-vs-interpolant-maxima gap measures
+    # interpolation error, which the reference shares; round-2 verdict:
+    # do not gate on it)
+    out["auto_ncp_maxdev_bohr_info"] = round(dmax, 6)
 
-    # CP POSITION PARITY (the 1e-6-bohr-class bar): every grid-field CP
-    # from the device pipeline is re-converged by an independent host
-    # Newton on the native C++ tricubic (same Lekien-Marsden
-    # interpolant, independent implementation - reference algorithm
-    # src/fieldmod@proc.f90:1832-1868); positions must agree.
+    # CP POSITION PARITY - THE GATE (the 1e-6-bohr-class bar): every
+    # grid-field CP from the device pipeline is re-converged by an
+    # independent host Newton on the native C++ tricubic (same
+    # Lekien-Marsden interpolant, independent implementation -
+    # reference algorithm src/fieldmod@proc.f90:1832-1868); positions
+    # must agree.
     if native.available() and len(cpl_g.cps):
-        out["auto_grid_cp_parity_bohr"] = _cp_parity_native(
-            c, g, cpl_g, tol_bohr=1e-6)
+        p = _cp_parity_native(c, g, cpl_g, tol_bohr=1e-6)
+        out["auto_grid_cp_parity_bohr"] = p
+        out["auto_grid_cp_parity_pass"] = bool(p <= 1e-6)
 
     # --- WFN mesh integral (tests_cint analogue) ----------------------
     if over_budget():
@@ -361,6 +461,13 @@ def run_parity(small: bool = False, deadline_s: float = 900.0,
         n_, b_, r_, c_ = cplw.counts()
         out["wfn_auto_counts"] = [n_, b_, r_, c_]
         out["wfn_auto_morse"] = n_ - b_ + r_ - c_
+        # wfn CP-position parity gate: device CPs re-converged by a
+        # host Newton on the independent NumPy GTO evaluator
+        if len(cplw.cps):
+            pw_ = _cp_parity_wfn(sw.fields[1].wfn, cplw)
+            out["wfn_auto_cp_parity_bohr"] = pw_
+            out["wfn_auto_cp_parity_pass"] = bool(pw_ <= 1e-6)
+        stage("wfn cp parity")
 
         if over_budget():
             return out
