@@ -114,7 +114,11 @@ class Mesh:
 
 def _becke_weights(points, atpos):
     """Becke fuzzy-cell weight of each point w.r.t. its parent atom is
-    computed by the caller; this returns the full (N, nat) cell weights."""
+    computed by the caller; this returns the full (N, nat) cell weights.
+
+    The distances are formed in the input dtype (f64 positions), the
+    mu/polynomial/product stage in the dtype of `points` after cast by
+    the caller; outputs keep that dtype."""
     d = jnp.linalg.norm(points[:, None, :] - atpos[None, :, :], axis=-1)
     rr = jnp.linalg.norm(atpos[:, None, :] - atpos[None, :, :], axis=-1)
     rr = jnp.where(rr < 1e-14, 1.0, rr)
@@ -132,6 +136,35 @@ def _becke_weights(points, atpos):
 # module-level jits: fresh per-call closures/wraps would retrace (and
 # re-deserialize from the persistent compile cache) on every call
 _becke_weights_jit = jax.jit(_becke_weights)
+
+
+def _becke_weights_chunked(x, atpos, dtype=np.float64,
+                           block: int = 1 << 19) -> np.ndarray:
+    """Becke cell weights (N, nat), chunked so the (N, nat, nat) mu
+    tensor stays bounded (an ultra benzene mesh is 2.5M x 12 x 12 f64 =
+    2.9 GB per temporary in one program).  dtype=f32 is the fast-build
+    path: the weight eval is memory-bound on the (N, nat, nat) mu
+    tensor and the v5e emulates f64 vector ops ~10x slower, while the
+    per-point f32 relative weight error (~1e-7, random sign) cancels
+    in quadrature sums - measured 3.4e-8 e on the 2.55M-point benzene
+    ultra-mesh NELEC (f32 weights x f64 rho vs all-f64)."""
+    atj = jnp.asarray(np.asarray(atpos, dtype))
+    n = len(x)
+    out = np.empty((n, atj.shape[0]), dtype)
+    if n <= block:
+        return np.asarray(_becke_weights_jit(
+            jnp.asarray(np.asarray(x, dtype)), atj))
+    # fixed-shape chunks (pad the tail): one compiled program per
+    # (block, nat, dtype) regardless of mesh size
+    for lo in range(0, n, block):
+        chunk = np.asarray(x[lo:lo + block], dtype)
+        m = len(chunk)
+        if m < block:
+            chunk = np.concatenate(
+                [chunk, np.broadcast_to(chunk[:1], (block - m, 3))])
+        out[lo:lo + m] = np.asarray(
+            _becke_weights_jit(jnp.asarray(chunk), atj))[:m]
+    return out
 
 
 @jax.jit
@@ -200,14 +233,18 @@ def franchini_mesh(crystal, lvl="good", rthres: float = 12.0) -> Mesh:
     return Mesh(x=np.concatenate(xs), w=np.concatenate(ws))
 
 
-def becke_mesh(crystal, lvl="good") -> Mesh:
+def becke_mesh(crystal, lvl="good", weights_dtype=np.float64) -> Mesh:
     """Generate the Becke molecular mesh (reference genmesh_becke).
 
-    Cached per (crystal, lvl): drivers re-integrate several properties
-    over the same mesh, and an ultra-level mesh of a mid-size molecule
-    costs ~10 s of device weight evaluation."""
+    Cached per (crystal, lvl, weights dtype): drivers re-integrate
+    several properties over the same mesh.  weights_dtype=np.float32
+    is the fast-build path (the ultra mesh of benzene costs ~17 s of
+    f64 Becke-weight evaluation on the v5e vs ~2 s in f32) with a
+    measured 3.4e-8 e quadrature effect - see _becke_weights_chunked;
+    production integrals pair it with an all-f64 density sweep."""
     if isinstance(lvl, str):
         lvl = _LVL[lvl]
+    key = (lvl, np.dtype(weights_dtype).name)
     cache = getattr(crystal, "_becke_mesh_cache", None)
     if cache is None:
         cache = {}
@@ -215,15 +252,15 @@ def becke_mesh(crystal, lvl="good") -> Mesh:
             crystal._becke_mesh_cache = cache
         except Exception:       # frozen dataclass: skip caching
             cache = None
-    if cache is not None and lvl in cache:
-        return cache[lvl]
-    m = _becke_mesh_build(crystal, lvl)
+    if cache is not None and key in cache:
+        return cache[key]
+    m = _becke_mesh_build(crystal, lvl, weights_dtype)
     if cache is not None:
-        cache[lvl] = m
+        cache[key] = m
     return m
 
 
-def _becke_mesh_build(crystal, lvl: int) -> Mesh:
+def _becke_mesh_build(crystal, lvl: int, weights_dtype=np.float64) -> Mesh:
     atpos = np.asarray(crystal.x_cart)
     zs = np.asarray(crystal.zatoms)
     xs, ws, parents = [], [], []
@@ -241,9 +278,9 @@ def _becke_mesh_build(crystal, lvl: int) -> Mesh:
         ws.append(wt.ravel())
         parents.append(np.full(wt.size, i))
     x = np.concatenate(xs)
-    w = np.concatenate(ws)
+    wraw = np.concatenate(ws)
     parent = np.concatenate(parents)
 
-    bw = np.asarray(_becke_weights_jit(jnp.asarray(x), jnp.asarray(atpos)))
-    w = w * bw[np.arange(len(x)), parent]
+    bw = _becke_weights_chunked(x, atpos, dtype=weights_dtype)
+    w = wraw * bw[np.arange(len(x)), parent]
     return Mesh(x=x, w=w)

@@ -275,11 +275,25 @@ class Wavefunction:
                 )
         return self._dev
 
-    def eval_closure(self, nder: int = 2, extras: bool = False):
+    def eval_closure(self, nder: int = 2, extras: bool = False,
+                     dtype=None):
         """Build a jittable SoA closure xT (3, N) -> outputs.
 
         Without extras: (rho, grad (3, N), h6 (6, N)).
         With extras: dict with rho, grad, h6, gkin, vir, stress6.
+
+        dtype=jnp.float32 selects the mixed-precision path: primitive
+        displacements are formed in f64 (position accuracy) then cast,
+        the (P, N) elementwise stage and the C@chi MXU matmuls run f32
+        at Precision.HIGHEST, and every occ-contraction accumulates in
+        f64.  On the v5e every f64 vector op is emulated (~10x f32), so
+        this is the fast sweep for visualization-grade workloads (CUBE,
+        grids); measured pointwise relative rho error ~2e-6 (f32
+        accumulation over the P-primitive contraction), so QUADRATURE
+        SUMS should use the f64 path - the benzene ultra-mesh NELEC
+        picks up a 7e-5 e systematic bias in f32 vs 1.7e-7 e quadrature
+        error in f64 (reference rho2 hot loop:
+        src/wfn_private@proc.F90:2032-2228).
         """
         d = self._device()
         ctrT, lx, al, C, occ = d["ctr"].T, d["lx"], d["al"], d["C"], d["occ"]
@@ -290,6 +304,21 @@ class Wavefunction:
             enmax = int(np.max(np.asarray(elx))) + 2
 
         nmax = int(np.max(np.asarray(lx))) + 2
+
+        lowp = dtype is not None and np.dtype(dtype) != np.float64
+        if lowp:
+            al = np.asarray(al, dtype)
+            C = np.asarray(C, dtype)
+            if has_edf:
+                eal = np.asarray(eal, dtype)
+                ec = np.asarray(ec, dtype)
+        occ = np.asarray(occ, np.float64)
+        # f64 accumulation of the occupied-MO contractions: (M, N) is
+        # small (M ~ tens) next to the (P, N) primitive stage
+        acc = (lambda v: v.astype(jnp.float64)) if lowp else (lambda v: v)
+        psum = (lambda v: v.sum(0, dtype=jnp.float64)) if lowp \
+            else (lambda v: v.sum(0))
+        prec = jax.lax.Precision.HIGHEST
 
         def pw(X, n):
             # X^n for per-primitive int exponents n (P,), 0 for n < 0.
@@ -307,16 +336,20 @@ class Wavefunction:
             return out
 
         def fn(xT):
-            # per-primitive displacements (3, P, N)
+            # per-primitive displacements (3, P, N): formed in f64 even
+            # on the f32 path (casting xT first would shift positions
+            # by ~1e-7 bohr, a 1e-6-relative rho error near nuclei)
             dx = xT[:, None, :] - ctrT[:, :, None]
+            if lowp:
+                dx = dx.astype(dtype)
             r2 = (dx * dx).sum(0)                          # (P, N)
             ex = jnp.exp(-al[:, None] * r2)
             X, Y, Z = dx[0], dx[1], dx[2]
             a, b, c = lx[0], lx[1], lx[2]
             xa, yb, zc = pw(X, a), pw(Y, b), pw(Z, c)
             chi0 = xa * yb * zc * ex
-            phi0 = C @ chi0                                 # (M, N) matmul
-            rho = occ @ (phi0 * phi0)
+            phi0 = jnp.matmul(C, chi0, precision=prec)      # (M, N) matmul
+            rho = occ @ acc(phi0 * phi0)
             N = xT.shape[1]
 
             # EDF core density: rho_c = sum_p c_p x^l y^m z^n e^{-a r^2}
@@ -332,23 +365,26 @@ class Wavefunction:
                     return out
 
                 dxe = xT[:, None, :] - ectrT[:, :, None]    # (3, Pc, N)
+                if lowp:
+                    dxe = dxe.astype(dtype)
                 r2e = (dxe * dxe).sum(0)
                 exe = ec[:, None] * jnp.exp(-eal[:, None] * r2e)
                 Xe, Ye, Ze = dxe[0], dxe[1], dxe[2]
                 ae, be, ce_ = elx[0], elx[1], elx[2]
                 xae, ybe, zce = pwe(Xe, ae), pwe(Ye, be), pwe(Ze, ce_)
-                rho = rho + (xae * ybe * zce * exe).sum(0)
+                rho = rho + psum(xae * ybe * zce * exe)
             if nder < 1 and not extras:
                 return rho, jnp.zeros((3, N)), jnp.zeros((6, N))
 
             dxa = a[:, None] * pw(X, a - 1) - 2.0 * al[:, None] * pw(X, a + 1)
             dyb = b[:, None] * pw(Y, b - 1) - 2.0 * al[:, None] * pw(Y, b + 1)
             dzc = c[:, None] * pw(Z, c - 1) - 2.0 * al[:, None] * pw(Z, c + 1)
-            phix = C @ (dxa * yb * zc * ex)
-            phiy = C @ (xa * dyb * zc * ex)
-            phiz = C @ (xa * yb * dzc * ex)
-            grad = jnp.stack([occ @ (phi0 * phix), occ @ (phi0 * phiy),
-                              occ @ (phi0 * phiz)]) * 2.0
+            phix = jnp.matmul(C, dxa * yb * zc * ex, precision=prec)
+            phiy = jnp.matmul(C, xa * dyb * zc * ex, precision=prec)
+            phiz = jnp.matmul(C, xa * yb * dzc * ex, precision=prec)
+            grad = jnp.stack([occ @ acc(phi0 * phix),
+                              occ @ acc(phi0 * phiy),
+                              occ @ acc(phi0 * phiz)]) * 2.0
             if has_edf:
                 edxa = ae[:, None] * pwe(Xe, ae - 1) \
                     - 2.0 * eal[:, None] * pwe(Xe, ae + 1)
@@ -357,10 +393,11 @@ class Wavefunction:
                 edzc = ce_[:, None] * pwe(Ze, ce_ - 1) \
                     - 2.0 * eal[:, None] * pwe(Ze, ce_ + 1)
                 grad = grad + jnp.stack([
-                    (edxa * ybe * zce * exe).sum(0),
-                    (xae * edyb * zce * exe).sum(0),
-                    (xae * ybe * edzc * exe).sum(0)])
-            gkin = 0.5 * (occ @ (phix * phix + phiy * phiy + phiz * phiz))
+                    psum(edxa * ybe * zce * exe),
+                    psum(xae * edyb * zce * exe),
+                    psum(xae * ybe * edzc * exe)])
+            gkin = 0.5 * (occ @ acc(phix * phix + phiy * phiy
+                                    + phiz * phiz))
             if nder < 2 and not extras:
                 return rho, grad, jnp.zeros((6, N))
 
@@ -374,19 +411,19 @@ class Wavefunction:
             szc = (c * (c - 1))[:, None] * pw(Z, c - 2) \
                 - al2 * (2 * c + 1)[:, None] * zc \
                 + 4.0 * al[:, None] ** 2 * pw(Z, c + 2)
-            phixx = C @ (sxa * yb * zc * ex)
-            phiyy = C @ (xa * syb * zc * ex)
-            phizz = C @ (xa * yb * szc * ex)
-            phixy = C @ (dxa * dyb * zc * ex)
-            phixz = C @ (dxa * yb * dzc * ex)
-            phiyz = C @ (xa * dyb * dzc * ex)
+            phixx = jnp.matmul(C, sxa * yb * zc * ex, precision=prec)
+            phiyy = jnp.matmul(C, xa * syb * zc * ex, precision=prec)
+            phizz = jnp.matmul(C, xa * yb * szc * ex, precision=prec)
+            phixy = jnp.matmul(C, dxa * dyb * zc * ex, precision=prec)
+            phixz = jnp.matmul(C, dxa * yb * dzc * ex, precision=prec)
+            phiyz = jnp.matmul(C, xa * dyb * dzc * ex, precision=prec)
             h6 = jnp.stack([
-                2.0 * (occ @ (phi0 * phixx + phix * phix)),
-                2.0 * (occ @ (phi0 * phiyy + phiy * phiy)),
-                2.0 * (occ @ (phi0 * phizz + phiz * phiz)),
-                2.0 * (occ @ (phi0 * phixy + phix * phiy)),
-                2.0 * (occ @ (phi0 * phixz + phix * phiz)),
-                2.0 * (occ @ (phi0 * phiyz + phiy * phiz)),
+                2.0 * (occ @ acc(phi0 * phixx + phix * phix)),
+                2.0 * (occ @ acc(phi0 * phiyy + phiy * phiy)),
+                2.0 * (occ @ acc(phi0 * phizz + phiz * phiz)),
+                2.0 * (occ @ acc(phi0 * phixy + phix * phiy)),
+                2.0 * (occ @ acc(phi0 * phixz + phix * phiz)),
+                2.0 * (occ @ acc(phi0 * phiyz + phiy * phiz)),
             ])
             if has_edf:
                 eal2 = 2.0 * eal[:, None]
@@ -400,21 +437,21 @@ class Wavefunction:
                     - eal2 * (2 * ce_ + 1)[:, None] * zce \
                     + 4.0 * eal[:, None] ** 2 * pwe(Ze, ce_ + 2)
                 h6 = h6 + jnp.stack([
-                    (esxa * ybe * zce * exe).sum(0),
-                    (xae * esyb * zce * exe).sum(0),
-                    (xae * ybe * eszc * exe).sum(0),
-                    (edxa * edyb * zce * exe).sum(0),
-                    (edxa * ybe * edzc * exe).sum(0),
-                    (xae * edyb * edzc * exe).sum(0)])
+                    psum(esxa * ybe * zce * exe),
+                    psum(xae * esyb * zce * exe),
+                    psum(xae * ybe * eszc * exe),
+                    psum(edxa * edyb * zce * exe),
+                    psum(edxa * ybe * edzc * exe),
+                    psum(xae * edyb * edzc * exe)])
             if not extras:
                 return rho, grad, h6
             s6 = 0.5 * jnp.stack([
-                occ @ (phi0 * phixx - phix * phix),
-                occ @ (phi0 * phiyy - phiy * phiy),
-                occ @ (phi0 * phizz - phiz * phiz),
-                occ @ (phi0 * phixy - phix * phiy),
-                occ @ (phi0 * phixz - phix * phiz),
-                occ @ (phi0 * phiyz - phiy * phiz),
+                occ @ acc(phi0 * phixx - phix * phix),
+                occ @ acc(phi0 * phiyy - phiy * phiy),
+                occ @ acc(phi0 * phizz - phiz * phiz),
+                occ @ acc(phi0 * phixy - phix * phiy),
+                occ @ acc(phi0 * phixz - phix * phiz),
+                occ @ acc(phi0 * phiyz - phiy * phiz),
             ])
             vir = s6[0] + s6[1] + s6[2]
             return {"rho": rho, "grad": grad, "h6": h6, "gkin": gkin,
@@ -422,32 +459,47 @@ class Wavefunction:
 
         return fn
 
-    def _jitted(self, nder: int, extras: bool = False):
+    def _jitted(self, nder: int, extras: bool = False, dtype=None):
         """Cached jitted closure (a fresh closure per call would force a
         recompile every driver call)."""
         if not hasattr(self, "_jit_cache"):
             self._jit_cache = {}
-        key = (nder, extras)
+        key = (nder, extras, np.dtype(dtype).name if dtype else None)
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(
-                self.eval_closure(nder=nder, extras=extras))
+                self.eval_closure(nder=nder, extras=extras, dtype=dtype))
         return self._jit_cache[key]
 
-    def rho_eval_soa(self, xT, nder: int = 2, block: int | None = None):
+    def rho_eval_soa(self, xT, nder: int = 2, block: int | None = None,
+                     dtype=None):
         """(f, gf (3,N), h6 (6,N)) with internal chunking.
 
         The chunk size scales with the derivative order: value-only
         evals keep ~6 (P, N) temporaries live vs ~20 at nder=2, and a
         4096-point chunk on a 3M-point mesh is ~800 dispatches of pure
-        tunnel latency (the round-2 wfn-mesh leg's 24.7 s wall)."""
+        tunnel latency (the round-2 wfn-mesh leg's 24.7 s wall).
+        dtype=jnp.float32 selects the mixed-precision closure (see
+        eval_closure); outputs are always f64."""
         if block is None:
             block = {0: 1 << 17, 1: 1 << 15, 2: 1 << 12}[min(nder, 2)]
-        fn = self._jitted(nder)
+            if dtype is not None and np.dtype(dtype) != np.float64:
+                block *= 2
+        fn = self._jitted(nder, dtype=dtype)
         N = xT.shape[1]
         if N <= block:
             return fn(xT)
-        outs = [fn(xT[:, lo:lo + block]) for lo in range(0, N, block)]
-        return tuple(jnp.concatenate([o[i] for o in outs], axis=-1)
+        # pad to a block multiple: every chunk then has the SAME shape,
+        # so one compiled program per (block, nder, dtype) serves any
+        # mesh size (a ragged tail chunk costs a fresh ~30-700 s
+        # remote-tunnel compile per distinct mesh)
+        npad = (-N) % block
+        if npad:
+            xT = jnp.concatenate(
+                [xT, jnp.broadcast_to(xT[:, :1], (3, npad))], axis=1)
+        outs = [fn(xT[:, lo:lo + block])
+                for lo in range(0, N + npad, block)]
+        return tuple(jnp.concatenate([o[i] for o in outs],
+                                     axis=-1)[..., :N]
                      for i in range(3))
 
     def extras_soa(self, xT, block: int = 4096):

@@ -218,6 +218,40 @@ def test_nelec_converges_under_basin_bar():
     assert abs(n - 42.0) < 1e-6
 
 
+def test_mixed_precision_rho_eval(h2o):
+    """The dtype=f32 eval path (f64 displacements, f32 primitive stage
+    + HIGHEST-precision MXU matmuls, f64 occ-contraction) tracks the
+    f64 path to f32-accumulation accuracy (~1e-5 relative) - the CUBE/
+    grid fast path on the v5e, where f64 vector ops are emulated."""
+    h2o.load_field(H2O_WFX)
+    w = h2o.ref.wfn
+    rng = np.random.default_rng(2)
+    pts = np.asarray(h2o.crystal.x_cart).mean(0) + rng.normal(0, 1.5, (256, 3))
+    xT = jnp.asarray(pts.T)
+    r64, g64, h64 = (np.asarray(v) for v in w.rho_eval_soa(xT, nder=2))
+    r32, g32, h32 = (np.asarray(v) for v in
+                     w.rho_eval_soa(xT, nder=2, dtype=jnp.float32))
+    scale = np.abs(r64).max()
+    assert np.abs(r32 - r64).max() < 3e-5 * scale
+    assert np.abs(g32 - g64).max() < 3e-4 * np.abs(g64).max()
+    assert np.abs(h32 - h64).max() < 3e-4 * np.abs(h64).max()
+
+
+def test_f32_becke_weights_quadrature(h2o):
+    """f32 Becke partition weights (the fast mesh-build path) leave the
+    quadrature NELEC within ~1e-6 e of the all-f64 build: per-point
+    weight errors are ~1e-7 relative with random sign and cancel in
+    the sum (see analysis/mesh._becke_weights_chunked)."""
+    h2o.load_field(H2O_WFX)
+    m64 = becke_mesh(h2o.crystal, "good")
+    m32 = becke_mesh(h2o.crystal, "good", weights_dtype=np.float32)
+    rho = np.asarray(h2o.ref.wfn.rho_eval_soa(
+        jnp.asarray(m64.x.T), nder=0)[0])
+    n64 = float(np.asarray(m64.w, np.float64) @ rho)
+    n32 = float(np.asarray(m32.w, np.float64) @ rho)
+    assert abs(n32 - n64) < 2e-6
+
+
 @pytest.mark.slow
 def test_benzene_auto_topology():
     """AUTO on the benzene 6-31G* wavefunction (the cps_large workload
