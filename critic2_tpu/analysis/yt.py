@@ -122,6 +122,37 @@ def _extract_attractors(rho3, is_attr, nattr):
     return iattr, rho3.reshape(-1)[iattr]
 
 
+_MAX_ATTR = 8192            # fixed capacity of the fused extraction
+
+
+@partial(jax.jit, static_argnames=("offs", "shape", "want32"))
+def _decompose_dev(rho3, idx3, wts, *, offs, shape, want32):
+    """Whole YT decomposition in ONE device program: flux tensors +
+    capacity-padded attractor extraction + (optionally) the f32
+    shifted-chi cast for the Pallas adjoint sweeps.  The split version
+    paid three dispatch round-trips plus an 805 MB f64 chiP re-read for
+    the cast (measured at 256^3 through the remote tunnel: flux 50 ms,
+    extraction 172 ms, cast 121 ms -> fused ~110 ms).
+
+    Returns (chiP, chiP32s | zeros, nattr (i32), iattr (MAX_ATTR,),
+    rho_at (MAX_ATTR,)); entries past nattr are padding (host slices).
+    If nattr > _MAX_ATTR the caller re-extracts with the exact-size
+    program."""
+    chiP, is_attr = _flux_tensors(rho3, idx3, wts, offs=offs, shape=shape)
+    if want32:
+        chi32 = jnp.stack([jnp.roll(chiP[k], o, (0, 1, 2))
+                           for k, o in enumerate(offs)]).astype(jnp.float32)
+    else:
+        chi32 = jnp.zeros((1,), jnp.float32)
+    flat = is_attr.reshape(-1)
+    nattr = flat.sum(dtype=jnp.int32)
+    slot = jnp.cumsum(flat.astype(jnp.int32), dtype=jnp.int32) - 1
+    idx = jnp.arange(flat.shape[0], dtype=jnp.int32)
+    tgt = jnp.where(flat & (slot < _MAX_ATTR), slot, _MAX_ATTR)
+    iattr = jnp.zeros(_MAX_ATTR, jnp.int32).at[tgt].set(idx, mode="drop")
+    return chiP, chi32, nattr, iattr, rho3.reshape(-1)[iattr]
+
+
 @partial(jax.jit, static_argnames=("offs", "adjoint"))
 def _apply_R(chiP, s, *, offs, adjoint=True):
     """One application of the flux operator (XLA rolls, any dtype).
@@ -372,21 +403,30 @@ def yt_integrate(crystal, rho, block: int | None = None):
     wts = jnp.asarray(wts_np, dtype=rho3.dtype)
     idx3 = jnp.arange(N, dtype=jnp.int32).reshape(shape)
 
-    chiP, is_attr = _flux_tensors(rho3, idx3, wts, offs=offs, shape=shape)
+    from ..ops.yt_pass import supported
+    want32 = supported() and rho3.dtype == jnp.float64
 
-    # attractor list in sweep-appearance order (descending rho, index
-    # tie-break); extracted ON DEVICE — only one scalar (the count) and
-    # nattr (index, rho) pairs cross the host link, never a grid.
-    # i32 cumsum-scatter, not jnp.nonzero: under x64 nonzero runs an
-    # i64 (emulated) cumsum over the whole grid
-    nattr = int(is_attr.sum())
-    iattr_d, rho_at_d = _extract_attractors(rho3, is_attr, nattr)
-    iattr = np.asarray(iattr_d)
-    rho_at = np.asarray(rho_at_d)
+    # ONE fused device program: flux tensors + attractor extraction +
+    # f32 shifted-chi cast; only the attractor (index, rho) pairs and
+    # one count cross the host link, never a grid.  i32 cumsum-scatter,
+    # not jnp.nonzero: under x64 nonzero runs an i64 (emulated) cumsum
+    # over the whole grid.
+    chiP, chi32, nattr_d, iattr_d, rho_at_d = _decompose_dev(
+        rho3, idx3, wts, offs=offs, shape=shape, want32=want32)
+    nattr = int(nattr_d)
+    if nattr > _MAX_ATTR:      # noisy grid: exact-size re-extraction
+        is_attr = chiP.sum(0) == 0.0
+        iattr_d, rho_at_d = _extract_attractors(rho3, is_attr, nattr)
+        iattr = np.asarray(iattr_d)
+        rho_at = np.asarray(rho_at_d)
+    else:
+        iattr = np.asarray(iattr_d)[:nattr]
+        rho_at = np.asarray(rho_at_d)[:nattr]
     iattr = iattr[np.lexsort((iattr, -rho_at))]
 
     i1, i2, i3 = np.unravel_index(iattr, shape)
     xattr = np.stack([i1 / shape[0], i2 / shape[1], i3 / shape[2]], axis=1)
 
     return YTResult(crystal=crystal, shape=shape, nattr=nattr,
-                    xattr=xattr, iattr=iattr, _chiP=chiP, _offs=offs)
+                    xattr=xattr, iattr=iattr, _chiP=chiP, _offs=offs,
+                    _chiP32s=chi32 if want32 else None)
