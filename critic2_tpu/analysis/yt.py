@@ -110,15 +110,51 @@ def _flux_tensors(rho3, idx3, wts, *, offs, shape):
     return jnp.stack(out), ~anyhi
 
 
+def _extract_idx(flat, cap: int):
+    """(nattr, iattr(cap,)): flat indices of the first `cap` True
+    entries, in index order; entries past nattr are garbage (the host
+    slices them off).
+
+    Designed around TPU costs: a flat-grid compaction via cumsum +
+    scatter runs ~107 ms at 256^3 on a v5e (XLA lowers the 16.7M-index
+    scatter serially).  Here nothing big ever scatters or scans:
+
+      1. per-block True counts (one fast reduction pass),
+      2. a TINY cumsum over the N/B block counts,
+      3. per output slot, binary-search the owning block
+         (searchsorted over N/B, vectorized over cap slots),
+      4. gather those cap blocks and rank in-block entries with one
+         (cap, B) @ (B, B) triangular-ones MXU matmul — exact in f32
+         for counts <= B — then match each slot's local rank."""
+    N = flat.shape[0]
+    B = 512
+    pad = (-N) % B
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros(pad, flat.dtype)])
+    m = flat.reshape(-1, B)
+    cnt = m.sum(1, dtype=jnp.int32)                      # (N/B,)
+    bcum = jnp.cumsum(cnt)
+    nattr = bcum[-1]
+    s_arr = jnp.arange(cap, dtype=jnp.int32)
+    blk = jnp.clip(jnp.searchsorted(bcum, s_arr + 1, side="left"),
+                   0, m.shape[0] - 1).astype(jnp.int32)
+    rows = m[blk]                                        # (cap, B)
+    ut = jnp.triu(jnp.ones((B, B), jnp.float32))         # k <= j
+    loc = jax.lax.dot(rows.astype(jnp.float32), ut,
+                      precision=jax.lax.Precision.HIGHEST
+                      ).astype(jnp.int32)                # in-block rank
+    prev = jnp.where(blk > 0, bcum[jnp.maximum(blk - 1, 0)], 0)
+    want = (s_arr + 1 - prev)[:, None]                   # local rank
+    hit = rows & (loc == want)
+    col = jnp.argmax(hit, axis=1).astype(jnp.int32)
+    return nattr, blk * B + col
+
+
 @partial(jax.jit, static_argnames=("nattr",))
 def _extract_attractors(rho3, is_attr, nattr):
     """(flat index, rho) of the attractor points, one fused program.
     i32 throughout (the grid is < 2^31 points)."""
-    flat = is_attr.reshape(-1)
-    slot = jnp.cumsum(flat.astype(jnp.int32), dtype=jnp.int32) - 1
-    idx = jnp.arange(flat.shape[0], dtype=jnp.int32)
-    tgt = jnp.where(flat, slot, nattr)           # dropped when == nattr
-    iattr = jnp.zeros(nattr, jnp.int32).at[tgt].set(idx, mode="drop")
+    _, iattr = _extract_idx(is_attr.reshape(-1), nattr)
     return iattr, rho3.reshape(-1)[iattr]
 
 
@@ -140,16 +176,14 @@ def _decompose_dev(rho3, idx3, wts, *, offs, shape, want32):
     program."""
     chiP, is_attr = _flux_tensors(rho3, idx3, wts, offs=offs, shape=shape)
     if want32:
-        chi32 = jnp.stack([jnp.roll(chiP[k], o, (0, 1, 2))
-                           for k, o in enumerate(offs)]).astype(jnp.float32)
+        # cast BEFORE rolling: the roll then moves 4-byte planes, not
+        # 8-byte ones (the shifted copy is only ever consumed in f32)
+        chi32 = jnp.stack([jnp.roll(chiP[k].astype(jnp.float32), o,
+                                    (0, 1, 2))
+                           for k, o in enumerate(offs)])
     else:
         chi32 = jnp.zeros((1,), jnp.float32)
-    flat = is_attr.reshape(-1)
-    nattr = flat.sum(dtype=jnp.int32)
-    slot = jnp.cumsum(flat.astype(jnp.int32), dtype=jnp.int32) - 1
-    idx = jnp.arange(flat.shape[0], dtype=jnp.int32)
-    tgt = jnp.where(flat & (slot < _MAX_ATTR), slot, _MAX_ATTR)
-    iattr = jnp.zeros(_MAX_ATTR, jnp.int32).at[tgt].set(idx, mode="drop")
+    nattr, iattr = _extract_idx(is_attr.reshape(-1), _MAX_ATTR)
     return chiP, chi32, nattr, iattr, rho3.reshape(-1)[iattr]
 
 
@@ -263,6 +297,31 @@ def _solve_sweep(chiP, chiP32, f3, offs, adjoint=True, nrefine=1,
     1e-6 e absolute).  Elsewhere: plain f64 XLA fixpoint."""
     if chiP32 is None:
         return _xla_sweep(chiP, f3, offs=offs, adjoint=adjoint)
+    H = max(1, max(abs(int(o[0])) for o in offs))
+    pmax = max(1, (40 - len(offs)) // (2 * H + 3))
+    if nrefine == 1 and f3.shape[0] <= pmax:
+        # optimistic pipelined path: queue solve + f64 residual +
+        # correction solve + combine WITHOUT reading the convergence
+        # flags in between - each host readback of the changed-flag
+        # costs a ~25 ms tunnel round-trip that stalls the device
+        # queue.  4 forward/backward GS pairs resolve typical atomic
+        # fields (see _pallas_sweep); the two flags verify that at the
+        # end, falling back to the flag-stepped loop when they trip.
+        try:
+            f32a = f3.astype(jnp.float32)
+            s1, flag1 = _gs_pairs(chiP32, f32a, f32a, offs=offs,
+                                  adjoint=adjoint, npair=4)
+            s1 = s1.astype(f3.dtype)
+            r = f3 + _apply_R(chiP, s1, offs=offs, adjoint=adjoint) - s1
+            r32 = r.astype(jnp.float32)
+            e, flag2 = _gs_pairs(chiP32, r32, r32, offs=offs,
+                                 adjoint=adjoint, npair=4)
+            out = s1 + e.astype(f3.dtype)
+            f1, f2 = jax.device_get((flag1, flag2))  # one round-trip
+            if int(f1) == 0 and int(f2) == 0:
+                return out
+        except ValueError:  # no valid plane blocking for this grid
+            return _xla_sweep(chiP, f3, offs=offs, adjoint=adjoint)
     try:
         s = _pallas_sweep(chiP32, f3.astype(jnp.float32), offs,
                           adjoint).astype(f3.dtype)
@@ -305,10 +364,9 @@ class YTResult:
         if not self._pallas_ok():
             return None
         if self._chiP32s is None:
-            shifted = jnp.stack([
-                jnp.roll(self._chiP[k], o, (0, 1, 2))
+            self._chiP32s = jnp.stack([
+                jnp.roll(self._chiP[k].astype(jnp.float32), o, (0, 1, 2))
                 for k, o in enumerate(self._offs)])
-            self._chiP32s = shifted.astype(jnp.float32)
         return self._chiP32s
 
     def _chi32_forward(self):
@@ -413,15 +471,17 @@ def yt_integrate(crystal, rho, block: int | None = None):
     # over the whole grid.
     chiP, chi32, nattr_d, iattr_d, rho_at_d = _decompose_dev(
         rho3, idx3, wts, offs=offs, shape=shape, want32=want32)
-    nattr = int(nattr_d)
+    # ONE host round-trip for all three small outputs (each np.asarray
+    # pays a full tunnel RTT on its own)
+    nattr, iattr, rho_at = jax.device_get((nattr_d, iattr_d, rho_at_d))
+    nattr = int(nattr)
     if nattr > _MAX_ATTR:      # noisy grid: exact-size re-extraction
         is_attr = chiP.sum(0) == 0.0
         iattr_d, rho_at_d = _extract_attractors(rho3, is_attr, nattr)
-        iattr = np.asarray(iattr_d)
-        rho_at = np.asarray(rho_at_d)
+        iattr, rho_at = jax.device_get((iattr_d, rho_at_d))
     else:
-        iattr = np.asarray(iattr_d)[:nattr]
-        rho_at = np.asarray(rho_at_d)[:nattr]
+        iattr = iattr[:nattr]
+        rho_at = rho_at[:nattr]
     iattr = iattr[np.lexsort((iattr, -rho_at))]
 
     i1, i2, i3 = np.unravel_index(iattr, shape)

@@ -224,7 +224,13 @@ def yt_gs_pass(chiP, s, f3, *, offs, adjoint: bool = True,
                     else:                       # old side: sm / s0
                         nb = s0[:, rr] if rr >= 0 else sm[:, R + rr]
                 base = base + chi_ref[k, r][None] * roll2(nb, d[1], d[2])
-            # exact in-plane solve (nilpotent -> bitwise fixpoint)
+            # exact in-plane solve (nilpotent -> bitwise fixpoint),
+            # warm-started from the plane's pre-sweep value: on late
+            # sweeps most planes are already at the fixpoint, so the
+            # loop exits after ONE verification iteration instead of
+            # the full in-plane chain length (the fixpoint of the
+            # nilpotent recurrence is unique, so any start converges
+            # to the same bits)
             if inplane:
                 cks = [(chi_ref[k, r][None], d) for k, d in inplane]
 
@@ -243,7 +249,7 @@ def yt_gs_pass(chiP, s, f3, *, offs, adjoint: bool = True,
                     return ~cu[1]
 
                 u, _ = jax.lax.while_loop(cond, body,
-                                          (base, jnp.asarray(False)))
+                                          (s0[:, r], jnp.asarray(False)))
             else:
                 u = base
             planes[r] = u
