@@ -16,14 +16,22 @@ __all__ = ["molcalc_integral", "molcalc_nelec", "molcalc_peach"]
 
 
 def molcalc_integral(system, expr: str, lvl: str = "good",
-                     block: int = 1 << 17) -> float:
+                     block: int = 1 << 17,
+                     weights_dtype=np.float32) -> float:
     """Integral of `expr` over the Becke mesh of the system's molecule.
+
+    weights_dtype selects the Becke partition-weight precision for BOTH
+    evaluation paths (round-3 advisor: equivalent spellings of the same
+    integral must not silently mix weight precisions). The f32 default
+    is the fast-build path: the weight eval is memory-bound and the v5e
+    emulates f64 vector ops ~10x slower, while the per-point f32
+    relative weight error (~1e-7, random sign) cancels in quadrature -
+    measured 3.4e-8 e at the benzene ultra-mesh NELEC. Pass np.float64
+    for reference-exact weights.
 
     A bare `$field` reference to a plain molecular wavefunction takes
     the direct value-only path (reference fillmesh density integral,
-    src/meshmod@proc.f90:407): f32 Becke partition weights (memory-
-    bound build, error cancels in quadrature - measured 3.4e-8 e at
-    the benzene ultra mesh) with an all-f64 nder=0 density sweep in
+    src/meshmod@proc.f90:407) with an all-f64 nder=0 density sweep in
     large fixed-shape blocks (the f32 density sweep is 1.4x faster but
     carries a 7e-5 e systematic accumulation bias - not worth it)."""
     import re
@@ -35,10 +43,11 @@ def molcalc_integral(system, expr: str, lvl: str = "good",
         except Exception:
             f = None
         if f is not None and f.type == "wfn" and f.coreenv is None:
-            m = becke_mesh(system.crystal, lvl, weights_dtype=np.float32)
+            m = becke_mesh(system.crystal, lvl,
+                           weights_dtype=weights_dtype)
             rho = np.asarray(f.wfn.rho_eval_soa(m.x.T, nder=0)[0])
             return float(np.asarray(m.w, np.float64) @ rho)
-    m = becke_mesh(system.crystal, lvl)
+    m = becke_mesh(system.crystal, lvl, weights_dtype=weights_dtype)
     from ..arithmetic import compile_expr
 
     fn = compile_expr(expr, system, periodic=False)

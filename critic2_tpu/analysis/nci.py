@@ -178,7 +178,16 @@ def nciplot(system, oname: str | None = None, outdir: str | None = None,
             rho_void: float = -1.0, isden: bool = True,
             block: int = 1 << 15, write_files: bool = False,
             molmotif: bool = False, precision: str = "f32") -> NCIResult:
-    """Run the NCI analysis on the reference field of `system`."""
+    """Run the NCI analysis on the reference field of `system`.
+
+    precision: "f32" (default) runs the grid fast path in single
+    precision — the v5e emulates f64 vector ops ~10x slower, and NCI is
+    a visualization workload. Relative to the reference's f64 cubes
+    this costs ~1e-4 relative rho, flips up to ~1e-3 of .dat selection
+    points and ~2e-3 of sign(lambda2) labels near |lambda2| ~ 0
+    (bounds asserted in tests/test_nci_grid.py). Pass precision="f64"
+    for reference-exact output.
+    """
     if dimcut is None:
         dimcut = 2.0 if isden else 1.0
     if dimplot is None:

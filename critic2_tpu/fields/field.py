@@ -46,6 +46,96 @@ class ScalarBatch:
         return self.hf[..., 0, 0] + self.hf[..., 1, 1] + self.hf[..., 2, 2]
 
 
+_FORI_GATHER_OK: bool | None = None
+
+
+def _fori_gather_ok() -> bool:
+    """One-time backend self-check gating the fori-loop stepper default
+    for gather-based field evaluators (round-3 advisor finding).
+
+    The 2026-08 v5e backend class miscompiled lax loop bodies whose
+    gather indices evolve with the carried state: Newton/ODE on grid
+    fields reported convergence to 1e-12 while the post-hoc |grad| was
+    up to 3e-2 — a silent wrong-answer mode. This check runs a tiny
+    state-evolving-gather iteration (both scattered-stencil and
+    row-gather tricubic paths, the two used by grid-field Newton/ODE)
+    through lax.fori_loop and compares against the same steps dispatched
+    one-by-one outside the loop (the form that was always correct). Any
+    mismatch flips the grid-field default back to Python-unrolled
+    chunks. The result is cached per process and on disk per
+    (backend, jax version) so the small compile happens once per
+    environment, not once per run."""
+    global _FORI_GATHER_OK
+    if _FORI_GATHER_OK is not None:
+        return _FORI_GATHER_OK
+    import os
+    import tempfile
+
+    backend = jax.default_backend()
+    marker = os.path.join(
+        tempfile.gettempdir(),
+        f"critic2_tpu_fori_selfcheck_{backend}_{jax.__version__}")
+    try:
+        with open(marker) as fh:
+            _FORI_GATHER_OK = fh.read().strip() == "ok"
+            return _FORI_GATHER_OK
+    except OSError:
+        pass
+
+    from functools import partial
+
+    from ..ops.interp import interp_soa, interp_soa_rows
+
+    try:
+        idx = np.arange(8)
+        g = jnp.asarray(
+            2.0 + np.cos(2 * np.pi * idx / 8)[:, None, None]
+            * np.cos(2 * np.pi * idx / 8)[None, :, None]
+            + 0.5 * np.sin(2 * np.pi * idx / 8)[None, None, :])
+        x0 = jnp.asarray(np.stack(np.meshgrid(
+            *[np.linspace(0.07, 0.93, 4)] * 3, indexing="ij"),
+            0).reshape(3, -1))
+
+        def step(interp, xT):
+            _, yp, _ = interp(g, xT, nder=1)
+            xT = xT + 0.06 * jnp.tanh(yp)
+            return xT - jnp.floor(xT)
+
+        ok = True
+        for interp in (partial(interp_soa, mode="tricubic"),
+                       interp_soa_rows):
+            fori = jax.jit(lambda xT, f=interp: jax.lax.fori_loop(
+                0, 6, lambda i, x: step(f, x), xT))
+            once = jax.jit(lambda xT, f=interp: step(f, xT))
+            xa = np.asarray(fori(x0))
+            xb = x0
+            for _ in range(6):
+                xb = once(xb)
+            if not np.allclose(xa, np.asarray(xb), rtol=0, atol=1e-10):
+                ok = False
+                break
+    except Exception:
+        # the check itself failing is an unrelated breakage; keep the
+        # measured-good default rather than silently changing behavior
+        ok = True
+    else:
+        try:
+            with open(marker, "w") as fh:
+                fh.write("ok" if ok else "bad")
+        except OSError:
+            pass
+    if not ok:
+        import warnings
+
+        warnings.warn(
+            "critic2_tpu: lax loop bodies with state-evolving gathers "
+            "do not round-trip on this backend; grid-field Newton/ODE "
+            "fall back to unrolled chunk steppers (slower compiles). "
+            "Set CRITIC2_TPU_UNROLL_LOOPS=1 to silence this check.")
+    _FORI_GATHER_OK = ok
+    return ok
+
+
 def _ghost_derivs(expr_fn, xT, nder):
     """Value/gradient/Hessian of a batched scalar closure via autodiff.
 
@@ -460,13 +550,18 @@ class Field:
         # (ODE and Newton, verified on hardware), while the UNROLLED
         # form now OOM-kills the remote compile helper at >=16 inlined
         # evals over a 64^3 f64 grid.  CRITIC2_TPU_UNROLL_LOOPS=1
-        # restores the old behavior for grid fields if a regression
-        # reappears.
+        # restores the old behavior for grid fields unconditionally;
+        # otherwise gather-based evaluators run the one-time
+        # state-evolving-gather self-check (_fori_gather_ok) and fall
+        # back to unrolled chunks on any backend mismatch, so an
+        # environment still running the miscompiling stack is detected
+        # at runtime instead of silently producing wrong CP positions.
         import os
 
+        gather_free = ftype == "wfn" and env is None
         if os.environ.get("CRITIC2_TPU_UNROLL_LOOPS"):
-            fn._c2t_loop = ("fori" if ftype == "wfn" and env is None
-                            else "unroll")
+            fn._c2t_loop = "fori" if gather_free else "unroll"
         else:
-            fn._c2t_loop = "fori"
+            fn._c2t_loop = ("fori" if gather_free or _fori_gather_ok()
+                            else "unroll")
         return fn

@@ -13,7 +13,7 @@ trace time over the small static angular-momentum ranges). The ERI pair
 matrix over symmetry-reduced primitive pairs is materialized block by
 block and consumed as matrix contractions against MO pair vectors -
 MXU-friendly and O(P^2) memory. Supported angular momentum: l <= 4
-(s, p, d, f); higher shells raise.
+(s, p, d, f, g); higher shells raise.
 """
 from __future__ import annotations
 

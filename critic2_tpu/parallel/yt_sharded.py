@@ -108,7 +108,8 @@ class _ShardedSweeper:
     the slab-parallel Jacobi roll fixpoint with ppermute halos, to
     exact bitwise stationarity (R is nilpotent in sorted order)."""
 
-    def __init__(self, mesh, chiP, offs, shape, H, m, dt):
+    def __init__(self, mesh, chiP, offs, shape, H, m, dt,
+                 max_iters: int | None = None):
         self.mesh = mesh
         self.chiP = chiP            # (K,)+shape, sharded slabspec
         self.offs = offs
@@ -116,6 +117,7 @@ class _ShardedSweeper:
         self.H = H
         self.m = m
         self.dt = dt
+        self.max_iters = max_iters   # None -> n1+n2+n3+16 (worst chain)
         self._fns = {}
         nspace = mesh.shape["space"]
         self._fwd = [(i, (i + 1) % nspace) for i in range(nspace)]
@@ -182,7 +184,9 @@ class _ShardedSweeper:
             self.mesh, P(None, "space", None, None)))
         fn = self._get_fn(adjoint, int(f3.shape[0]))
         chunk = max(8, (n1 + n2 + n3) // 4)
-        max_iters = n1 + n2 + n3 + 16
+        max_iters = (self.max_iters if self.max_iters is not None
+                     else n1 + n2 + n3 + 16)
+        chunk = min(chunk, max_iters)
         it = 0
         s = fj
         while it < max_iters:
@@ -294,7 +298,8 @@ def yt_integrate_sharded(mesh, crystal, rho, fields_flat=None,
         / np.asarray(shape)
 
     # ---- adjoint charges + lazy forward labels ----------------------
-    solver = _ShardedSweeper(mesh, chiP, offs, shape, H, m, dt)
+    solver = _ShardedSweeper(mesh, chiP, offs, shape, H, m, dt,
+                             max_iters=max_iters)
     res = ShardedYTResult(crystal, shape, nattr, xattr, iattr, solver)
     if result:
         return res
