@@ -305,6 +305,53 @@ def init_cplist(system) -> CPList:
     return cpl
 
 
+def _newton_screened(w, cart, gfnormeps, maxit, n_chunk: int = 512,
+                     margin: float = 3.0):
+    """Newton CP refinement through the screened GTO kernel (the
+    cps_large AUTO path, examples/cps_large/insulin.cri).
+
+    Seeds are chunked spatially (fields/wfn.screen_plan) and every
+    chunk runs the SAME compiled fori-loop Newton with its own block
+    table as a jit argument. Because the table is computed from the
+    SEED positions, a seed that wanders outside the chunk's reach
+    margin sees a truncated field - so converged candidates are
+    re-verified against a freshly screened evaluation at their FINAL
+    positions and re-polished once when the gradient disagrees (the
+    reference instead rebuilds its near-atom list every eval,
+    src/wfn_private@proc.F90:2070)."""
+    from ..ops.newton import newton_batch
+
+    def _pass(points):
+        order, xstack, bidx, N = w.screen_plan(points, n_chunk=n_chunk,
+                                               margin=margin)
+        xs, convs = [], []
+        for i in range(len(xstack)):
+            shim = w.screened_shim(bidx[i], nder=2)
+            xx, cc, _ = newton_batch(shim, jnp.asarray(xstack[i].T),
+                                     gfnormeps=gfnormeps, maxit=maxit)
+            xs.append(np.asarray(xx))
+            convs.append(np.asarray(cc))
+        inv = np.argsort(order)
+        xf = np.concatenate(xs)[:N][inv]
+        cv = np.concatenate(convs)[:N][inv]
+        return xf, cv
+
+    xfin, conv = _pass(cart)
+    if conv.any():
+        # verify converged candidates with a fresh block table at the
+        # final positions; re-polish the ones the truncated field fooled
+        xv = xfin[conv]
+        _, gf, _ = w.rho_eval_screened(jnp.asarray(xv.T), nder=1)
+        gm = np.sqrt((np.asarray(gf) ** 2).sum(0))
+        bad = gm > 10.0 * gfnormeps
+        if bad.any():
+            xr, cr = _pass(xv[bad])
+            sel = np.flatnonzero(conv)[bad]
+            xfin[sel] = xr
+            conv[sel] = cr
+    return xfin, conv
+
+
 def autocp(system, seeds: list[Seed] | None = None, gfnormeps: float = 1e-12,
            cpeps: float = 1e-2, nuceps: float | None = None,
            nucepsh: float | None = None, hdegen: float = 1e-8,
@@ -371,15 +418,20 @@ def autocp(system, seeds: list[Seed] | None = None, gfnormeps: float = 1e-12,
     # --- batched Newton on device, chunked to bound memory ---
     # (the loop mode - fori for gather-free wfn evals, unrolled
     # otherwise - rides on fn._c2t_loop, set by Field._build_eval_fn)
-    fn = f.eval_fn(nder=2)
-    xs, convs = [], []
-    for lo in range(0, len(cart), chunk):
-        xx, cc, _ = newton_batch(fn, jnp.asarray(cart[lo:lo + chunk]),
-                                 gfnormeps=gfnormeps, maxit=maxit)
-        xs.append(np.asarray(xx))
-        convs.append(np.asarray(cc))
-    xfin = np.concatenate(xs)
-    conv = np.concatenate(convs)
+    screened = (f.type == "wfn" and f.coreenv is None
+                and f.wfn.npri >= f.wfn.SCREEN_NPRI)
+    if screened:
+        xfin, conv = _newton_screened(f.wfn, cart, gfnormeps, maxit)
+    else:
+        fn = f.eval_fn(nder=2)
+        xs, convs = [], []
+        for lo in range(0, len(cart), chunk):
+            xx, cc, _ = newton_batch(fn, jnp.asarray(cart[lo:lo + chunk]),
+                                     gfnormeps=gfnormeps, maxit=maxit)
+            xs.append(np.asarray(xx))
+            convs.append(np.asarray(cc))
+        xfin = np.concatenate(xs)
+        conv = np.concatenate(convs)
     xfin = xfin[conv]
     if verbose:
         print(f"autocp: {len(xfin)} converged")
@@ -538,13 +590,27 @@ def makegraph(system, cpl: CPList, change: float = 1e-2,
                 owner.append(i)
                 sgn.append(s)
         tgt, tgt_ids = _targets(ttyp)
-        fn = f.eval_fn(nder=2)
-        xfin, status, termid, plen, _ = trace_paths(
-            fn, jnp.asarray(np.array(seeds)), iup=iup,
-            targets=jnp.asarray(tgt) if len(tgt) else None,
-            rterm=jnp.full(len(tgt), rterm) if len(tgt) else None,
-            m_c2x=jnp.asarray(c.m_c2x) if c.ismolecule else None,
-            molborder=jnp.asarray(c.molborder) if c.ismolecule else None)
+        screened = (f.type == "wfn" and f.coreenv is None
+                    and f.wfn.npri >= f.wfn.SCREEN_NPRI)
+        if screened:
+            from ..ops.ode import trace_paths_screened
+
+            xfin, status, termid, plen, _ = trace_paths_screened(
+                f.wfn, np.array(seeds), iup=iup,
+                targets=tgt if len(tgt) else None,
+                rterm=np.full(len(tgt), rterm) if len(tgt) else None,
+                m_c2x=jnp.asarray(c.m_c2x) if c.ismolecule else None,
+                molborder=(jnp.asarray(c.molborder)
+                           if c.ismolecule else None))
+        else:
+            fn = f.eval_fn(nder=2)
+            xfin, status, termid, plen, _ = trace_paths(
+                fn, jnp.asarray(np.array(seeds)), iup=iup,
+                targets=jnp.asarray(tgt) if len(tgt) else None,
+                rterm=jnp.full(len(tgt), rterm) if len(tgt) else None,
+                m_c2x=jnp.asarray(c.m_c2x) if c.ismolecule else None,
+                molborder=(jnp.asarray(c.molborder)
+                           if c.ismolecule else None))
         status = np.asarray(status)
         termid = np.asarray(termid)
         plen = np.asarray(plen)

@@ -215,6 +215,21 @@ def _shells_to_primitives(sh_l, sh_at, sh_exp, sh_cc, mo_sph,
             np.asarray(e), np.stack(cmo_cols, axis=1))
 
 
+class _ScreenShim:
+    """eval_fn duck-type (see fields/field.py _build_eval_fn) wrapping
+    the screened GTO kernel for ops.newton/ops.ode consumers."""
+
+    __slots__ = ("_c2t_raw", "_c2t_consts", "_c2t_loop")
+
+    def __init__(self, raw, consts):
+        self._c2t_raw = raw
+        self._c2t_consts = consts
+        self._c2t_loop = "fori"      # matmuls + selects: gather-safe
+
+    def __call__(self, xT):
+        return self._c2t_raw(self._c2t_consts, xT)
+
+
 @dataclass
 class Wavefunction:
     """Primitive-expanded molecular wavefunction (GTO)."""
@@ -459,6 +474,401 @@ class Wavefunction:
 
         return fn
 
+    # ------------------------------------------------------------------
+    # screened/blocked evaluation (large molecules)
+    #
+    # The reference evaluates per point through near-atom primitive
+    # lists (list_near_atoms + the per-primitive dran cutoff,
+    # src/wfn_private@proc.F90:2032-2228, 2707-2781, cutoffs
+    # :3075-3145: dran_p = sqrt(-ln(1e-12)/alpha_p)).  That dynamic
+    # list is the wrong shape for XLA; the TPU-native decomposition:
+    #
+    #   * primitives are sorted by a spatial hash of their center (so
+    #     nearby primitives are contiguous) and grouped into fixed-size
+    #     blocks of B; each block carries a bounding sphere that
+    #     contains every member's dran ball,
+    #   * evaluation points are sorted spatially and cut into fixed
+    #     chunks of n; each chunk carries its bounding sphere,
+    #   * a host-computed (nchunk, K) table lists the blocks whose
+    #     reach intersects each chunk (padded with an all-zero dummy
+    #     block to the fixed width K), so shapes stay static and the
+    #     whole sweep is ONE compiled scan,
+    #   * per chunk the kernel gathers the K blocks' primitive data +
+    #     the (Ka, Ka) density-matrix tile and contracts
+    #     rho = chi^T D chi (and derivatives via t_d = D @ chi_d):
+    #     cost per point is O(P_active^2), INDEPENDENT of system size,
+    #     vs O(M * P) for the dense MO path - the difference between
+    #     benzene and insulin being feasible.
+    #
+    # Primitives outside dran but inside a gathered block contribute
+    # their true (sub-1e-12) exponential tails, so the screened result
+    # differs from unscreened dense math only below the reference's own
+    # screening threshold.
+    # ------------------------------------------------------------------
+    SCREEN_NPRI = 2048     # rho_eval_soa routes here above this size
+
+    def _screen(self, B: int = 64, thres: float = 1e-12):
+        """Host-precomputed primitive blocks + density matrix (cached).
+
+        thres mirrors the reference rprim_thres
+        (src/wfn_private@proc.F90:145): dran = sqrt(-ln(thres)/alpha).
+        """
+        key = (B, thres)
+        cache = getattr(self, "_screen_cache", None)
+        if cache is None:
+            cache = self._screen_cache = {}
+        if key in cache:
+            return cache[key]
+        ctr = np.asarray(self.atpos)[self.icenter]        # (P, 3)
+        al = np.asarray(self.e, float)
+        li = _LI[self.itype - 1].astype(np.int32)         # (P, 3)
+        dran = np.sqrt(-np.log(thres) / al)
+        P = len(al)
+
+        # spatial sort: quantized-cell lexicographic hash keeps blocks
+        # compact; within a cell, diffuse primitives (large dran) group
+        # together so tight blocks keep small bounding radii
+        h = 4.0
+        cell = np.floor((ctr - ctr.min(0)) / h).astype(np.int64)
+        hashv = (cell[:, 0] * 73856093 ^ cell[:, 1] * 19349663
+                 ^ cell[:, 2] * 83492791)
+        # stable two-key sort: cell id major, dran minor
+        perm = np.lexsort((dran, hashv))
+        ctr, al, li, dran = ctr[perm], al[perm], li[perm], dran[perm]
+
+        # density matrix in the permuted primitive basis
+        D = (self.cmo.T * self.occ) @ self.cmo            # (P, P)
+        D = np.ascontiguousarray(D[perm][:, perm])
+
+        # pad to a block multiple with inert primitives (zero D rows
+        # AND columns guarantee exactly zero contribution; dran = 0
+        # keeps them out of every block radius)
+        npad = (-P) % B
+        if npad:
+            ctr = np.concatenate([ctr, np.broadcast_to(ctr.mean(0),
+                                                       (npad, 3))])
+            al = np.concatenate([al, np.ones(npad)])
+            li = np.concatenate([li, np.zeros((npad, 3), np.int32)])
+            dran = np.concatenate([dran, np.zeros(npad)])
+            Dp = np.zeros((P + npad, P + npad))
+            Dp[:P, :P] = D
+            D = Dp
+        Pp = len(al)
+        nb = Pp // B
+
+        bctr = ctr.reshape(nb, B, 3).mean(axis=1)         # (nb, 3)
+        spread = np.linalg.norm(
+            ctr.reshape(nb, B, 3) - bctr[:, None, :], axis=2)
+        bR = (spread + dran.reshape(nb, B)).max(axis=1)   # (nb,)
+
+        # dummy block index nb: gathering it must be inert -> one extra
+        # all-zero block appended to the per-primitive arrays
+        ctr = np.concatenate([ctr, np.broadcast_to(ctr.mean(0), (B, 3))])
+        al = np.concatenate([al, np.ones(B)])
+        li = np.concatenate([li, np.zeros((B, 3), np.int32)])
+        Dx = np.zeros((Pp + B, Pp + B))
+        Dx[:Pp, :Pp] = D
+        scr = dict(
+            perm=perm, B=B, nb=nb, Pp=Pp,
+            bctr=bctr, bR=bR,
+            ctrT=np.ascontiguousarray(ctr.T),             # (3, Pp+B)
+            al=al, lxT=np.ascontiguousarray(li.T),        # (3, Pp+B)
+            D=Dx,
+            nmax=int(li.max()) + 2,
+        )
+        cache[key] = scr
+        return scr
+
+    def screen_consts(self, dtype=None):
+        """The device-argument pytree for the screened kernel (passed
+        as jit arguments, never closure-captured: a captured 1.2 GB
+        density matrix would be inlined into the lowered IR).  Device
+        arrays are cached per precision so repeated driver calls do not
+        re-transfer the density matrix."""
+        scr = self._screen()
+        lowp = dtype is not None and np.dtype(dtype) != np.float64
+        key = ("consts", lowp)
+        cache = self._screen_cache
+        if key not in cache:
+            dt = np.float32 if lowp else np.float64
+            cache[key] = {
+                "s_ctrT": jnp.asarray(scr["ctrT"]),  # f64 displacements
+                "s_al": jnp.asarray(scr["al"].astype(dt)),
+                "s_lxT": jnp.asarray(scr["lxT"]),
+                "s_D": jnp.asarray(scr["D"].astype(dt)),
+            }
+        return cache[key]
+
+    def screened_shim(self, bidx, nder: int = 2, dtype=None):
+        """eval_fn duck-type over the screened kernel for ops.newton /
+        ops.ode: `raw(consts, xT)` reads the chunk's block table from
+        consts["s_bidx"], so every spatial chunk reuses ONE compiled
+        Newton/ODE program (raw is cached; consts is a real jit
+        argument with chunk-independent shapes)."""
+        key = ("shimraw", nder, np.dtype(dtype).name if dtype else None)
+        cache = getattr(self, "_screen_cache", None)
+        if cache is None:
+            cache = self._screen_cache = {}
+        if key not in cache:
+            core = self.screened_closure(nder=nder, dtype=dtype)
+
+            def raw(cst, xT):
+                return core(cst, xT, cst["s_bidx"])
+
+            cache[key] = raw
+        cst = dict(self.screen_consts(dtype))
+        cst["s_bidx"] = jnp.asarray(bidx)
+        return _ScreenShim(cache[key], cst)
+
+    def screened_closure(self, nder: int = 2, extras: bool = False,
+                         dtype=None):
+        """Jittable screened kernel: (consts, xT (3, n), bidx (K,)) ->
+        (rho, grad (3, n), h6 (6, n)) [or extras dict].
+
+        Density-matrix contraction (see the section comment): gathers
+        the bidx blocks' primitive data and the (Ka, Ka) density-matrix
+        tile; the four MXU matmuls are D @ chi_d for d in (0, x, y, z),
+        every occupied-space reduction accumulates in f64.  EDF core
+        primitives (ECP wavefunctions) are evaluated densely per chunk
+        (their count is O(atoms), never the bottleneck)."""
+        scr = self._screen()
+        B = scr["B"]
+        nmax = scr["nmax"]
+        d = self._device()
+        has_edf = "eal" in d
+        if has_edf:
+            ectrT, elx = d["ectr"].T, d["elx"]
+            enmax = int(np.max(np.asarray(elx))) + 2
+        lowp = dtype is not None and np.dtype(dtype) != np.float64
+        eal, ec = None, None
+        if has_edf:
+            eal = np.asarray(d["eal"], np.float32 if lowp else np.float64)
+            ec = np.asarray(d["ec"], np.float32 if lowp else np.float64)
+        acc = (lambda v: v.astype(jnp.float64)) if lowp else (lambda v: v)
+        prec = jax.lax.Precision.HIGHEST
+
+        def psum(v):
+            # f64 accumulation of the primitive-axis reductions
+            return v.sum(0, dtype=jnp.float64) if lowp else v.sum(0)
+
+        def fn(cst, xT, bidx):
+            pidx = (bidx[:, None] * B
+                    + jnp.arange(B, dtype=bidx.dtype)[None, :]).reshape(-1)
+            ctrT = cst["s_ctrT"][:, pidx]                 # (3, Ka)
+            al = cst["s_al"][pidx]
+            a = cst["s_lxT"][0, pidx]
+            b = cst["s_lxT"][1, pidx]
+            c = cst["s_lxT"][2, pidx]
+            Dg = jnp.take(jnp.take(cst["s_D"], pidx, axis=0),
+                          pidx, axis=1)                   # (Ka, Ka)
+
+            dx = xT[:, None, :] - ctrT[:, :, None]        # (3, Ka, n) f64
+            if lowp:
+                dx = dx.astype(dtype)
+            r2 = (dx * dx).sum(0)
+            ex = jnp.exp(-al[:, None] * r2)
+            X, Y, Z = dx[0], dx[1], dx[2]
+
+            def pw(V, nexp):
+                nbx = nexp[:, None]
+                out = jnp.where(nbx == 0, 1.0, 0.0)
+                Vk = V
+                for k in range(1, nmax + 1):
+                    out = jnp.where(nbx == k, Vk, out)
+                    Vk = Vk * V
+                return out
+
+            xa, yb, zc = pw(X, a), pw(Y, b), pw(Z, c)
+            chi0 = xa * yb * zc * ex
+            t0 = jnp.matmul(Dg, chi0, precision=prec)     # (Ka, n)
+            rho = psum(chi0 * t0)
+            n = xT.shape[1]
+
+            if has_edf:
+                # dense EDF contribution (same math as eval_closure)
+                def pwe(V, nexp):
+                    nbx = nexp[:, None]
+                    out = jnp.where(nbx == 0, 1.0, 0.0)
+                    Vk = V
+                    for k in range(1, enmax + 1):
+                        out = jnp.where(nbx == k, Vk, out)
+                        Vk = Vk * V
+                    return out
+
+                dxe = xT[:, None, :] - ectrT[:, :, None]
+                if lowp:
+                    dxe = dxe.astype(dtype)
+                r2e = (dxe * dxe).sum(0)
+                exe = ec[:, None] * jnp.exp(-eal[:, None] * r2e)
+                Xe, Ye, Ze = dxe[0], dxe[1], dxe[2]
+                ae, be, ce_ = elx[0], elx[1], elx[2]
+                xae, ybe, zce = pwe(Xe, ae), pwe(Ye, be), pwe(Ze, ce_)
+                rho = rho + psum(xae * ybe * zce * exe)
+            if nder < 1 and not extras:
+                return rho, jnp.zeros((3, n)), jnp.zeros((6, n))
+
+            dxa = a[:, None] * pw(X, a - 1) - 2.0 * al[:, None] * pw(X, a + 1)
+            dyb = b[:, None] * pw(Y, b - 1) - 2.0 * al[:, None] * pw(Y, b + 1)
+            dzc = c[:, None] * pw(Z, c - 1) - 2.0 * al[:, None] * pw(Z, c + 1)
+            cx = dxa * yb * zc * ex
+            cy = xa * dyb * zc * ex
+            cz = xa * yb * dzc * ex
+            tx = jnp.matmul(Dg, cx, precision=prec)
+            ty = jnp.matmul(Dg, cy, precision=prec)
+            tz = jnp.matmul(Dg, cz, precision=prec)
+            grad = 2.0 * jnp.stack([psum(cx * t0), psum(cy * t0),
+                                    psum(cz * t0)])
+            gkin = 0.5 * (psum(cx * tx) + psum(cy * ty) + psum(cz * tz))
+            if has_edf:
+                edxa = ae[:, None] * pwe(Xe, ae - 1) \
+                    - 2.0 * eal[:, None] * pwe(Xe, ae + 1)
+                edyb = be[:, None] * pwe(Ye, be - 1) \
+                    - 2.0 * eal[:, None] * pwe(Ye, be + 1)
+                edzc = ce_[:, None] * pwe(Ze, ce_ - 1) \
+                    - 2.0 * eal[:, None] * pwe(Ze, ce_ + 1)
+                grad = grad + jnp.stack([
+                    psum(edxa * ybe * zce * exe),
+                    psum(xae * edyb * zce * exe),
+                    psum(xae * ybe * edzc * exe)])
+            if nder < 2 and not extras:
+                return rho, grad, jnp.zeros((6, n))
+
+            al2 = 2.0 * al[:, None]
+            sxa = (a * (a - 1))[:, None] * pw(X, a - 2) \
+                - al2 * (2 * a + 1)[:, None] * xa \
+                + 4.0 * al[:, None] ** 2 * pw(X, a + 2)
+            syb = (b * (b - 1))[:, None] * pw(Y, b - 2) \
+                - al2 * (2 * b + 1)[:, None] * yb \
+                + 4.0 * al[:, None] ** 2 * pw(Y, b + 2)
+            szc = (c * (c - 1))[:, None] * pw(Z, c - 2) \
+                - al2 * (2 * c + 1)[:, None] * zc \
+                + 4.0 * al[:, None] ** 2 * pw(Z, c + 2)
+            cxx = sxa * yb * zc * ex
+            cyy = xa * syb * zc * ex
+            czz = xa * yb * szc * ex
+            cxy = dxa * dyb * zc * ex
+            cxz = dxa * yb * dzc * ex
+            cyz = xa * dyb * dzc * ex
+            h6 = 2.0 * jnp.stack([
+                psum(cxx * t0) + psum(cx * tx),
+                psum(cyy * t0) + psum(cy * ty),
+                psum(czz * t0) + psum(cz * tz),
+                psum(cxy * t0) + psum(cx * ty),
+                psum(cxz * t0) + psum(cx * tz),
+                psum(cyz * t0) + psum(cy * tz),
+            ])
+            if has_edf:
+                eal2 = 2.0 * eal[:, None]
+                esxa = (ae * (ae - 1))[:, None] * pwe(Xe, ae - 2) \
+                    - eal2 * (2 * ae + 1)[:, None] * xae \
+                    + 4.0 * eal[:, None] ** 2 * pwe(Xe, ae + 2)
+                esyb = (be * (be - 1))[:, None] * pwe(Ye, be - 2) \
+                    - eal2 * (2 * be + 1)[:, None] * ybe \
+                    + 4.0 * eal[:, None] ** 2 * pwe(Ye, be + 2)
+                eszc = (ce_ * (ce_ - 1))[:, None] * pwe(Ze, ce_ - 2) \
+                    - eal2 * (2 * ce_ + 1)[:, None] * zce \
+                    + 4.0 * eal[:, None] ** 2 * pwe(Ze, ce_ + 2)
+                h6 = h6 + jnp.stack([
+                    psum(esxa * ybe * zce * exe),
+                    psum(xae * esyb * zce * exe),
+                    psum(xae * ybe * eszc * exe),
+                    psum(edxa * edyb * zce * exe),
+                    psum(edxa * ybe * edzc * exe),
+                    psum(xae * edyb * edzc * exe)])
+            if not extras:
+                return rho, grad, h6
+            s6 = 0.5 * jnp.stack([
+                psum(cxx * t0) - psum(cx * tx),
+                psum(cyy * t0) - psum(cy * ty),
+                psum(czz * t0) - psum(cz * tz),
+                psum(cxy * t0) - psum(cx * ty),
+                psum(cxz * t0) - psum(cx * tz),
+                psum(cyz * t0) - psum(cy * tz),
+            ])
+            vir = s6[0] + s6[1] + s6[2]
+            return {"rho": rho, "grad": grad, "h6": h6, "gkin": gkin,
+                    "vir": vir, "stress6": s6}
+
+        return fn
+
+    def screen_plan(self, points, n_chunk: int = 2048,
+                    margin: float = 0.0):
+        """Host chunk planner for the screened sweep.
+
+        Sorts `points` (N, 3) spatially, cuts them into fixed chunks of
+        n_chunk (tail padded by repeating the last point), and computes
+        each chunk's active block list from bounding spheres.  margin
+        (bohr) widens the reach test - Newton/ODE callers use it to
+        keep one block table valid while points move.
+
+        Returns (order, xstack (nchunk, 3, n), bidx (nchunk, K), N).
+        Outputs of the screened kernel over xstack, flattened and
+        indexed by argsort(order), restore caller order.
+        """
+        scr = self._screen()
+        pts = np.asarray(points, float).reshape(-1, 3)
+        N = len(pts)
+        h = 3.0
+        cell = np.floor((pts - pts.min(0)) / h).astype(np.int64)
+        order = np.lexsort((cell[:, 2], cell[:, 1], cell[:, 0]))
+        p = pts[order]
+        npadp = (-N) % n_chunk
+        if npadp:
+            p = np.concatenate([p, np.broadcast_to(p[-1], (npadp, 3))])
+        nchunk = len(p) // n_chunk
+        pc = p.reshape(nchunk, n_chunk, 3)
+        centers = pc.mean(axis=1)                          # (nchunk, 3)
+        rc = np.linalg.norm(pc - centers[:, None, :], axis=2).max(axis=1)
+
+        dd = np.linalg.norm(centers[:, None, :] - scr["bctr"][None, :, :],
+                            axis=2)                        # (nchunk, nb)
+        act = dd <= rc[:, None] + scr["bR"][None, :] + margin
+        kmax = int(act.sum(axis=1).max())
+        # quantize K (multiples of 8) to bound distinct compile shapes
+        K = max(8, -(-kmax // 8) * 8)
+        bidx = np.full((nchunk, K), scr["nb"], dtype=np.int32)
+        for i in range(nchunk):
+            ai = np.flatnonzero(act[i])
+            bidx[i, :len(ai)] = ai
+        xstack = np.ascontiguousarray(pc.transpose(0, 2, 1))
+        return order, xstack, bidx, N
+
+    def _jitted_screened(self, nder: int, extras: bool, dtype):
+        if not hasattr(self, "_scr_jit_cache"):
+            self._scr_jit_cache = {}
+        key = (nder, extras, np.dtype(dtype).name if dtype else None)
+        if key not in self._scr_jit_cache:
+            core = self.screened_closure(nder=nder, extras=extras,
+                                         dtype=dtype)
+
+            def sweep(cst, xstack, bstack):
+                def body(_, inp):
+                    x, bi = inp
+                    return None, core(cst, x, bi)
+                _, outs = jax.lax.scan(body, None, (xstack, bstack))
+                return outs
+
+            self._scr_jit_cache[key] = (jax.jit(sweep), core,
+                                        jax.jit(core))
+        return self._scr_jit_cache[key]
+
+    def rho_eval_screened(self, xT, nder: int = 2, dtype=None,
+                          n_chunk: int = 2048):
+        """Screened (f, gf (3, N), h6 (6, N)) sweep; any N, any layout
+        of points (they are re-sorted spatially internally)."""
+        pts = np.asarray(xT).T
+        order, xstack, bidx, N = self.screen_plan(pts, n_chunk=n_chunk)
+        sweep, _, _ = self._jitted_screened(nder, False, dtype)
+        cst = self.screen_consts(dtype)
+        outs = sweep(cst, jnp.asarray(xstack), jnp.asarray(bidx))
+        inv = np.argsort(order)
+        res = []
+        for o in outs:
+            o = np.asarray(o)
+            o = np.moveaxis(o, 0, -2).reshape(o.shape[1:-1] + (-1,))[..., :N]
+            res.append(jnp.asarray(o[..., inv]))
+        return tuple(res)
+
     def _jitted(self, nder: int, extras: bool = False, dtype=None):
         """Cached jitted closure (a fresh closure per call would force a
         recompile every driver call)."""
@@ -479,7 +889,18 @@ class Wavefunction:
         4096-point chunk on a 3M-point mesh is ~800 dispatches of pure
         tunnel latency (the round-2 wfn-mesh leg's 24.7 s wall).
         dtype=jnp.float32 selects the mixed-precision closure (see
-        eval_closure); outputs are always f64."""
+        eval_closure); outputs are always f64.
+
+        Above SCREEN_NPRI primitives, concrete (non-tracer) point
+        batches route through the screened density-matrix sweep
+        (rho_eval_screened): the dense path materializes (P, N)
+        intermediates and O(M P N) matmuls, which do not survive a
+        10^4-primitive molecule (the cps_large workload). Traced
+        callers (Newton/ODE under jit) must use the screened closure
+        with an explicit block table - see screen_plan."""
+        if (self.npri >= self.SCREEN_NPRI
+                and not isinstance(xT, jax.core.Tracer)):
+            return self.rho_eval_screened(xT, nder=nder, dtype=dtype)
         if block is None:
             block = {0: 1 << 17, 1: 1 << 15, 2: 1 << 12}[min(nder, 2)]
             if dtype is not None and np.dtype(dtype) != np.float64:
@@ -620,6 +1041,60 @@ class Wavefunction:
         rho_ref, _, _ = self.rho_eval_soa(jnp.asarray(xr).T, nder=0)
         rho_spin = 0.5 * float(rho_ref[0])
         return -(gam1 * gam1) / max(rho_spin, 1e-40)
+
+    def tile(self, reps=(2, 2, 2), gap: float = 4.0) -> "Wavefunction":
+        """Non-interacting assembly: reps[0]*reps[1]*reps[2] displaced
+        copies of this wavefunction, spaced bbox + gap (bohr) apart.
+
+        The copies' MOs do not overlap electronically (each keeps its
+        own occupied set; cmo is block-diagonal), so every integral is
+        exactly ncopies x the monomer value - a machine-checkable
+        large-molecule workload for the screened evaluator (the
+        cps_large benchmark shape, examples/cps_large/insulin.cri:
+        ~800 atoms, 10^4+ primitives)."""
+        reps = tuple(int(v) for v in reps)
+        ncopy = reps[0] * reps[1] * reps[2]
+        span = self.atpos.max(0) - self.atpos.min(0) + gap
+        offsets = np.stack(np.meshgrid(
+            *[np.arange(r) for r in reps], indexing="ij"),
+            -1).reshape(-1, 3) * span[None, :]
+        nat, P, M = len(self.atz), self.npri, self.nmo
+        atpos = (self.atpos[None, :, :] + offsets[:, None, :]
+                 ).reshape(-1, 3)
+        atz = np.tile(self.atz, ncopy)
+        icenter = (self.icenter[None, :]
+                   + (np.arange(ncopy) * nat)[:, None]).reshape(-1)
+        itype = np.tile(self.itype, ncopy)
+        e = np.tile(self.e, ncopy)
+        cmo = np.zeros((M * ncopy, P * ncopy))
+        for k in range(ncopy):
+            cmo[k * M:(k + 1) * M, k * P:(k + 1) * P] = self.cmo
+        occ = np.tile(self.occ, ncopy)
+        if self.wfntyp == "uhf":
+            # restore the "all alpha MOs first" layout that nalpha
+            # encodes (the per-copy tiling interleaves spins)
+            na = self.nalpha
+            idx = np.concatenate([
+                (np.arange(ncopy)[:, None] * M
+                 + np.arange(na)[None, :]).ravel(),
+                (np.arange(ncopy)[:, None] * M
+                 + np.arange(na, M)[None, :]).ravel()])
+            cmo = cmo[idx]
+            occ = occ[idx]
+        kw = {}
+        if self.edf_e is not None:
+            kw = dict(
+                edf_icenter=(self.edf_icenter[None, :]
+                             + (np.arange(ncopy) * nat)[:, None]
+                             ).reshape(-1).astype(np.int32),
+                edf_itype=np.tile(self.edf_itype, ncopy),
+                edf_e=np.tile(self.edf_e, ncopy),
+                edf_c=np.tile(self.edf_c, ncopy))
+        return Wavefunction(
+            atpos=atpos, atz=atz, icenter=icenter.astype(np.int32),
+            itype=itype, e=e, cmo=cmo, occ=occ, wfntyp=self.wfntyp,
+            nalpha=self.nalpha * ncopy if self.wfntyp == "uhf" else 0,
+            source=f"{self.source}[tiled {reps}]", **kw)
 
     # ------------------------------------------------------------------
     # readers

@@ -36,10 +36,13 @@ STAT_NEWCP = 1
 STAT_STUCK = 2
 STAT_ESCAPED = 3
 STAT_MAXSTEP = 4
+STAT_OOR = 5      # left the screened chunk's validity sphere: RESUMABLE
+                  # (trace_paths_screened re-plans and continues)
 
 
 def _make_body(eval_fn, consts, tT, rt, m_c2x, molborder, hini, maxerr,
-               gradeps, iup, have_t, havemol):
+               gradeps, iup, have_t, havemol, ecent=None, erad=None,
+               have_esc=False):
     """One BS23 attempt over the whole batch: st -> st (shared by the
     plain, recorded, and fori steppers).  `consts` is the evaluator's
     device-constant pytree (fields' _c2t_consts) passed as a REAL jit
@@ -85,6 +88,14 @@ def _make_body(eval_fn, consts, tT, rt, m_c2x, molborder, hini, maxerr,
             status = jnp.where(out, STAT_ESCAPED, status)
             done = done | out
 
+        # pause: left the screened chunk's validity sphere (the block
+        # table no longer covers the field here) - resumable
+        if have_esc:
+            oor = (((xT - ecent[:, None]) ** 2).sum(0)
+                   > erad * erad) & ~done
+            status = jnp.where(oor, STAT_OOR, status)
+            done = done | oor
+
         # BS23 attempt (FSAL: d1 is the direction at xT)
         d2_, _ = direction(xT + 0.5 * h[None, :] * d1)
         d3_, _ = direction(xT + 0.75 * h[None, :] * d2_)
@@ -117,21 +128,26 @@ def _make_body(eval_fn, consts, tT, rt, m_c2x, molborder, hini, maxerr,
 
 
 @partial(jax.jit,
-         static_argnames=("eval_fn", "iup", "nsteps", "have_t", "havemol"))
+         static_argnames=("eval_fn", "iup", "nsteps", "have_t",
+                          "havemol", "have_esc"))
 def _ode_chunk(eval_fn, consts, st, tT, rt, m_c2x, molborder, hini, maxerr,
-               gradeps, iup, have_t, havemol, nsteps):
+               gradeps, iup, have_t, havemol, nsteps, ecent=None,
+               erad=None, have_esc=False):
     """Advance all trajectories nsteps BS23 attempts (Python-unrolled)."""
     body = _make_body(eval_fn, consts, tT, rt, m_c2x, molborder, hini,
-                      maxerr, gradeps, iup, have_t, havemol)
+                      maxerr, gradeps, iup, have_t, havemol,
+                      ecent, erad, have_esc)
     for _ in range(nsteps):
         st = body(st)
     return st
 
 
 @partial(jax.jit,
-         static_argnames=("eval_fn", "iup", "nsteps", "have_t", "havemol"))
+         static_argnames=("eval_fn", "iup", "nsteps", "have_t",
+                          "havemol", "have_esc"))
 def _ode_chunk_fori(eval_fn, consts, st, tT, rt, m_c2x, molborder, hini, maxerr,
-                    gradeps, iup, have_t, havemol, nsteps):
+                    gradeps, iup, have_t, havemol, nsteps, ecent=None,
+                    erad=None, have_esc=False):
     """_ode_chunk via lax.while_loop with ON-DEVICE early exit: the BS23
     body (3 eval_fn calls) compiles ONCE instead of nsteps inlined
     copies, and the loop stops as soon as every trajectory is done - so
@@ -140,7 +156,8 @@ def _ode_chunk_fori(eval_fn, consts, st, tT, rt, m_c2x, molborder, hini, maxerr,
     dispatch per 16-step chunk through the remote tunnel: 32 s for 64
     paths)."""
     body = _make_body(eval_fn, consts, tT, rt, m_c2x, molborder, hini,
-                      maxerr, gradeps, iup, have_t, havemol)
+                      maxerr, gradeps, iup, have_t, havemol,
+                      ecent, erad, have_esc)
 
     def cond(c):
         i, s = c
@@ -151,15 +168,18 @@ def _ode_chunk_fori(eval_fn, consts, st, tT, rt, m_c2x, molborder, hini, maxerr,
 
 
 @partial(jax.jit,
-         static_argnames=("eval_fn", "iup", "nsteps", "have_t", "havemol"))
+         static_argnames=("eval_fn", "iup", "nsteps", "have_t",
+                          "havemol", "have_esc"))
 def _ode_chunk_rec(eval_fn, consts, st, tT, rt, m_c2x, molborder, hini, maxerr,
-                   gradeps, iup, have_t, havemol, nsteps):
+                   gradeps, iup, have_t, havemol, nsteps, ecent=None,
+                   erad=None, have_esc=False):
     """_ode_chunk that also RECORDS the position after every step:
     returns (st, xrec (nsteps, 3, N)).  One device program per chunk
     instead of one dispatch (plus host sync) per step - the recorded
     tracer's wall is dispatch-latency-bound through the remote tunnel."""
     body = _make_body(eval_fn, consts, tT, rt, m_c2x, molborder, hini,
-                      maxerr, gradeps, iup, have_t, havemol)
+                      maxerr, gradeps, iup, have_t, havemol,
+                      ecent, erad, have_esc)
     recs = []
     for _ in range(nsteps):
         st = body(st)
@@ -168,14 +188,16 @@ def _ode_chunk_rec(eval_fn, consts, st, tT, rt, m_c2x, molborder, hini, maxerr,
 
 
 @partial(jax.jit,
-         static_argnames=("eval_fn", "iup", "nsteps", "have_t", "havemol"))
+         static_argnames=("eval_fn", "iup", "nsteps", "have_t",
+                          "havemol", "have_esc"))
 def _ode_chunk_rec_scan(eval_fn, consts, st, tT, rt, m_c2x, molborder,
                         hini, maxerr, gradeps, iup, have_t, havemol,
-                        nsteps):
+                        nsteps, ecent=None, erad=None, have_esc=False):
     """Recorded chunk via lax.scan (one compiled body; gather-free
     evaluators only, same caveat as _ode_chunk_fori)."""
     body = _make_body(eval_fn, consts, tT, rt, m_c2x, molborder, hini,
-                      maxerr, gradeps, iup, have_t, havemol)
+                      maxerr, gradeps, iup, have_t, havemol,
+                      ecent, erad, have_esc)
 
     def step(s, _):
         s = body(s)
@@ -197,7 +219,8 @@ def trace_paths(eval_fn, x0, iup: int = 1, targets=None, rterm=None,
                 hini: float = 0.3, maxerr: float = 1e-4,
                 gradeps: float = 1e-7, mstep: int = 4000,
                 m_c2x=None, molborder=None, h0=None, chunk: int = 16,
-                loop: str | None = None, compact: bool = True):
+                loop: str | None = None, compact: bool = True,
+                escape=None, plen0=None):
     """Trace gradient paths from Cartesian seeds x0 (N, 3).
 
     eval_fn: SoA evaluator (3, N) -> (f, gf (3, N), h6).
@@ -227,14 +250,18 @@ def trace_paths(eval_fn, x0, iup: int = 1, targets=None, rterm=None,
     havemol = m_c2x is not None
     m_c2x_j = jnp.asarray(m_c2x) if havemol else jnp.zeros((3, 3))
     molb_j = jnp.asarray(molborder) if havemol else jnp.zeros((3,))
+    have_esc = escape is not None
+    ecent = jnp.asarray(escape[0]) if have_esc else jnp.zeros((3,))
+    erad = float(escape[1]) if have_esc else 0.0
 
     raw = getattr(eval_fn, "_c2t_raw", eval_fn)
     consts = getattr(eval_fn, "_c2t_consts", None)
     d1_0, gmod0 = _ode_init(raw, consts, xT0, iup)
     hstart = jnp.full((N,), hini) if h0 is None else jnp.asarray(h0)
+    pstart = jnp.zeros(N) if plen0 is None else jnp.asarray(plen0)
     st = (xT0, hstart,
           jnp.zeros(N, bool), jnp.full((N,), STAT_MAXSTEP, jnp.int32),
-          jnp.full((N,), -1, jnp.int32), jnp.zeros(N), d1_0, gmod0)
+          jnp.full((N,), -1, jnp.int32), pstart, d1_0, gmod0)
     if loop is None:
         loop = getattr(eval_fn, "_c2t_loop", "unroll")
     if loop == "fori":
@@ -272,7 +299,8 @@ def trace_paths(eval_fn, x0, iup: int = 1, targets=None, rterm=None,
     while it < mstep:
         n = min(chunk, mstep - it)
         st = stepper(raw, consts, st, tT, rt, m_c2x_j, molb_j, hini,
-                     maxerr, gradeps, iup, have_t, havemol, n)
+                     maxerr, gradeps, iup, have_t, havemol, n,
+                     ecent, erad, have_esc)
         it += n
         done_np = np.asarray(st[2])
         if done_np.all():
@@ -362,3 +390,74 @@ def trace_paths_recorded(eval_fn, x0, nrec: int = 400, iup: int = 1,
         keep[1:] = np.linalg.norm(np.diff(p, axis=0), axis=1) > 1e-12
         paths.append(p[keep])
     return paths, np.asarray(status), np.asarray(termid)
+
+
+def trace_paths_screened(wfn, x0, iup: int = 1, targets=None, rterm=None,
+                         hini: float = 0.3, maxerr: float = 1e-4,
+                         gradeps: float = 1e-7, mstep: int = 4000,
+                         m_c2x=None, molborder=None, n_chunk: int = 256,
+                         margin: float = 8.0, max_rounds: int = 12,
+                         dtype=None):
+    """trace_paths through the screened GTO kernel (large molecules).
+
+    Seeds are grouped spatially (fields/wfn.screen_plan); each group
+    traces with its own block table (a jit argument - one compiled
+    stepper for all groups) inside an ESCAPE SPHERE of radius
+    chunk_radius + margin, where the truncated field is exact to the
+    screening threshold. Paths that leave their sphere pause with
+    STAT_OOR and are re-grouped at their current positions for the next
+    round, carrying step size and path length - the batch analogue of
+    the reference rebuilding its near-atom list every evaluation
+    (src/wfn_private@proc.F90:2070). Bond/ring paths are a few bohr
+    long, so almost everything finishes in round one.
+
+    Returns (x (N, 3), status, termid, plen, h) like trace_paths."""
+    import numpy as np
+
+    x = np.array(np.asarray(x0, float), copy=True).reshape(-1, 3)
+    N = len(x)
+    h = np.full(N, float(hini))
+    plen = np.zeros(N)
+    stat = np.full(N, STAT_OOR, np.int32)
+    term = np.full(N, -1, np.int32)
+    pend = np.arange(N)
+    tgt = None if targets is None else np.asarray(targets)
+    rt = None if rterm is None else np.asarray(rterm)
+
+    for _ in range(max_rounds):
+        if len(pend) == 0:
+            break
+        order, xstack, bidx, Np = wfn.screen_plan(x[pend],
+                                                  n_chunk=n_chunk,
+                                                  margin=margin)
+        nxt = []
+        for i in range(len(xstack)):
+            lo = i * n_chunk
+            js = np.arange(lo, min(lo + n_chunk, Np))
+            rows = order[js]                   # indices into pend
+            gidx = pend[rows]
+            pts = xstack[i].T                  # (n, 3) padded
+            ecent = pts.mean(0)
+            rc = np.linalg.norm(pts - ecent, axis=1).max()
+            shim = wfn.screened_shim(bidx[i], nder=1, dtype=dtype)
+            h0 = np.full(len(pts), hini)
+            p0 = np.zeros(len(pts))
+            h0[:len(js)] = h[gidx]
+            p0[:len(js)] = plen[gidx]
+            xx, ss, tt, pp, hh = trace_paths(
+                shim, pts, iup=iup,
+                targets=tgt, rterm=rt, hini=hini, maxerr=maxerr,
+                gradeps=gradeps, mstep=mstep, m_c2x=m_c2x,
+                molborder=molborder, h0=jnp.asarray(h0),
+                plen0=jnp.asarray(p0),
+                escape=(ecent, rc + margin - min(1.0, 0.25 * margin)))
+            ss = np.asarray(ss)[:len(js)]
+            x[gidx] = np.asarray(xx)[:len(js)]
+            h[gidx] = np.asarray(hh)[:len(js)]
+            plen[gidx] = np.asarray(pp)[:len(js)]
+            stat[gidx] = ss
+            term[gidx] = np.asarray(tt)[:len(js)]
+            nxt.append(gidx[ss == STAT_OOR])
+        pend = np.concatenate(nxt) if nxt else np.zeros(0, int)
+    return (x, jnp.asarray(stat), jnp.asarray(term),
+            jnp.asarray(plen), jnp.asarray(h))

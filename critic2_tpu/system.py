@@ -40,6 +40,39 @@ class System:
 
         self.fields[0] = Field.promolecular(self.crystal, name="rho0")
 
+    @classmethod
+    def from_wavefunction(cls, wfn, border: float = 10.0, name: str = ""):
+        """System around an in-memory Wavefunction (no file): embeds
+        the molecule in a border-padded cell (reference molx0/molborder
+        semantics) and loads the wfn as field 1 / reference.  Used by
+        synthetic large-molecule assemblies (Wavefunction.tile)."""
+        import copy
+
+        from .crystal.seed import CrystalSeed
+        from .crystal.crystal import Species
+        from .fields.field import Field
+        from . import param
+
+        zs = np.asarray(wfn.atz, dtype=int)
+        uniq = sorted(set(int(z) for z in zs))
+        spmap = {z: i for i, z in enumerate(uniq)}
+        seed = CrystalSeed(
+            x_frac=np.asarray(wfn.atpos, float),    # cartesian for mols
+            species_of=np.array([spmap[int(z)] for z in zs]),
+            species=[Species(param.ELEMENTS[z] if z < len(param.ELEMENTS)
+                             else f"Z{z}", z) for z in uniq],
+            ismolecule=True, border=border, name=name or wfn.source)
+        c = seed.to_crystal()
+        s = cls.from_structure(c)
+        w = copy.copy(wfn)
+        w.atpos = np.asarray(wfn.atpos) - np.asarray(c.molx0)
+        w._dev = {}
+        w._screen_cache = {}
+        s.load_field(Field(crystal=c, type="wfn", wfn=w,
+                           name=name or "wfn"))
+        s.iref = 1
+        return s
+
     def load_field(self, source, fid=None, name=None, **kw):
         """Load a field from a file path or an existing Field object."""
         from .fields.field import Field

@@ -264,3 +264,139 @@ def test_benzene_auto_topology():
     s.iref = 1
     cpl = autocp(s, verbose=False)
     assert cpl.counts() == (12, 12, 1, 0)
+
+
+# ---------------------------------------------------------------------
+# screened/blocked evaluation (the cps_large path; reference screening
+# semantics src/wfn_private@proc.F90:2032-2228, :3075-3145)
+# ---------------------------------------------------------------------
+def test_screened_matches_dense_benzene():
+    """The screened density-matrix contraction must reproduce the dense
+    MO path to screening-threshold accuracy, at every derivative order,
+    in chunk sizes that force multi-chunk plans and padded tails."""
+    w = Wavefunction.read_fchk(BENZENE)
+    rng = np.random.default_rng(1)
+    pts = (w.atpos[rng.integers(0, len(w.atz), 150)]
+           + rng.normal(scale=1.5, size=(150, 3)))
+    xT = jnp.asarray(pts.T)
+    for nder in (0, 1, 2):
+        f0, g0, h0 = (np.asarray(v) for v in w.rho_eval_soa(xT, nder=nder))
+        f1, g1, h1 = (np.asarray(v)
+                      for v in w.rho_eval_screened(xT, nder=nder,
+                                                   n_chunk=64))
+        assert np.abs(f1 - f0).max() <= 1e-10 * np.abs(f0).max()
+        if nder >= 1:
+            assert np.abs(g1 - g0).max() <= 1e-10 * np.abs(g0).max()
+        if nder >= 2:
+            assert np.abs(h1 - h0).max() <= 1e-10 * np.abs(h0).max()
+
+
+def test_screened_extras_match_dense(h2o):
+    w = h2o.fields[0].wfn if h2o.fields[0].type == "wfn" else \
+        Wavefunction.from_file(H2O_WFX)
+    rng = np.random.default_rng(2)
+    pts = (w.atpos[rng.integers(0, len(w.atz), 60)]
+           + rng.normal(scale=1.0, size=(60, 3)))
+    xT = jnp.asarray(pts.T)
+    ex0 = {k: np.asarray(v) for k, v in w.extras_soa(xT).items()}
+    core = w.screened_closure(nder=2, extras=True)
+    order, xstack, bidx, N = w.screen_plan(pts, n_chunk=32)
+    cst = w.screen_consts()
+    outs = [core(cst, jnp.asarray(xstack[i]), jnp.asarray(bidx[i]))
+            for i in range(len(xstack))]
+    inv = np.argsort(order)
+    for k in ("rho", "grad", "h6", "gkin", "vir", "stress6"):
+        v = np.concatenate([np.asarray(o[k]) for o in outs],
+                           axis=-1)[..., :N][..., inv]
+        ref = ex0[k]
+        assert np.abs(v - ref).max() <= 1e-10 * max(np.abs(ref).max(),
+                                                    1e-30), k
+
+
+def test_screened_block_table_drops_far_blocks():
+    """A 2x1x1 benzene assembly: chunks near copy 0 must not gather
+    every block (the whole point of screening), yet stay exact."""
+    w = Wavefunction.read_fchk(BENZENE).tile((3, 1, 1), gap=30.0)
+    scr = w._screen()
+    pts = w.atpos[:12] + 0.3        # points hugging copy 0
+    order, xstack, bidx, N = w.screen_plan(pts, n_chunk=32)
+    used = np.unique(bidx)
+    nreal = scr["nb"]
+    assert len(used[used < nreal]) < nreal   # some blocks screened out
+    f0, _, _ = w.rho_eval_soa(jnp.asarray(pts.T), nder=0)
+    f1, _, _ = w.rho_eval_screened(jnp.asarray(pts.T), nder=0,
+                                   n_chunk=32)
+    assert np.abs(np.asarray(f1) - np.asarray(f0)).max() <= 1e-10
+
+
+def test_tile_assembly_additivity():
+    """Tiled wavefunction: NELEC and per-point density are exactly
+    additive (non-interacting copies)."""
+    w = Wavefunction.read_fchk(BENZENE)
+    w2 = w.tile((2, 1, 1), gap=6.0)
+    assert w2.nelec == 2 * w.nelec
+    assert w2.npri == 2 * w.npri
+    rng = np.random.default_rng(3)
+    pts = w.atpos[rng.integers(0, 12, 40)] + rng.normal(
+        scale=1.0, size=(40, 3))
+    span = w.atpos.max(0) - w.atpos.min(0) + 6.0
+    f_mono = np.asarray(w.rho_eval_soa(jnp.asarray(pts.T), nder=0)[0])
+    f_mono_sh = np.asarray(w.rho_eval_soa(
+        jnp.asarray((pts - span * np.array([1.0, 0, 0])).T), nder=0)[0])
+    f_tile = np.asarray(w2.rho_eval_screened(jnp.asarray(pts.T),
+                                             nder=0)[0])
+    assert np.abs(f_tile - (f_mono + f_mono_sh)).max() <= 1e-10
+
+
+@pytest.mark.slow
+def test_screened_auto_and_graph_match_dense():
+    """Full AUTO + makegraph through the screened path (SCREEN_NPRI
+    forced down) must reproduce the dense benzene topology: counts,
+    CP positions, bond-path connectivity, and path lengths."""
+    from critic2_tpu.analysis.autocp import autocp, makegraph
+
+    s = System.from_structure(BENZENE)
+    s.load_field(BENZENE)
+    s.iref = 1
+    cpl0 = autocp(s, verbose=False)
+    makegraph(s, cpl0)
+    g0 = sorted(tuple(sorted(cp.ipath)) for cp in cpl0.cps
+                if cp.typ == -1)
+
+    w = s.fields[1].wfn
+    w.SCREEN_NPRI = 1                      # force the screened path
+    s.fields[1]._eval_cache = {}
+    cpl1 = autocp(s, verbose=False)
+    makegraph(s, cpl1)
+    g1 = sorted(tuple(sorted(cp.ipath)) for cp in cpl1.cps
+                if cp.typ == -1)
+    assert cpl0.counts() == cpl1.counts() == (12, 12, 1, 0)
+    assert g0 == g1
+    x0 = np.sort(np.concatenate([cp.r for cp in cpl0.cps]).ravel())
+    x1 = np.sort(np.concatenate([cp.r for cp in cpl1.cps]).ravel())
+    assert np.abs(x0 - x1).max() < 1e-8
+
+
+def test_trace_paths_screened_multichunk_escape():
+    """Grouped tracer on a 2-copy tile with a tiny chunk size: paths
+    must cross chunk escape spheres (STAT_OOR resume) and still land on
+    their nuclei."""
+    from critic2_tpu.ops.ode import trace_paths_screened
+
+    w = Wavefunction.read_fchk(BENZENE).tile((2, 1, 1), gap=6.0)
+    rng = np.random.default_rng(5)
+    # uphill seeds: 0.5 bohr off 16 random nuclei
+    iat = rng.integers(0, len(w.atz), 16)
+    u = rng.normal(size=(16, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    seeds = w.atpos[iat] + 0.5 * u
+    x, stat, term, plen, h = trace_paths_screened(
+        w, seeds, iup=1, targets=w.atpos,
+        rterm=np.full(len(w.atpos), 0.2),
+        n_chunk=8, margin=2.0)
+    stat = np.asarray(stat)
+    term = np.asarray(term)
+    assert (stat == 0).all(), stat          # all reached an attractor
+    # each path hits a nucleus of the copy it started near
+    d = np.linalg.norm(x - w.atpos[term], axis=1)
+    assert d.max() < 0.3
