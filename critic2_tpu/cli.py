@@ -876,8 +876,12 @@ class Repl:
     def cmd_cube(self, args, lines):
         """CUBE [x0 y0 z0 x1 y1 z1 | CELL] [GRID n1 n2 n3] [FILE out]
         [FIELD id|expr] [F|GX..GZ|GMOD|HXX..HZZ|LAP] [HEADER]
-        (reference rhoplot_cube, src/rhoplot@proc.f90:356-645; output
-        extension selects cube/bincube/xsf/CHGCAR)."""
+        [MLWF ibnd | WANNIER ibnd | UNK ibnd ik | PSINK ibnd ik
+         [SPIN s]]
+        (reference rhoplot_cube, src/rhoplot@proc.f90:356-645; Wannier/
+        Bloch dumps use the rotate_qe_evc/get_qe_wnr machinery,
+        src/grid3mod@proc.f90:1440-1577; output extension selects
+        cube/bincube/xsf/CHGCAR)."""
         from .analysis import rhoplot
 
         sy = self.need_system()
@@ -888,11 +892,28 @@ class Repl:
         lengths = None
         header = False
         step = None
+        state = None            # (kind, ibnd, ik)
+        spin = 0
+        fieldid = None
         sel = {"f", "gx", "gy", "gz", "gmod", "lap",
                "hxx", "hxy", "hxz", "hyy", "hyz", "hzz"}
         i = 0
         while i < len(args):
             a = args[i].lower()
+            if a in ("mlwf", "wannier", "unk", "psink"):
+                nidx = 2 if a in ("unk", "psink") else 1
+                try:
+                    idxs = [int(v) for v in args[i + 1:i + 1 + nidx]]
+                except (ValueError, IndexError):
+                    raise CliError(f"CUBE {a.upper()} needs {nidx} "
+                                   "integer index(es)")
+                state = (a, idxs[0], idxs[1] if nidx == 2 else None)
+                i += 1 + nidx
+                continue
+            if a == "spin":
+                spin = int(args[i + 1]) - 1
+                i += 2
+                continue
             if a == "grid":
                 # use the reference field's own grid dims (reference
                 # dogrid branch); "GRID n1 n2 n3" also accepted
@@ -932,6 +953,19 @@ class Repl:
                     step = v[0]; i += 1
                 else:
                     i += 1
+        if state is not None:
+            kind, ibnd, ik = state
+            # FIELD selects the pwc-loaded grid; bare derivative
+            # selectors don't apply to state dumps
+            fld = None if what in sel or what == "f" else what
+            root = (file.rsplit(".", 1)[0] if file
+                    else self.fileroot or "states")
+            _, paths = rhoplot.cube_states(
+                sy, kind, ibnd, ik=ik, spin=spin, field=fld,
+                fileroot=root)
+            for p in paths:
+                self.write(f"+ CUBE {kind.upper()} -> {p}")
+            return
         if n is None:
             if step is not None:
                 lens = np.linalg.norm(np.asarray(sy.crystal.m_x2c)

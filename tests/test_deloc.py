@@ -350,3 +350,139 @@ def test_deloc_sharded_decomposition_matches(setup):
     d2 = np.sort([res2.di(a, b) for a in range(n1) for b in range(n1)],
                  axis=None)
     np.testing.assert_allclose(d1, d2, atol=1e-8)
+
+
+# ------------------------------------------------- CUBE state dumps
+
+def test_cube_states_unk_psink_parity(setup, tmp_path):
+    """CUBE UNK/PSINK dumps against the loaded pwc density: the
+    occupation-weighted |psi_nk|^2 sum over all bands/k-points must
+    rebuild rho (the same sum read_pwc uses), and UNK/PSINK must agree
+    through the Bloch phase."""
+    from critic2_tpu import System
+    from critic2_tpu.analysis.rhoplot import cube_states
+
+    c, qe, rho, path, kf, at = setup
+    s = System.from_structure(c)
+    s.load_field(path)
+    s.iref = 1
+
+    n1, n2, n3 = qe.n
+    i, j, k = np.meshgrid(np.arange(n1), np.arange(n2), np.arange(n3),
+                          indexing="ij")
+    acc = np.zeros(tuple(qe.n))
+    for ik in range(qe.nks):
+        kpt = qe.kpt[ik]
+        ph = np.exp(2j * np.pi * (kpt[0] * i / n1 + kpt[1] * j / n2
+                                  + kpt[2] * k / n3))
+        for b in range(qe.nbnd):
+            u, _ = cube_states(s, "unk", b + 1, ik=ik + 1, write=False)
+            psi, _ = cube_states(s, "psink", b + 1, ik=ik + 1,
+                                 write=False)
+            np.testing.assert_allclose(psi, u * ph, atol=1e-12)
+            acc += qe.occ[ik, b] * np.abs(psi) ** 2
+    acc *= 2.0 / (abs(np.linalg.det(qe.at)) * qe.wk.sum())  # fspin=2
+    np.testing.assert_allclose(acc, rho, atol=1e-10)
+
+    # file writing: a parseable cube pair lands on disk
+    import os
+
+    root = str(tmp_path / "st")
+    _, files = cube_states(s, "psink", 1, ik=1, fileroot=root)
+    assert len(files) == 2 and all(os.path.exists(p) for p in files)
+
+
+def test_cube_states_mlwf_supercell(setup, tmp_path):
+    """CUBE WANNIER/MLWF: the supercell assembly equals the brute-force
+    get_qe_wnr mirror laid out cell copy by cell copy, and the MLWF
+    variant applies the chk U rotation (deloc's rotated states)."""
+    import os
+
+    from critic2_tpu import System
+    from critic2_tpu.analysis.rhoplot import cube_states
+    from critic2_tpu.fields.qe import read_pwc
+
+    c, qe0, rho, path, kf, at = setup
+    s = System.from_structure(c)
+    s.load_field(path)
+    s.iref = 1
+    qe = s.fields[1].grid.qe
+    nk = tuple(int(v) for v in qe.nk)
+    n = tuple(int(v) for v in qe.n)
+
+    def assemble(W):
+        S = np.empty((nk[0] * n[0], nk[1] * n[1], nk[2] * n[2]),
+                     complex)
+        rv = qe.rvectors()
+        for il, (r1, r2, r3) in enumerate(rv):
+            jl = ((((-r1) % nk[0]) * nk[1] + ((-r2) % nk[1])) * nk[2]
+                  + ((-r3) % nk[2]))
+            S[r1 * n[0]:(r1 + 1) * n[0], r2 * n[1]:(r2 + 1) * n[1],
+              r3 * n[2]:(r3 + 1) * n[2]] = W[jl]
+        return S
+
+    b = 1
+    Wb = _wannier_brute(qe, 0, b - 1, useu=False)
+    root = str(tmp_path / "wan")
+    S, files = cube_states(s, "wannier", b, fileroot=root)
+    np.testing.assert_allclose(S, assemble(Wb), atol=1e-10)
+    assert len(files) == 2 and all(os.path.exists(p) for p in files)
+    # supercell cube geometry: nk * n grid points, nlat * ncel atoms
+    with open(files[0]) as fh:
+        lines = fh.readlines()
+    natoms = int(lines[2].split()[0])
+    assert natoms == qe.nlat * c.ncel
+    assert int(lines[3].split()[0]) == nk[0] * n[0]
+
+    # MLWF = U-rotated: attach a chk, compare against the brute with U
+    nw = qe.nbnd
+    rng = np.random.default_rng(5)
+    u = np.zeros((qe.nks, nw, nw), complex)
+    for ik in range(qe.nks):
+        m = rng.normal(size=(nw, nw)) + 1j * rng.normal(size=(nw, nw))
+        q_, _ = np.linalg.qr(m)
+        u[ik] = q_
+    chk = str(tmp_path / "test.chk")
+    write_chk(chk, qe.nbnd, qe.nks, qe.nk, kf,
+              np.linalg.inv(at).T, u,
+              centers=np.zeros((nw, 3)))
+    qe2, _ = read_pwc(path)
+    from critic2_tpu.fields.qe import read_wannier_chk
+
+    read_wannier_chk(qe2, chk)
+    s.fields[1].grid.qe = qe2
+    Sm, _ = cube_states(s, "mlwf", b, fileroot=root, write=False)
+    Wm = _wannier_brute(qe2, 0, b - 1, useu=True)
+    np.testing.assert_allclose(Sm, assemble(Wm), atol=1e-10)
+
+
+def test_cli_cube_mlwf(setup, tmp_path):
+    """CUBE WANNIER/UNK/PSINK through the keyword REPL."""
+    import io
+    import os
+
+    from critic2_tpu.cli import Repl
+
+    c, qe, rho, path, kf, at = setup
+    poscar = tmp_path / "POSCAR"
+    poscar.write_text(
+        "He2\n1.0\n"
+        + "\n".join(" ".join(f"{v * 0.52917720859:.10f}" for v in row)
+                    for row in np.asarray(c.m_x2c).T)
+        + "\nHe\n2\nDirect\n0.25 0.25 0.25\n0.75 0.75 0.75\n")
+    out = io.StringIO()
+    r = Repl(out=out, quiet=True)
+    os.chdir(tmp_path)
+    r.run_script(f"""
+crystal {poscar}
+load {path}
+root {tmp_path}/wn
+cube wannier 1
+cube unk 1 1
+cube psink 2 2
+""")
+    text = out.getvalue()
+    assert "CUBE WANNIER" in text
+    assert os.path.exists(f"{tmp_path}/wn-wannier-1-1-re.cube")
+    assert os.path.exists(f"{tmp_path}/wn-unk-1-1-1-re.cube")
+    assert os.path.exists(f"{tmp_path}/wn-psink-2-2-1-im.cube")
