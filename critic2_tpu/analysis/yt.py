@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["yt_integrate", "YTResult"]
+__all__ = ["yt_integrate", "yt_f32_guarded", "YTResult"]
 
 
 def _grid_ws_neighbors(crystal, shape):
@@ -490,3 +490,81 @@ def yt_integrate(crystal, rho, block: int | None = None):
     return YTResult(crystal=crystal, shape=shape, nattr=nattr,
                     xattr=xattr, iattr=iattr, _chiP=chiP, _offs=offs,
                     _chiP32s=chi32 if want32 else None)
+
+
+def yt_f32_guarded(crystal, rho, guard_tol: float = 1e-6,
+                   trip_frac: float = 0.25):
+    """YT with an f32-CONSTRUCTED basin decomposition, audited against
+    f64 drift.
+
+    f32 construction (flux tensors + partition built from an f32 cast
+    of the grid) is the fast path on TPU, but its basin-charge drift
+    vs the f64 partition is grid-dependent (measured 2e-9 .. 5.8e-7 e
+    on benign grids; adversarial near-plateau grids can rewire whole
+    boundary regions).  This wrapper runs the audit the round-3 review
+    asked for instead of trusting the cast:
+
+      * s = adjoint mass flow of rho through the f32 partition (the
+        exact solve `integrate` uses for charges, f64-accumulated);
+      * per-basin drift estimate
+            e = (I - R32^T)^{-1} (R64^T - R32^T) s,
+        read at the attractors: the exact q64 - q32 up to terms second
+        order in the routing difference (the resolvent identity with
+        the f32 resolvent substituted on the outside), with signed
+        cancellation - one extra operator application + one adjoint
+        solve, no f64 basin construction.
+
+    Falls back to the f64 construction when the attractor sets differ
+    or max_b |e_b| > trip_frac * guard_tol (default: a quarter of the
+    1e-6 e basin-charge parity bar).  Where the routing difference is
+    O(1) - plateau rewiring - the first-order term is itself
+    macroscopic, so the estimate still trips.
+
+    Returns (YTResult, audit dict with keys dtype/drift_est_e/nattr32/
+    nattr64/tripped/reason).
+    """
+    rho64 = jnp.asarray(rho, jnp.float64)
+    shape = tuple(int(s) for s in rho64.shape)
+    N = int(np.prod(shape))
+    res32 = yt_integrate(crystal, rho64.astype(jnp.float32))
+
+    offs_np, wts_np = _grid_ws_neighbors(crystal, shape)
+    offs = tuple(tuple(int(v) for v in o) for o in offs_np)
+    idx3 = jnp.arange(N, dtype=jnp.int32).reshape(shape)
+    chi64, isattr64 = _flux_tensors(rho64, idx3, jnp.asarray(wts_np),
+                                    offs=offs, shape=shape)
+    nattr64 = int(jnp.sum(isattr64))
+
+    vol = float(np.abs(np.linalg.det(np.asarray(crystal.m_x2c))))
+    dv = vol / N
+    audit = {"dtype": "f32", "nattr32": res32.nattr, "nattr64": nattr64,
+             "tripped": False, "reason": "",
+             "drift_est_e": float("nan")}
+
+    def fallback(reason):
+        audit["tripped"] = True
+        audit["reason"] = reason
+        audit["dtype"] = "f64"
+        return yt_integrate(crystal, rho64), audit
+
+    if nattr64 != res32.nattr:
+        return fallback(f"attractor count changed "
+                        f"({res32.nattr} f32 vs {nattr64} f64)")
+
+    # adjoint mass flow of rho through the f32 partition (what
+    # integrate() would compute for the charge), full grid
+    f3 = rho64.reshape((1,) + shape)
+    s = _solve_sweep(res32._chiP, res32._chi32_adjoint(), f3,
+                     res32._offs, adjoint=True)
+    dRs = (_apply_R(chi64, s, offs=offs, adjoint=True)
+           - _apply_R(res32._chiP.astype(jnp.float64), s, offs=offs,
+                      adjoint=True))
+    e3 = _solve_sweep(res32._chiP, res32._chi32_adjoint(), dRs,
+                      res32._offs, adjoint=True)[0]
+    i1, i2, i3 = np.unravel_index(res32.iattr, shape)
+    drift = float(np.max(np.abs(np.asarray(e3[i1, i2, i3])))) * dv
+    audit["drift_est_e"] = drift
+    if drift > trip_frac * guard_tol:
+        return fallback(f"estimated basin-charge drift {drift:.3e} e > "
+                        f"{trip_frac:g} * {guard_tol:g} e")
+    return res32, audit

@@ -153,3 +153,83 @@ def test_bader_neargrid_matches_attractors(rng):
     assert abs(r2.integrate(rho).sum() - rho.sum()) < 1e-8
     # boundaries may differ but the assignments agree in the bulk
     assert (r1.labels == r2.labels).mean() > 0.9
+
+
+# --------------------------------------------- f32 construction guard
+
+def _gauss_cell(n, tilt=0.0, clip=None, amp=3.0, alpha=0.9):
+    """Two-Gaussian test cell; optional sub-f32 tilt and plateau clip
+    (the adversarial combination: the clip creates a constant-density
+    shell whose f64 uphill ordering comes only from the tilt, which an
+    f32 cast erases)."""
+    a = 8.0
+    c = Crystal(m_x2c=np.diag([a, a, a]),
+                x_frac=np.array([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]]),
+                species_of=np.array([0, 1]),
+                species=[Species("Na", 11), Species("Cl", 17)])
+    ii, jj, kk = np.meshgrid(*[np.arange(n) / n] * 3, indexing="ij")
+    xf = np.stack([ii, jj, kk], axis=-1)
+
+    def gauss(center, amp, alpha):
+        d = xf - center
+        d -= np.round(d)
+        return amp * np.exp(-alpha * ((d * a) ** 2).sum(-1))
+
+    g1 = gauss(np.zeros(3), amp, alpha)
+    g2 = gauss(np.full(3, 0.5), amp, alpha)
+    rho = g1 + g2 + 1e-3
+    if clip is not None:
+        rho = np.maximum(rho, clip)
+        # quantize to f32 then add a sub-f32-resolution tilt: in f64
+        # the tilt orders the plateau, in f32 it vanishes
+        rho = np.asarray(np.asarray(rho, np.float32), np.float64)
+        if tilt:
+            rho = rho + tilt * ii
+    return c, rho
+
+
+def test_yt_f32_guard_benign():
+    """On a benign grid the guard stays quiet, its drift estimate
+    tracks the true f32-vs-f64 charge drift, and the drift is inside
+    the 1e-6 e parity bar."""
+    from critic2_tpu.analysis.yt import yt_f32_guarded
+
+    # (amp 2, alpha 0.5, n 32): measured drift estimate 1.7e-8 e,
+    # ~14x under the trip threshold - most atomic-density-like grids
+    # sit AT the 1e-6 bar (est 3e-7..2e-6 across n in a scan), which
+    # is exactly why the guard exists
+    c, rho = _gauss_cell(32, amp=2.0, alpha=0.5)
+    vol = float(np.abs(np.linalg.det(np.asarray(c.m_x2c))))
+    dv = vol / rho.size
+    res, audit = yt_f32_guarded(c, rho)
+    assert not audit["tripped"], audit
+    q32 = np.sort(np.asarray(res.integrate(jnp.asarray(rho)))) * dv
+    res64 = yt_integrate(c, jnp.asarray(rho))
+    q64 = np.sort(np.asarray(res64.integrate(jnp.asarray(rho)))) * dv
+    dq = float(np.abs(q32 - q64).max())
+    # the estimate is exact to second order in the routing difference
+    assert dq <= 4.0 * audit["drift_est_e"] + 1e-12, (dq, audit)
+    assert dq < 1e-6
+
+
+def test_yt_f32_guard_trips_adversarial():
+    """A flat plateau ordered only by a sub-f32-resolution tilt: the
+    f32 cast erases the ordering, rewiring the plateau's flux, and the
+    guard must trip and return the f64-constructed result."""
+    from critic2_tpu.analysis.yt import yt_f32_guarded
+
+    # clip creates a macroscopic constant-density shell between the
+    # two peaks; the 1e-9 tilt (~1e-2 of one f32 ulp at rho ~ 1)
+    # decides its f64 uphill ordering
+    c, rho = _gauss_cell(32, tilt=1e-9, clip=1.0)
+    vol = float(np.abs(np.linalg.det(np.asarray(c.m_x2c))))
+    dv = vol / rho.size
+    res, audit = yt_f32_guarded(c, rho)
+    assert audit["tripped"], audit
+    assert audit["dtype"] == "f64"
+    # the returned result IS the f64 construction
+    res64 = yt_integrate(c, jnp.asarray(rho))
+    assert res.nattr == res64.nattr
+    q = np.sort(np.asarray(res.integrate(jnp.asarray(rho)))) * dv
+    q64 = np.sort(np.asarray(res64.integrate(jnp.asarray(rho)))) * dv
+    np.testing.assert_allclose(q, q64, rtol=0, atol=1e-12)

@@ -409,6 +409,13 @@ def run_parity(small: bool = False, deadline_s: float = 900.0,
     qa = np.sort(q)[::-1][:min(len(q), len(q32))]
     qb = np.sort(q32)[::-1][:len(qa)]
     out["yt_f32_parity_max_dq_e"] = float(np.abs(qa - qb).max())
+    # guarded f32 construction (round-3 verdict weak #5): the runtime
+    # drift audit either clears the f32 partition or falls back to f64
+    from critic2_tpu.analysis.yt import yt_f32_guarded
+
+    _, audit = yt_f32_guarded(c, jnp.asarray(g))
+    out["yt_f32_guard_tripped"] = bool(audit["tripped"])
+    out["yt_f32_guard_drift_est_e"] = float(audit["drift_est_e"])
     if native.available():
         offs, wts = _grid_ws_neighbors(c, g.shape)
         _, q_seq = native.yt_charges(g, offs, wts, g)
