@@ -707,8 +707,24 @@ class Repl:
         low = [a.lower() for a in args]
         fids = [None]
         if "field" in low:
-            tok = args[low.index("field") + 1].lstrip("$")
-            fids = [int(tok) if tok.lstrip("-").isdigit() else tok]
+            raw_tok = args[low.index("field") + 1]
+            tok = raw_tok.lstrip("$")
+            if tok.lstrip("-").isdigit():
+                fids = [int(tok)]
+            else:
+                try:
+                    sy.field(tok)
+                    fids = [tok]
+                except KeyError:
+                    # arbitrary expression at the point (reference
+                    # rhoplot_point expression branch,
+                    # src/rhoplot@proc.f90:101-120)
+                    cart = np.asarray(x) @ np.asarray(
+                        sy.crystal.m_x2c).T
+                    v = float(np.asarray(
+                        sy.eval_expr(raw_tok, cart[None, :]))[0])
+                    self.write(f"  {raw_tok} = {v:.10e}")
+                    return
         elif "all" in low:
             fids = sorted(sy.fields.keys(), key=str)
         for fid in fids:

@@ -43,9 +43,16 @@ _LI = np.array([
     (4, 0, 0), (0, 4, 0), (0, 0, 4), (3, 1, 0), (3, 0, 1), (1, 3, 0),
     (0, 3, 1), (1, 0, 3), (0, 1, 3), (2, 2, 0), (2, 0, 2), (0, 2, 2),
     (2, 1, 1), (1, 2, 1), (1, 1, 2),
-], dtype=np.int32)   # types 1..35 (0-indexed row = type-1)
+    (0, 0, 5), (0, 1, 4), (0, 2, 3), (0, 3, 2), (0, 4, 1), (0, 5, 0),
+    (1, 0, 4), (1, 1, 3), (1, 2, 2), (1, 3, 1), (1, 4, 0), (2, 0, 3),
+    (2, 1, 2), (2, 2, 1), (2, 3, 0), (3, 0, 2), (3, 1, 1), (3, 2, 0),
+    (4, 0, 1), (4, 1, 0), (5, 0, 0),
+], dtype=np.int32)   # types 1..56 (0-indexed row = type-1; h block
+                     # order matches the reference li table,
+                     # src/wfn_private@proc.F90:2695-2705)
 
-_DFACM1 = np.array([1, 1, 1, 2, 3, 8, 15, 48, 105], dtype=float)
+_DFACM1 = np.array([1, 1, 1, 2, 3, 8, 15, 48, 105, 384, 945],
+                   dtype=float)   # (n-1)!! for n = 0..10
 
 # fchk in-shell primitive order -> AIMPAC type (reference typtrans,
 # src/wfn_private@proc.F90 read_fchk)

@@ -12,8 +12,8 @@ primitive pairs at once (JAX device arrays; the E/R recursions unroll at
 trace time over the small static angular-momentum ranges). The ERI pair
 matrix over symmetry-reduced primitive pairs is materialized block by
 block and consumed as matrix contractions against MO pair vectors -
-MXU-friendly and O(P^2) memory. Supported angular momentum: l <= 4
-(s, p, d, f, g); higher shells raise.
+MXU-friendly and O(P^2) memory. Supported angular momentum: l <= 5
+(s, p, d, f, g, h); higher shells raise.
 """
 from __future__ import annotations
 
@@ -181,9 +181,9 @@ def overlap_kinetic_nuclear(wfn):
     """S, T, V matrices over the primitives of a Wavefunction (P, P)."""
     li = _li()[wfn.itype - 1]                     # (P, 3) powers
     lmax = int(li.max())
-    if lmax > 4:
-        raise NotImplementedError("molecular integrals support l <= 4 "
-                                  "(s, p, d, f, g) for now")
+    if lmax > 5:
+        raise NotImplementedError("molecular integrals support l <= 5 "
+                                  "(s, p, d, f, g, h) for now")
     P = wfn.npri
     ctr = jnp.asarray(wfn.atpos[wfn.icenter])     # (P, 3)
     al = jnp.asarray(wfn.e)
@@ -257,8 +257,8 @@ def rinv_pairs(wfn, points, chunk: int = 8):
     each evaluation point and NO -Z factor)."""
     li = _li()[wfn.itype - 1]
     lmax = int(li.max())
-    if lmax > 4:
-        raise NotImplementedError("molecular integrals support l <= 4")
+    if lmax > 5:
+        raise NotImplementedError("molecular integrals support l <= 5")
     P = wfn.npri
     ctr = jnp.asarray(wfn.atpos[wfn.icenter])
     al = jnp.asarray(wfn.e)
@@ -303,8 +303,8 @@ def rinv_pairs(wfn, points, chunk: int = 8):
 def _pair_data(wfn):
     li = _li()[wfn.itype - 1]
     lmax = int(li.max())
-    if lmax > 4:
-        raise NotImplementedError("molecular integrals support l <= 4")
+    if lmax > 5:
+        raise NotImplementedError("molecular integrals support l <= 5")
     P = wfn.npri
     iu, ju = np.triu_indices(P)
     ctr = jnp.asarray(wfn.atpos[wfn.icenter])

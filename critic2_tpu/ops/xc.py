@@ -22,6 +22,7 @@ XC_IDS = {
     101: "gga_x_pbe", 102: "gga_x_pbe_r", 116: "gga_x_pbe_sol",
     117: "gga_x_rpbe", 130: "gga_c_pbe", 133: "gga_c_pbe_sol",
     106: "gga_x_b88", 131: "gga_c_lyp", 132: "gga_c_p86",
+    109: "gga_x_pw91", 134: "gga_c_pw91", 118: "gga_x_wc",
     202: "mgga_x_tpss", 231: "mgga_c_tpss",
 }
 
@@ -291,6 +292,62 @@ def mgga_c_tpss(rho, grad, lap, tau):
     return rho * eps_rev * (1.0 + d * eps_rev * z ** 3)
 
 
+def gga_x_pw91(rho, grad):
+    """PW91 exchange (Perdew-Wang 91, libxc GGA_X_PW91, id 109):
+    F = (1 + a s asinh(b s) + (c - d e^{-100 s^2}) s^2)
+        / (1 + a s asinh(b s) + e s^4)."""
+    a, b, c, d, e = 0.19645, 7.7956, 0.2743, 0.1508, 0.004
+    s = _s_red(rho, grad)
+    s2 = s * s
+    ash = a * s * jnp.arcsinh(b * s)
+    fx = ((1.0 + ash + (c - d * jnp.exp(-100.0 * s2)) * s2)
+          / (1.0 + ash + e * s2 * s2))
+    return lda_x(rho) * fx
+
+
+def gga_c_pw91(rho, grad):
+    """PW91 correlation (libxc GGA_C_PW91, id 134), closed shell:
+    eps = eps_PW92 + H0 + H1 with the Rasolt-Geldart Cc(rs)."""
+    rho = _safe(rho)
+    rs = (3.0 / (4.0 * jnp.pi * rho)) ** (1.0 / 3.0)
+    eps = _pw92_eps(rs)
+    kf = (3.0 * jnp.pi ** 2 * rho) ** (1.0 / 3.0)
+    ks = jnp.sqrt(4.0 * kf / jnp.pi)
+    t = grad / (2.0 * ks * rho)
+    s = _s_red(rho, grad)
+    t2 = t * t
+    alpha = 0.09
+    cc0 = 0.004235
+    cx = -0.001667
+    nu = (16.0 / jnp.pi) * (3.0 * jnp.pi ** 2) ** (1.0 / 3.0)
+    beta = nu * cc0
+    A = (2.0 * alpha / beta
+         / jnp.maximum(jnp.exp(2.0 * alpha * (-eps) / beta ** 2) - 1.0,
+                       _TINY))
+    num = 1.0 + A * t2
+    den = 1.0 + A * t2 + A * A * t2 * t2
+    H0 = (beta ** 2 / (2.0 * alpha)
+          * jnp.log(1.0 + 2.0 * alpha / beta * t2 * num / den))
+    # Rasolt-Geldart gradient coefficient (PW91 paper eq. 14)
+    ccrs = -cx + (2.568e-3 + 2.3266e-2 * rs + 7.389e-6 * rs * rs) \
+        / (1.0 + 8.723 * rs + 0.472 * rs * rs + 7.389e-2 * rs ** 3)
+    H1 = (nu * (ccrs - cc0 - 3.0 * (-cx) / 7.0) * t2
+          * jnp.exp(-100.0 * s * s))
+    return rho * (eps + H0 + H1)
+
+
+def gga_x_wc(rho, grad):
+    """Wu-Cohen exchange (libxc GGA_X_WC, id 118): PBE form with
+    x(s) = (10/81) s^2 + (mu - 10/81) s^2 e^{-s^2} + ln(1 + c s^4)."""
+    kappa, mu, c = 0.8040, 0.2195149727645171, 0.0079325
+    s = _s_red(rho, grad)
+    s2 = s * s
+    x = (10.0 / 81.0) * s2 + (mu - 10.0 / 81.0) * s2 * jnp.exp(-s2) \
+        + jnp.log(1.0 + c * s2 * s2)
+    fx = 1.0 + kappa - kappa / (1.0 + x / kappa)
+    return lda_x(rho) * fx
+
+
 _FUNCS = {
     "lda_x": (lda_x, 1), "lda_c_vwn": (lda_c_vwn, 1),
     "lda_c_vwn_rpa": (lda_c_vwn_rpa, 1), "lda_c_pz": (lda_c_pz, 1),
@@ -300,6 +357,8 @@ _FUNCS = {
     "gga_c_pbe": (gga_c_pbe, 2), "gga_c_pbe_sol": (gga_c_pbe_sol, 2),
     "gga_x_b88": (gga_x_b88, 2), "gga_c_lyp": (gga_c_lyp, 2),
     "gga_c_p86": (gga_c_p86, 2),
+    "gga_x_pw91": (gga_x_pw91, 2), "gga_c_pw91": (gga_c_pw91, 2),
+    "gga_x_wc": (gga_x_wc, 2),
     "mgga_x_tpss": (mgga_x_tpss, 4), "mgga_c_tpss": (mgga_c_tpss, 4),
 }
 

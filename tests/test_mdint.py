@@ -165,3 +165,84 @@ def test_g_functions_eri_symmetry():
     pp = 2.0 * a
     ref = 2.0 * np.pi ** 2.5 / (pp * pp * np.sqrt(pp + pp))
     np.testing.assert_allclose(M[k, k], ref, rtol=1e-12)
+
+
+def test_h_functions_overlap_vs_quadrature():
+    """l = 5 (h) 1e integrals against exact Gauss-Hermite quadrature
+    (round-3 verdict breadth item: the reference li table runs to type
+    56 = h, src/wfn_private@proc.F90:2695-2705; libCINT has no
+    ceiling)."""
+    import numpy as np
+
+    from critic2_tpu.fields.wfn import Wavefunction, _LI
+    from critic2_tpu.ops.mdint import overlap_kinetic_nuclear
+
+    atpos = np.array([[0.0, 0.0, 0.0], [0.8, -0.5, 0.6]])
+    # types (1-based): 56 (5,0,0), 43 (1,1,3), 37 (0,1,4),
+    # 50 (2,3,0), 21 gxxxx, 1 s
+    ityp = np.array([56, 43, 37, 50, 21, 1])
+    icen = np.array([0, 0, 1, 1, 0, 1])
+    alph = np.array([1.0, 0.9, 0.7, 1.3, 0.8, 1.1])
+    w = Wavefunction(
+        atpos=atpos, icenter=icen, itype=ityp, e=alph,
+        cmo=np.ones((1, len(ityp))), occ=np.array([2.0]),
+        atz=np.array([6, 6]))
+    S, T, V = (np.asarray(m) for m in overlap_kinetic_nuclear(w))
+
+    li = _LI[ityp - 1]
+    xg, wg = np.polynomial.hermite.hermgauss(48)
+
+    def s1d(i, j, a, b, A, B, d):
+        p = a + b
+        mu = (a * A[d] + b * B[d]) / p
+        t = mu + xg / np.sqrt(p)
+        poly = (t - A[d]) ** li[i][d] * (t - B[d]) ** li[j][d]
+        k = np.exp(-a * b / p * (A[d] - B[d]) ** 2)
+        return k * poly @ wg / np.sqrt(p)
+
+    for i in range(len(ityp)):
+        for j in range(len(ityp)):
+            a, b = alph[i], alph[j]
+            A, B = atpos[icen[i]], atpos[icen[j]]
+            s_ref = np.prod([s1d(i, j, a, b, A, B, d) for d in range(3)])
+            np.testing.assert_allclose(S[i, j], s_ref, rtol=1e-11,
+                                       atol=1e-14)
+    assert np.allclose(T, T.T, atol=1e-12)
+    assert (np.diag(T) > 0).all()
+    # V far-nucleus monopole limit (R tensor at L = 10)
+    far = np.array([[500.0, 0.0, 0.0]])
+    w_far = Wavefunction(
+        atpos=np.vstack([atpos, far]), icenter=icen, itype=ityp,
+        e=alph, cmo=np.ones((1, len(ityp))), occ=np.array([2.0]),
+        atz=np.array([0, 0, 1]))
+    _, _, V_far = (np.asarray(m)
+                   for m in overlap_kinetic_nuclear(w_far))
+    np.testing.assert_allclose(V_far, -S / 500.0, atol=2e-5)
+
+
+def test_h_functions_point_eval():
+    """GTO point evaluation (rho/grad/Hess) with an h primitive against
+    the independent pure-NumPy evaluator."""
+    import numpy as np
+
+    from critic2_tpu.fields.wfn import Wavefunction
+    from tools.parity_bench import _wfn_derivs_numpy
+
+    atpos = np.array([[0.0, 0.0, 0.0], [0.9, -0.3, 0.5]])
+    ityp = np.array([56, 43, 1, 21])
+    icen = np.array([0, 1, 0, 1])
+    alph = np.array([0.9, 0.8, 1.2, 0.7])
+    rng = np.random.default_rng(7)
+    cmo = rng.normal(size=(2, len(ityp)))
+    w = Wavefunction(atpos=atpos, icenter=icen, itype=ityp, e=alph,
+                     cmo=cmo, occ=np.array([2.0, 1.0]),
+                     atz=np.array([6, 6]))
+    pts = rng.normal(size=(12, 3))
+    rho, gf, h6 = (np.asarray(v) for v in w.rho_eval_soa(pts.T, nder=2))
+    r_ref, g_ref, H_ref = _wfn_derivs_numpy(w, pts)
+    np.testing.assert_allclose(rho, r_ref, rtol=1e-10, atol=1e-13)
+    np.testing.assert_allclose(gf.T, g_ref, rtol=1e-9, atol=1e-12)
+    h_ref6 = np.stack([H_ref[:, 0, 0], H_ref[:, 1, 1], H_ref[:, 2, 2],
+                       H_ref[:, 0, 1], H_ref[:, 0, 2], H_ref[:, 1, 2]],
+                      axis=1)
+    np.testing.assert_allclose(h6.T, h_ref6, rtol=1e-9, atol=1e-11)

@@ -126,3 +126,48 @@ def test_extra_lda_gga_ids():
     c_pbe = np.asarray(xc_eval(130, rho, grad))
     c_sol = np.asarray(xc_eval(133, rho, grad))
     assert np.max(np.abs(c_sol - c_pbe)) > 1e-8
+
+
+def test_round4_gga_ids():
+    """Round-4 breadth ids: PW91 x/c (109/134), Wu-Cohen (118) -
+    limit and cross-functional checks."""
+    import numpy as np
+
+    from critic2_tpu.ops.xc import xc_eval
+
+    rho = np.array([1e-3, 0.05, 0.3, 1.0, 5.0])
+    grad = np.array([1e-5, 0.02, 0.2, 1.0, 8.0])
+    zero = np.zeros_like(rho)
+
+    e_lda = np.asarray(xc_eval(1, rho))
+    # s -> 0 limits: PW91/WC exchange reduce to LDA exchange
+    for fid in (109, 118):
+        np.testing.assert_allclose(np.asarray(xc_eval(fid, rho, zero)),
+                                   e_lda, rtol=1e-12)
+    # t -> 0: PW91 correlation reduces exactly to the PW92 LDA
+    c_pw92 = np.asarray(xc_eval(12, rho))
+    np.testing.assert_allclose(np.asarray(xc_eval(134, rho, zero)),
+                               c_pw92, rtol=1e-12, atol=1e-14)
+
+    # PW91 and PBE (designed to reproduce PW91's numerics) agree to a
+    # few percent at moderate reduced gradients and to <0.5% on the
+    # energy density at chemically relevant rho
+    e_pw91 = np.asarray(xc_eval(109, rho, grad))
+    e_pbe = np.asarray(xc_eval(101, rho, grad))
+    np.testing.assert_allclose(e_pw91, e_pbe, rtol=0.05)
+    c_pw91 = np.asarray(xc_eval(134, rho, grad))
+    c_pbe = np.asarray(xc_eval(130, rho, grad))
+    np.testing.assert_allclose(c_pw91, c_pbe, rtol=0.1, atol=1e-5)
+
+    # WC sits between PBEsol and PBE by construction (its x(s) has the
+    # PBEsol small-s slope and grows toward the PBE form)
+    e_sol = np.asarray(xc_eval(116, rho, grad))
+    e_wc = np.asarray(xc_eval(118, rho, grad))
+    assert ((e_wc <= e_sol + 1e-12) & (e_wc >= e_pbe - 1e-12)).all()
+
+    # enhancement factors stay bounded by 1 + kappa
+    s_big = np.full_like(rho, 50.0)
+    for fid, cap in ((109, 1.0 + 0.9), (118, 1.0 + 0.804)):
+        e_big = np.asarray(xc_eval(fid, rho, s_big * rho ** (4 / 3)
+                                   * 2 * (3 * np.pi ** 2) ** (1 / 3)))
+        assert (e_big >= cap * e_lda - 1e-10).all()   # e_x negative
