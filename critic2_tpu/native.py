@@ -54,6 +54,9 @@ def _load():
         lib.c2n_yt_charges.restype = ctypes.c_int
         lib.c2n_tricubic_batch.restype = None
         lib.c2n_nci_sweep.restype = ctypes.c_longlong
+        lib.c2n_tricubic_values.restype = None
+        lib.c2n_trace_colors.restype = ctypes.c_longlong
+        lib.c2n_auto_drain.restype = ctypes.c_int
         lib.c2n_omp_threads.restype = ctypes.c_int
         _LIB = lib
         return lib
@@ -225,6 +228,103 @@ def nci_sweep(f, m_c2x, rhocut: float = 0.2, dimcut: float = 2.0) -> int:
         f.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         m.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         ctypes.c_double(rhocut), ctypes.c_double(dimcut)))
+
+
+def tricubic_values(f, xfrac):
+    """Value-only host tricubic (single core, sequential): the
+    cubature-stand-in field read (the reference grd(v,0) path computes
+    no derivatives, so CPU denominators must not be charged for
+    them)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built "
+                           "(python -m critic2_tpu.native)")
+    f = np.ascontiguousarray(f, dtype=np.float64)
+    x = np.ascontiguousarray(xfrac, dtype=np.float64)
+    N = len(x)
+    y = np.empty(N)
+    lib.c2n_tricubic_values(
+        ctypes.c_int(f.shape[0]), ctypes.c_int(f.shape[1]),
+        ctypes.c_int(f.shape[2]),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_longlong(N),
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return y
+
+
+def trace_colors(f, m_x2c, seeds_cart, tgt_cart, tgt_ids, rt,
+                 hini: float = 0.3, maxerr: float = 1e-4,
+                 gradeps: float = 1e-7, mstep: int = 600):
+    """Sequential single-core gradient-path tracer: the CPU-measured
+    counterpart of ops/ode.trace_paths for the qtree/flux trace
+    workload (reference per-thread adaptive_stepper,
+    src/fieldmod@proc.f90:2076-2399, BS23 defaults
+    src/global@proc.f90:104-107).  One path at a time on the native
+    tricubic; identical capture/step-control semantics to the device
+    tracer.  Returns (colors (N,) int, nevals)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built "
+                           "(python -m critic2_tpu.native)")
+    f = np.ascontiguousarray(f, dtype=np.float64)
+    minv = np.ascontiguousarray(np.linalg.inv(np.asarray(m_x2c)),
+                                dtype=np.float64)
+    seeds = np.ascontiguousarray(seeds_cart, dtype=np.float64)
+    tgt = np.ascontiguousarray(tgt_cart, dtype=np.float64)
+    ids = np.ascontiguousarray(tgt_ids, dtype=np.int32)
+    rts = np.ascontiguousarray(np.broadcast_to(rt, (len(tgt),)),
+                               dtype=np.float64)
+    N = len(seeds)
+    cols = np.empty(N, dtype=np.int32)
+    nev = lib.c2n_trace_colors(
+        ctypes.c_int(f.shape[0]), ctypes.c_int(f.shape[1]),
+        ctypes.c_int(f.shape[2]),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        minv.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_longlong(N),
+        seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int(len(tgt)),
+        tgt.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        rts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_double(hini), ctypes.c_double(maxerr),
+        ctypes.c_double(gradeps), ctypes.c_int(mstep),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    return cols, int(nev)
+
+
+def auto_drain(f, m_x2c, seeds_frac, gfnormeps: float = 1e-12,
+               cpeps: float = 1e-2, maxit: int = 200,
+               maxcp: int = 100000):
+    """Sequential full AUTO driver stand-in: one seed at a time, Newton
+    to |grad| < gfnormeps, min-image dedup at cpeps against the found
+    list, rank/signature classification - the same work the reference
+    per-seed loop does (src/autocp@proc.f90:694-723 + newton
+    src/fieldmod@proc.f90:1832-1868 + addcp :1876), single core.
+    Returns (cps_frac (ncp,3), signatures (ncp,))."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built "
+                           "(python -m critic2_tpu.native)")
+    f = np.ascontiguousarray(f, dtype=np.float64)
+    m = np.ascontiguousarray(m_x2c, dtype=np.float64)
+    seeds = np.ascontiguousarray(seeds_frac, dtype=np.float64)
+    cps = np.empty((maxcp, 3))
+    sig = np.empty(maxcp, dtype=np.int32)
+    n = lib.c2n_auto_drain(
+        ctypes.c_int(f.shape[0]), ctypes.c_int(f.shape[1]),
+        ctypes.c_int(f.shape[2]),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_longlong(len(seeds)),
+        seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_double(gfnormeps), ctypes.c_double(cpeps),
+        ctypes.c_int(maxit),
+        cps.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        sig.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        ctypes.c_int(maxcp))
+    return cps[:n], sig[:n]
 
 
 def omp_threads() -> int:

@@ -559,6 +559,371 @@ long long c2n_nci_sweep(int n1, int n2, int n3, const double* f,
     return ndat;
 }
 
+// ---------------------------------------------------------------------
+// Single-point tricubic eval (value + frac-scaled gradient + SYM6
+// Hessian) -- scalar core shared by the sequential driver stand-ins.
+// ---------------------------------------------------------------------
+static void tric_point(int n1, int n2, int n3, const double* f,
+                       const double* xf, double* v, double* gfr,
+                       double* h6) {
+    const int nn[3] = {n1, n2, n3};
+    double w[3][4], dw[3][4], sw[3][4];
+    int idx[3][4];
+    for (int a = 0; a < 3; ++a) {
+        double x = xf[a];
+        x -= std::floor(x);
+        double xg = x * nn[a];
+        int i0 = (int)std::floor(xg);
+        if (i0 >= nn[a]) i0 = nn[a] - 1;
+        double t = xg - i0;
+        cr_w(t, w[a], dw[a], sw[a]);
+        for (int s = 0; s < 4; ++s)
+            idx[a][s] = ((i0 + s - 1) % nn[a] + nn[a]) % nn[a];
+    }
+    double vv = 0, gx = 0, gy = 0, gz = 0;
+    double hxx = 0, hyy = 0, hzz = 0, hxy = 0, hxz = 0, hyz = 0;
+    for (int i = 0; i < 4; ++i)
+        for (int j = 0; j < 4; ++j) {
+            const double* base =
+                f + ((long long)idx[0][i] * n2 + idx[1][j]) * n3;
+            double rz = 0, rdz = 0, rsz = 0;
+            for (int k = 0; k < 4; ++k) {
+                const double g = base[idx[2][k]];
+                rz += w[2][k] * g;
+                rdz += dw[2][k] * g;
+                rsz += sw[2][k] * g;
+            }
+            const double wij = w[0][i] * w[1][j];
+            vv += wij * rz;
+            gx += dw[0][i] * w[1][j] * rz;
+            gy += w[0][i] * dw[1][j] * rz;
+            gz += wij * rdz;
+            hxx += sw[0][i] * w[1][j] * rz;
+            hyy += w[0][i] * sw[1][j] * rz;
+            hzz += wij * rsz;
+            hxy += dw[0][i] * dw[1][j] * rz;
+            hxz += dw[0][i] * w[1][j] * rdz;
+            hyz += w[0][i] * dw[1][j] * rdz;
+        }
+    *v = vv;
+    gfr[0] = gx * n1;
+    gfr[1] = gy * n2;
+    gfr[2] = gz * n3;
+    h6[0] = hxx * (double)n1 * n1;
+    h6[1] = hyy * (double)n2 * n2;
+    h6[2] = hzz * (double)n3 * n3;
+    h6[3] = hxy * (double)n1 * n2;
+    h6[4] = hxz * (double)n1 * n3;
+    h6[5] = hyz * (double)n2 * n3;
+}
+
+// Value-only tricubic batch (the cubature stand-in's field read: the
+// reference's grd(v, 0) path computes no derivatives, so the CPU
+// denominator must not be charged for them).
+void c2n_tricubic_values(int n1, int n2, int n3, const double* f,
+                         long long N, const double* xfrac, double* y) {
+    const int nn[3] = {n1, n2, n3};
+    for (long long p = 0; p < N; ++p) {
+        double w[3][4], dw[3][4], sw[3][4];
+        int idx[3][4];
+        for (int a = 0; a < 3; ++a) {
+            double x = xfrac[3 * p + a];
+            x -= std::floor(x);
+            double xg = x * nn[a];
+            int i0 = (int)std::floor(xg);
+            if (i0 >= nn[a]) i0 = nn[a] - 1;
+            double t = xg - i0;
+            cr_w(t, w[a], dw[a], sw[a]);
+            for (int s = 0; s < 4; ++s)
+                idx[a][s] = ((i0 + s - 1) % nn[a] + nn[a]) % nn[a];
+        }
+        double v = 0;
+        for (int i = 0; i < 4; ++i)
+            for (int j = 0; j < 4; ++j) {
+                const double* base =
+                    f + ((long long)idx[0][i] * n2 + idx[1][j]) * n3;
+                double rz = 0;
+                for (int k = 0; k < 4; ++k)
+                    rz += w[2][k] * base[idx[2][k]];
+                v += w[0][i] * w[1][j] * rz;
+            }
+        y[p] = v;
+    }
+}
+
+// Cartesian gradient at a Cartesian point: frac = minv x (row-major
+// minv), g_cart = minv^T g_frac.  Returns |g| and the unit ascent
+// direction (sign sgn).
+static double grad_dir(int n1, int n2, int n3, const double* f,
+                       const double* minv, const double* xc, double sgn,
+                       double* dir) {
+    double xf[3] = {0, 0, 0};
+    for (int a = 0; a < 3; ++a)
+        for (int b = 0; b < 3; ++b)
+            xf[a] += minv[3 * a + b] * xc[b];
+    double v, gfr[3], h6[6];
+    tric_point(n1, n2, n3, f, xf, &v, gfr, h6);
+    double gc[3] = {0, 0, 0};
+    for (int a = 0; a < 3; ++a)
+        for (int b = 0; b < 3; ++b)
+            gc[a] += minv[3 * b + a] * gfr[b];
+    const double gm = std::sqrt(gc[0] * gc[0] + gc[1] * gc[1]
+                                + gc[2] * gc[2]);
+    const double inv = sgn / (gm + 1e-80);
+    dir[0] = gc[0] * inv;
+    dir[1] = gc[1] * inv;
+    dir[2] = gc[2] * inv;
+    return gm;
+}
+
+// ---------------------------------------------------------------------
+// Sequential gradient-path color tracer: the single-core reference
+// stand-in for the qtree/flux trace workload (one path at a time, as
+// the reference's per-thread adaptive_stepper runs it,
+// src/fieldmod@proc.f90:2076-2399 with the BS23 default pair,
+// src/global@proc.f90:104-107).  Exactly the device tracer's
+// semantics (ops/ode.py): FSAL BS23, capture at dist <= max(rt[k],
+// |h|/2), gradient-zero -> status 1, step collapse -> 2, mstep -> 4.
+// colors[i] = tgt_ids[k] on capture; gradient-zero finishers fall back
+// to the nearest target within 0.5 bohr (the qtree driver's own
+// saddle/nucleus classification), else -1.
+// Returns the total number of field evaluations performed.
+// ---------------------------------------------------------------------
+long long c2n_trace_colors(int n1, int n2, int n3, const double* f,
+                           const double* minv, long long N,
+                           const double* seeds_cart, int K,
+                           const double* tgt_cart, const int* tgt_ids,
+                           const double* rt, double hini, double maxerr,
+                           double gradeps, int mstep, int* colors) {
+    long long nev = 0;
+    for (long long p = 0; p < N; ++p) {
+        double x[3] = {seeds_cart[3 * p], seeds_cart[3 * p + 1],
+                       seeds_cart[3 * p + 2]};
+        double h = hini;
+        double d1[3];
+        double gm = grad_dir(n1, n2, n3, f, minv, x, 1.0, d1);
+        ++nev;
+        int col = -1;
+        int status = 4;
+        for (int it = 0; it < mstep; ++it) {
+            if (gm < gradeps) { status = 1; break; }
+            // nearest-target capture
+            int kb = -1;
+            double db = 1e300;
+            for (int k = 0; k < K; ++k) {
+                const double dx = x[0] - tgt_cart[3 * k];
+                const double dy = x[1] - tgt_cart[3 * k + 1];
+                const double dz = x[2] - tgt_cart[3 * k + 2];
+                const double d2 = dx * dx + dy * dy + dz * dz;
+                if (d2 < db) { db = d2; kb = k; }
+            }
+            db = std::sqrt(db);
+            if (kb >= 0 && db <= std::max(rt[kb], 0.5 * std::fabs(h))) {
+                col = tgt_ids[kb];
+                status = 0;
+                break;
+            }
+            // BS23 attempt (FSAL: d1 is the direction at x)
+            double x2[3], x3[3], xn[3], d2v[3], d3v[3], d4v[3];
+            for (int a = 0; a < 3; ++a) x2[a] = x[a] + 0.5 * h * d1[a];
+            grad_dir(n1, n2, n3, f, minv, x2, 1.0, d2v);
+            for (int a = 0; a < 3; ++a) x3[a] = x[a] + 0.75 * h * d2v[a];
+            grad_dir(n1, n2, n3, f, minv, x3, 1.0, d3v);
+            for (int a = 0; a < 3; ++a)
+                xn[a] = x[a] + h * (2.0 / 9.0 * d1[a] + 1.0 / 3.0 * d2v[a]
+                                    + 4.0 / 9.0 * d3v[a]);
+            const double gm4 = grad_dir(n1, n2, n3, f, minv, xn, 1.0, d4v);
+            nev += 3;
+            double nerr = 0;
+            for (int a = 0; a < 3; ++a) {
+                const double e = h * (-5.0 / 72.0 * d1[a]
+                                      + 1.0 / 12.0 * d2v[a]
+                                      + 1.0 / 9.0 * d3v[a]
+                                      - 1.0 / 8.0 * d4v[a]);
+                nerr += e * e;
+            }
+            nerr = std::sqrt(nerr);
+            if (nerr < maxerr) {
+                for (int a = 0; a < 3; ++a) { x[a] = xn[a]; d1[a] = d4v[a]; }
+                gm = gm4;
+                if (nerr < maxerr / 10.0)
+                    h = std::min(std::fabs(1.6 * h), hini);
+            } else {
+                h = 0.9 * h * maxerr / std::max(nerr, 1e-30);
+            }
+            if (std::fabs(h) < 1e-12) { status = 2; break; }
+        }
+        if (status == 1) {
+            // gradient-zero finisher: nearest target within 0.5 bohr
+            int kb = -1;
+            double db = 1e300;
+            for (int k = 0; k < K; ++k) {
+                const double dx = x[0] - tgt_cart[3 * k];
+                const double dy = x[1] - tgt_cart[3 * k + 1];
+                const double dz = x[2] - tgt_cart[3 * k + 2];
+                const double d2 = dx * dx + dy * dy + dz * dz;
+                if (d2 < db) { db = d2; kb = k; }
+            }
+            if (kb >= 0 && std::sqrt(db) < 0.5) col = tgt_ids[kb];
+        }
+        colors[p] = col;
+    }
+    return nev;
+}
+
+// ---------------------------------------------------------------------
+// Sequential full AUTO driver stand-in: per-seed Newton search + CP-
+// list dedup + rank/signature classification, one seed at a time (the
+// reference's per-thread loop, src/autocp@proc.f90:694-723; newton
+// src/fieldmod@proc.f90:1832-1868; addcp dedup/classify :1876).
+// seeds_frac: (N,3) fractional.  m: row-major x2c (cart = m @ frac).
+// Outputs: cps_frac (maxcp x 3), cp_sig (maxcp, signature -3..3).
+// Returns number of unique CPs found (<= maxcp).
+// ---------------------------------------------------------------------
+int c2n_auto_drain(int n1, int n2, int n3, const double* f,
+                   const double* m, long long N, const double* seeds_frac,
+                   double gfnormeps, double cpeps, int maxit,
+                   double* cps_frac, int* cp_sig, int maxcp) {
+    // minv = m^{-1} for cart->frac of gradients
+    double minv[9];
+    {
+        const double a = m[0], b = m[1], c = m[2], d = m[3], e = m[4],
+                     g = m[5], h = m[6], i = m[7], j = m[8];
+        const double det = a * (e * j - g * i) - b * (d * j - g * h)
+            + c * (d * i - e * h);
+        const double id = 1.0 / det;
+        minv[0] = (e * j - g * i) * id;
+        minv[1] = (c * i - b * j) * id;
+        minv[2] = (b * g - c * e) * id;
+        minv[3] = (g * h - d * j) * id;
+        minv[4] = (a * j - c * h) * id;
+        minv[5] = (c * d - a * g) * id;
+        minv[6] = (d * i - e * h) * id;
+        minv[7] = (b * h - a * i) * id;
+        minv[8] = (a * e - b * d) * id;
+    }
+    int ncp = 0;
+    for (long long p = 0; p < N; ++p) {
+        double xf[3] = {seeds_frac[3 * p], seeds_frac[3 * p + 1],
+                        seeds_frac[3 * p + 2]};
+        bool conv = false;
+        double Hc[3][3] = {{0, 0, 0}, {0, 0, 0}, {0, 0, 0}};
+        for (int it = 0; it < maxit; ++it) {
+            double v, gfr[3], h6[6];
+            double xw[3] = {xf[0] - std::floor(xf[0]),
+                            xf[1] - std::floor(xf[1]),
+                            xf[2] - std::floor(xf[2])};
+            tric_point(n1, n2, n3, f, xw, &v, gfr, h6);
+            // Cartesian gradient / Hessian
+            double gc[3] = {0, 0, 0};
+            for (int a = 0; a < 3; ++a)
+                for (int b = 0; b < 3; ++b)
+                    gc[a] += minv[3 * b + a] * gfr[b];
+            double Hf[3][3] = {{h6[0], h6[3], h6[4]},
+                               {h6[3], h6[1], h6[5]},
+                               {h6[4], h6[5], h6[2]}};
+            double T[3][3] = {{0, 0, 0}, {0, 0, 0}, {0, 0, 0}};
+            for (int a = 0; a < 3; ++a)
+                for (int b = 0; b < 3; ++b)
+                    for (int cc = 0; cc < 3; ++cc)
+                        T[a][b] += minv[3 * cc + a] * Hf[cc][b];
+            for (int a = 0; a < 3; ++a)
+                for (int b = 0; b < 3; ++b) {
+                    Hc[a][b] = 0;
+                    for (int cc = 0; cc < 3; ++cc)
+                        Hc[a][b] += T[a][cc] * minv[3 * cc + b];
+                }
+            const double gn = std::sqrt(gc[0] * gc[0] + gc[1] * gc[1]
+                                        + gc[2] * gc[2]);
+            if (gn < gfnormeps) { conv = true; break; }
+            // solve Hc dx = gc (Cramer)
+            const double det =
+                Hc[0][0] * (Hc[1][1] * Hc[2][2] - Hc[1][2] * Hc[2][1])
+                - Hc[0][1] * (Hc[1][0] * Hc[2][2] - Hc[1][2] * Hc[2][0])
+                + Hc[0][2] * (Hc[1][0] * Hc[2][1] - Hc[1][1] * Hc[2][0]);
+            if (std::fabs(det) < 1e-30) break;
+            double dx[3];
+            for (int a = 0; a < 3; ++a) {
+                double A[3][3];
+                std::memcpy(A, Hc, sizeof(A));
+                A[0][a] = gc[0];
+                A[1][a] = gc[1];
+                A[2][a] = gc[2];
+                dx[a] = (A[0][0] * (A[1][1] * A[2][2] - A[1][2] * A[2][1])
+                         - A[0][1] * (A[1][0] * A[2][2] - A[1][2] * A[2][0])
+                         + A[0][2] * (A[1][0] * A[2][1] - A[1][1] * A[2][0]))
+                        / det;
+            }
+            // step in Cartesian, back to frac
+            double dxf[3] = {0, 0, 0};
+            for (int a = 0; a < 3; ++a)
+                for (int b = 0; b < 3; ++b)
+                    dxf[a] += minv[3 * a + b] * dx[b];
+            xf[0] -= dxf[0];
+            xf[1] -= dxf[1];
+            xf[2] -= dxf[2];
+        }
+        if (!conv) continue;
+        for (int a = 0; a < 3; ++a) xf[a] -= std::floor(xf[a]);
+        // dedup: min-image Cartesian distance against the found list
+        bool dup = false;
+        for (int q = 0; q < ncp && !dup; ++q) {
+            double dfr[3];
+            for (int a = 0; a < 3; ++a) {
+                dfr[a] = xf[a] - cps_frac[3 * q + a];
+                dfr[a] -= std::round(dfr[a]);
+            }
+            for (int s1 = -1; s1 <= 1 && !dup; ++s1)
+                for (int s2 = -1; s2 <= 1 && !dup; ++s2)
+                    for (int s3 = -1; s3 <= 1 && !dup; ++s3) {
+                        const double df[3] = {dfr[0] + s1, dfr[1] + s2,
+                                              dfr[2] + s3};
+                        double dc[3] = {0, 0, 0};
+                        for (int a = 0; a < 3; ++a)
+                            for (int b = 0; b < 3; ++b)
+                                dc[a] += m[3 * a + b] * df[b];
+                        if (dc[0] * dc[0] + dc[1] * dc[1] + dc[2] * dc[2]
+                            < cpeps * cpeps)
+                            dup = true;
+                    }
+        }
+        if (dup || ncp >= maxcp) continue;
+        // classify: signature of the (converged) Cartesian Hessian via
+        // the trigonometric closed-form eigenvalues
+        const double q0 = (Hc[0][0] + Hc[1][1] + Hc[2][2]) / 3.0;
+        const double da = Hc[0][0] - q0, db_ = Hc[1][1] - q0,
+                     dc_ = Hc[2][2] - q0;
+        const double p2 = da * da + db_ * db_ + dc_ * dc_
+            + 2.0 * (Hc[0][1] * Hc[0][1] + Hc[0][2] * Hc[0][2]
+                     + Hc[1][2] * Hc[1][2]);
+        const double pp = std::sqrt(p2 / 6.0);
+        double e1 = q0, e2 = q0, e3 = q0;
+        if (pp > 0) {
+            const double na = da / pp, nb = db_ / pp, nc = dc_ / pp;
+            const double nxy = Hc[0][1] / pp, nxz = Hc[0][2] / pp,
+                         nyz = Hc[1][2] / pp;
+            double r = (na * (nb * nc - nyz * nyz)
+                        - nxy * (nxy * nc - nyz * nxz)
+                        + nxz * (nxy * nyz - nb * nxz)) / 2.0;
+            r = std::max(-1.0, std::min(1.0, r));
+            const double phi = std::acos(r) / 3.0;
+            e1 = q0 + 2.0 * pp * std::cos(phi);
+            e3 = q0 + 2.0 * pp * std::cos(phi + 2.0 * M_PI / 3.0);
+            e2 = 3.0 * q0 - e1 - e3;
+        }
+        int sig = 0;
+        sig += (e1 > 0) ? 1 : -1;
+        sig += (e2 > 0) ? 1 : -1;
+        sig += (e3 > 0) ? 1 : -1;
+        cps_frac[3 * ncp] = xf[0];
+        cps_frac[3 * ncp + 1] = xf[1];
+        cps_frac[3 * ncp + 2] = xf[2];
+        cp_sig[ncp] = sig;
+        ++ncp;
+    }
+    return ncp;
+}
+
 int c2n_omp_threads() {
 #ifdef _OPENMP
     int n = 0;

@@ -72,6 +72,13 @@ def main(which: str = "nacl"):
             ACC[f"eval{nder}"] += time.perf_counter() - t0
             CNT[f"eval{nder}"] += 1
             return out
+        # trace_paths reads the device-constant plumbing off the
+        # evaluator (_c2t_raw/_c2t_consts); dropping it would inline
+        # the whole grid into the lowered MLIR (134 MB at 256^3 f64 -
+        # the compile helper OOMs)
+        for attr in ("_c2t_raw", "_c2t_consts"):
+            if hasattr(fn, attr):
+                setattr(timed, attr, getattr(fn, attr))
         return timed
     Field.eval_fn = timed_eval_fn
 
