@@ -96,7 +96,7 @@ _partial = {"extra": {}}
 _stdout_fd = {"fd": None}
 
 _MAX_STR = 300          # longest string value allowed inside extra
-_MAX_LINE = 16384       # hard bound on the emitted line length
+_MAX_LINE = 32768       # hard bound on the emitted line length
 
 
 def _sanitize(obj):
@@ -285,6 +285,18 @@ def main():
         run_parity(small=small, deadline_s=remaining, sink=extra)
     except Exception as exc:  # pragma: no cover
         extra["parity_error"] = f"{type(exc).__name__}: {exc}"
+
+    # the measured single-core denominators land in the artifact so
+    # the five-config BASELINE table (round-3 verdict #8) materializes
+    # from the emitted JSON alone
+    try:
+        from tools.parity_bench import CPU_MEASURED
+        for k, v in CPU_MEASURED.items():
+            extra.setdefault(k, v)
+        from tools.baseline_table import build_table
+        extra["baseline_table"] = build_table(extra)
+    except Exception as exc:  # pragma: no cover
+        extra["table_error"] = f"{type(exc).__name__}: {exc}"
 
     # headline = the f32 sweep: the production eval precision (SURVEY
     # section 7 "f32 eval + f64 Newton polish"); the harness itself

@@ -138,18 +138,56 @@ def _becke_weights(points, atpos):
 _becke_weights_jit = jax.jit(_becke_weights)
 
 
+def _becke_weights_knn(points, atpos, nbr):
+    """Becke cell weights restricted to each point's nbr (N, k) atom
+    set; returns (N, k) weights aligned with nbr.  The caller selects
+    nbr by the switching argument mu (see _becke_parent_weights_knn):
+    an atom excluded at mu <= -MU_CUT has s -> 1 within ~3e-11 (the
+    4-iteration Becke polynomial converges as e' = 1.5 e^2 near
+    mu = -1), so truncating the product changes the partition by
+    < nat * 3e-11.  This bounds the cost at O(N k^2) instead of
+    O(N nat^2) - the difference between 5.7e10 and 8.3e12 ops on a
+    768-atom assembly (the cps_large scale)."""
+    ap = atpos[nbr]                                     # (N, k, 3)
+    d = jnp.linalg.norm(points[:, None, :] - ap, axis=-1)   # (N, k)
+    rr = jnp.linalg.norm(ap[:, :, None, :] - ap[:, None, :, :], axis=-1)
+    rr = jnp.where(rr < 1e-14, 1.0, rr)
+    mu = (d[:, :, None] - d[:, None, :]) / rr
+    f = mu
+    for _ in range(4):
+        f = 1.5 * f - 0.5 * f ** 3
+    s = 0.5 * (1.0 - f)
+    k = nbr.shape[1]
+    s = jnp.where(jnp.eye(k, dtype=bool)[None, :, :], 1.0, s)
+    P = jnp.prod(s, axis=2)
+    return P / P.sum(axis=1, keepdims=True)
+
+
+_becke_weights_knn_jit = jax.jit(_becke_weights_knn)
+
+
 def _becke_weights_chunked(x, atpos, dtype=np.float64,
-                           block: int = 1 << 19) -> np.ndarray:
+                           block: int | None = None,
+                           mu_budget_bytes: int = 1 << 30) -> np.ndarray:
     """Becke cell weights (N, nat), chunked so the (N, nat, nat) mu
     tensor stays bounded (an ultra benzene mesh is 2.5M x 12 x 12 f64 =
-    2.9 GB per temporary in one program).  dtype=f32 is the fast-build
-    path: the weight eval is memory-bound on the (N, nat, nat) mu
-    tensor and the v5e emulates f64 vector ops ~10x slower, while the
-    per-point f32 relative weight error (~1e-7, random sign) cancels
-    in quadrature sums - measured 3.4e-8 e on the 2.55M-point benzene
-    ultra-mesh NELEC (f32 weights x f64 rho vs all-f64)."""
+    2.9 GB per temporary in one program).  The chunk scales with the
+    ATOM COUNT: a fixed block that is fine for benzene allocates
+    block x nat^2 = 2.5 TB at a 768-atom assembly (the cps_large
+    scale), so the default bounds the mu temporary at ~1 GB.
+    dtype=f32 is the fast-build path: the weight eval is memory-bound
+    on the (N, nat, nat) mu tensor and the v5e emulates f64 vector ops
+    ~10x slower, while the per-point f32 relative weight error (~1e-7,
+    random sign) cancels in quadrature sums - measured 3.4e-8 e on the
+    2.55M-point benzene ultra-mesh NELEC (f32 weights x f64 rho vs
+    all-f64)."""
     atj = jnp.asarray(np.asarray(atpos, dtype))
     n = len(x)
+    if block is None:
+        nat = int(atj.shape[0])
+        per_pt = max(1, nat * nat * np.dtype(dtype).itemsize)
+        block = 1 << max(10, min(19, int(np.log2(
+            max(1, mu_budget_bytes // per_pt)))))
     out = np.empty((n, atj.shape[0]), dtype)
     if n <= block:
         return np.asarray(_becke_weights_jit(
@@ -260,7 +298,9 @@ def becke_mesh(crystal, lvl="good", weights_dtype=np.float64) -> Mesh:
     return m
 
 
-def _becke_mesh_build(crystal, lvl: int, weights_dtype=np.float64) -> Mesh:
+def _becke_mesh_points(crystal, lvl: int):
+    """The radial x Lebedev product points of the Becke mesh (no
+    partition weights): (x (N,3), wraw (N,), parent (N,) atom ids)."""
     atpos = np.asarray(crystal.x_cart)
     zs = np.asarray(crystal.zatoms)
     xs, ws, parents = [], [], []
@@ -277,10 +317,100 @@ def _becke_mesh_build(crystal, lvl: int, weights_dtype=np.float64) -> Mesh:
         xs.append(pts.reshape(-1, 3))
         ws.append(wt.ravel())
         parents.append(np.full(wt.size, i))
-    x = np.concatenate(xs)
-    wraw = np.concatenate(ws)
-    parent = np.concatenate(parents)
+    return np.concatenate(xs), np.concatenate(ws), np.concatenate(parents)
 
-    bw = _becke_weights_chunked(x, atpos, dtype=weights_dtype)
-    w = wraw * bw[np.arange(len(x)), parent]
+
+@jax.jit
+def _knn_parent_weight(points, atpos, nbr, ppos):
+    bw = _becke_weights_knn(points, atpos, nbr)
+    return bw[jnp.arange(bw.shape[0]), ppos]
+
+
+_MU_CUT = 0.85    # atoms with switching argument mu_pj <= -_MU_CUT are
+                  # excluded from a point's Becke product: near mu = -1
+                  # the 4x-iterated polynomial converges as e' = 1.5e^2
+                  # (e = 1+mu), so e = 0.15 -> |1 - s| ~ 3e-11 per
+                  # excluded atom - a provable per-point bound, unlike
+                  # a fixed k-nearest cut (whose worst-case error in a
+                  # packed cluster measured 1e-4 at interior points)
+
+
+def _mu_to_all_atoms(xc, atpos, par, rr):
+    """Becke switching argument mu_pj = (d_p - d_j)/r_pj of a point
+    chunk (B, 3) against every atom j; the parent's own entry is +inf
+    (always selected)."""
+    d = np.linalg.norm(xc[:, None, :] - atpos[None, :, :], axis=2)
+    dp = d[np.arange(len(xc)), par]
+    rrp = rr[par]                                       # (B, nat)
+    mu = (dp[:, None] - d) / np.where(rrp < 1e-14, 1.0, rrp)
+    mu[np.arange(len(xc)), par] = np.inf
+    return mu
+
+
+def _becke_parent_weights_knn(x, atpos, parent, dtype=np.float64,
+                              block: int = 1 << 14,
+                              mu_cut: float = _MU_CUT) -> np.ndarray:
+    """Parent-atom Becke weight per mesh point via the mu-threshold
+    neighbor truncation (used above _KNN_NAT_MIN atoms; see
+    _becke_weights_knn).  Each point keeps the atoms with switching
+    argument mu_pj > -mu_cut (the parent has mu = +inf); points are
+    sorted by their required neighbor count and processed in blocks
+    whose K is the block max quantized to 8 * 2^m, so the compiled
+    shape count stays logarithmic while interior points (small K,
+    most of the quadrature mass) stay O(K^2) cheap.  Far radial-shell
+    points see every atom as equidistant and fall back to K = nat -
+    there the truncation is empty, i.e. exact."""
+    nat = len(atpos)
+    atposf = np.asarray(atpos, float)
+    rr = np.linalg.norm(atposf[:, None, :] - atposf[None, :, :], axis=2)
+    n = len(x)
+    xf = np.asarray(x, float)
+    need = np.empty(n, dtype=np.int32)
+    for lo in range(0, n, block):
+        sl = slice(lo, min(lo + block, n))
+        mu = _mu_to_all_atoms(xf[sl], atposf, parent[sl], rr)
+        need[sl] = (mu > -mu_cut).sum(axis=1)
+    order = np.argsort(need, kind="stable")
+    atj = jnp.asarray(np.asarray(atpos, dtype))
+    out = np.empty(n, dtype)
+    for lo in range(0, n, block):
+        idx = order[lo:lo + block]
+        m = len(idx)
+        kmax = int(need[idx].max())
+        K = nat if kmax > nat // 2 else min(
+            nat, 8 << max(0, int(np.ceil(np.log2(max(1, kmax) / 8)))))
+        mu = _mu_to_all_atoms(xf[idx], atposf, parent[idx], rr)
+        if K >= nat:
+            nbr = np.broadcast_to(np.arange(nat), (m, nat)).copy()
+        else:
+            nbr = np.argpartition(-mu, K - 1, axis=1)[:, :K]
+        ppos = np.argmax(nbr == parent[idx, None], axis=1)
+        chunk = np.asarray(xf[idx], dtype)
+        if m < block:               # pad: one compiled shape per K
+            pad = block - m
+            chunk = np.concatenate(
+                [chunk, np.broadcast_to(chunk[:1], (pad, 3))])
+            nbr = np.concatenate(
+                [nbr, np.broadcast_to(nbr[:1], (pad, nbr.shape[1]))])
+            ppos = np.concatenate([ppos, np.broadcast_to(ppos[:1], (pad,))])
+        out[idx] = np.asarray(_knn_parent_weight(
+            jnp.asarray(chunk), atj, jnp.asarray(nbr),
+            jnp.asarray(ppos)))[:m]
+    return out
+
+
+_KNN_NAT_MIN = 65       # above this, the O(N nat^2) dense Becke path
+                        # is replaced by the k-nearest truncation
+
+
+def _becke_mesh_build(crystal, lvl: int, weights_dtype=np.float64) -> Mesh:
+    x, wraw, parent = _becke_mesh_points(crystal, lvl)
+    atpos = np.asarray(crystal.x_cart)
+    if len(atpos) >= _KNN_NAT_MIN:
+        wpar = _becke_parent_weights_knn(x, atpos, parent,
+                                         dtype=weights_dtype)
+    else:
+        bw = _becke_weights_chunked(x, atpos, dtype=weights_dtype)
+        wpar = bw[np.arange(len(x)), parent]
+    w = wraw * wpar
     return Mesh(x=x, w=w)

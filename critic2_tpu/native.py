@@ -57,6 +57,8 @@ def _load():
         lib.c2n_tricubic_values.restype = None
         lib.c2n_trace_colors.restype = ctypes.c_longlong
         lib.c2n_auto_drain.restype = ctypes.c_int
+        lib.c2n_wfn_eval.restype = ctypes.c_longlong
+        lib.c2n_wfn_auto_drain.restype = ctypes.c_int
         lib.c2n_omp_threads.restype = ctypes.c_int
         _LIB = lib
         return lib
@@ -325,6 +327,87 @@ def auto_drain(f, m_x2c, seeds_frac, gfnormeps: float = 1e-12,
         sig.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         ctypes.c_int(maxcp))
     return cps[:n], sig[:n]
+
+
+def _wfn_arrays(w):
+    """Primitive/MO arrays of a Wavefunction in the native layout:
+    (ctr (P,3), li (P,3) int32, alpha (P), CT (P,M) = cmo^T, occ (M))."""
+    from .fields.wfn import _LI
+
+    ctr = np.ascontiguousarray(np.asarray(w.atpos)[w.icenter],
+                               dtype=np.float64)
+    li = np.ascontiguousarray(np.asarray(_LI[w.itype - 1]),
+                              dtype=np.int32)
+    alpha = np.ascontiguousarray(w.e, dtype=np.float64)
+    CT = np.ascontiguousarray(np.asarray(w.cmo).T, dtype=np.float64)
+    occ = np.ascontiguousarray(w.occ, dtype=np.float64)
+    return ctr, li, alpha, CT, occ
+
+
+def wfn_eval_seq(w, pts, nder: int = 2, lncut: float = 27.631):
+    """Sequential single-core screened GTO evaluation: the CPU-measured
+    counterpart of Wavefunction.rho_eval_screened for the cps_large
+    denominator (reference per-point near-primitive evaluation,
+    src/wfn_private@proc.F90:2032-2228, screening ball :3075-3145).
+    Returns (rho (N,), grad (N,3)|None, hess (N,3,3)|None, nvisit)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built "
+                           "(python -m critic2_tpu.native)")
+    ctr, li, alpha, CT, occ = _wfn_arrays(w)
+    P, M = CT.shape
+    x = np.ascontiguousarray(pts, dtype=np.float64).reshape(-1, 3)
+    N = len(x)
+    rho = np.empty(N)
+    grad = np.empty((N, 3)) if nder >= 1 else None
+    hess = np.empty((N, 3, 3)) if nder >= 2 else None
+    dptr = ctypes.POINTER(ctypes.c_double)
+    nvisit = lib.c2n_wfn_eval(
+        ctypes.c_longlong(P), ctr.ctypes.data_as(dptr),
+        li.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        alpha.ctypes.data_as(dptr), ctypes.c_int(M),
+        CT.ctypes.data_as(dptr), occ.ctypes.data_as(dptr),
+        ctypes.c_longlong(N), x.ctypes.data_as(dptr),
+        ctypes.c_int(nder), ctypes.c_double(lncut),
+        rho.ctypes.data_as(dptr),
+        grad.ctypes.data_as(dptr) if grad is not None else None,
+        hess.ctypes.data_as(dptr) if hess is not None else None)
+    return rho, grad, hess, int(nvisit)
+
+
+def wfn_auto_drain(w, seeds_cart, gfnormeps: float = 1e-12,
+                   cpeps: float = 1e-2, maxit: int = 200,
+                   lncut: float = 27.631, rmax: float | None = None,
+                   maxcp: int = 100000):
+    """Sequential full AUTO driver on a molecular GTO field: one seed at
+    a time, Newton on the screened evaluator, dedup, classification -
+    the cps_large CPU denominator (src/autocp@proc.f90:694-723).
+    Returns (cps_cart (ncp,3), signatures (ncp,), nevals)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built "
+                           "(python -m critic2_tpu.native)")
+    ctr, li, alpha, CT, occ = _wfn_arrays(w)
+    P, M = CT.shape
+    seeds = np.ascontiguousarray(seeds_cart, dtype=np.float64)
+    if rmax is None:
+        rmax = float(np.linalg.norm(w.atpos, axis=1).max() + 10.0)
+    cps = np.empty((maxcp, 3))
+    sig = np.empty(maxcp, dtype=np.int32)
+    nev = ctypes.c_longlong(0)
+    dptr = ctypes.POINTER(ctypes.c_double)
+    n = lib.c2n_wfn_auto_drain(
+        ctypes.c_longlong(P), ctr.ctypes.data_as(dptr),
+        li.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        alpha.ctypes.data_as(dptr), ctypes.c_int(M),
+        CT.ctypes.data_as(dptr), occ.ctypes.data_as(dptr),
+        ctypes.c_longlong(len(seeds)), seeds.ctypes.data_as(dptr),
+        ctypes.c_double(gfnormeps), ctypes.c_double(cpeps),
+        ctypes.c_int(maxit), ctypes.c_double(lncut),
+        ctypes.c_double(rmax), cps.ctypes.data_as(dptr),
+        sig.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        ctypes.c_int(maxcp), ctypes.byref(nev))
+    return cps[:n], sig[:n], int(nev.value)
 
 
 def omp_threads() -> int:

@@ -924,6 +924,229 @@ int c2n_auto_drain(int n1, int n2, int n3, const double* f,
     return ncp;
 }
 
+// ---------------------------------------------------------------------
+// screened sequential GTO evaluation (the cps_large CPU denominator).
+// Mirrors the reference per-point near-primitive evaluation
+// (src/wfn_private@proc.F90:2032-2228): for each point, primitives with
+// alpha*r^2 > lncut are skipped (the reference's dran screening ball,
+// src/wfn_private@proc.F90:3075-3145), the surviving chi components are
+// contracted against the MO coefficients one primitive at a time
+// (axpy over the M occupied MOs - the cache-friendly layout given
+// CT = C^T (P, M) row-major), then rho/grad/Hess assemble as in rho2.
+//
+// ctr (P,3) primitive centers, li (P,3) Cartesian powers, alpha (P),
+// CT (P,M) transposed MO coefficients, occ (M), pts (npts,3) Cartesian.
+// nder: 0 (rho), 1 (+grad), 2 (+hess). Returns the total number of
+// SURVIVING primitive visits (the work measure).
+// ---------------------------------------------------------------------
+static inline double powi(double v, int k) {
+    if (k < 0) return 0.0;            // always multiplied by a 0 coeff
+    double out = 1.0;
+    for (int i = 0; i < k; ++i) out *= v;
+    return out;
+}
+
+long long c2n_wfn_eval(long long P, const double* ctr, const int* li,
+                       const double* alpha, int M, const double* CT,
+                       const double* occ, long long npts,
+                       const double* pts, int nder, double lncut,
+                       double* rho, double* grad, double* hess) {
+    const int ncomp = (nder == 0) ? 1 : (nder == 1 ? 4 : 10);
+    std::vector<double> phi((size_t)ncomp * M);
+    long long nvisit = 0;
+    for (long long ip = 0; ip < npts; ++ip) {
+        const double x = pts[3 * ip], y = pts[3 * ip + 1],
+                     z = pts[3 * ip + 2];
+        std::fill(phi.begin(), phi.end(), 0.0);
+        for (long long p = 0; p < P; ++p) {
+            const double dx = x - ctr[3 * p], dy = y - ctr[3 * p + 1],
+                         dz = z - ctr[3 * p + 2];
+            const double r2 = dx * dx + dy * dy + dz * dz;
+            const double al = alpha[p];
+            if (al * r2 > lncut) continue;    // screened out
+            ++nvisit;
+            const int a = li[3 * p], b = li[3 * p + 1], c = li[3 * p + 2];
+            const double ex = std::exp(-al * r2);
+            const double xa = powi(dx, a), yb = powi(dy, b),
+                         zc = powi(dz, c);
+            double comp[10];
+            comp[0] = xa * yb * zc * ex;
+            int nc = 1;
+            double dxa = 0, dyb = 0, dzc = 0;
+            if (nder >= 1) {
+                dxa = a * powi(dx, a - 1) - 2.0 * al * powi(dx, a + 1);
+                dyb = b * powi(dy, b - 1) - 2.0 * al * powi(dy, b + 1);
+                dzc = c * powi(dz, c - 1) - 2.0 * al * powi(dz, c + 1);
+                comp[1] = dxa * yb * zc * ex;
+                comp[2] = xa * dyb * zc * ex;
+                comp[3] = xa * yb * dzc * ex;
+                nc = 4;
+            }
+            if (nder >= 2) {
+                const double sxa = a * (a - 1) * powi(dx, a - 2)
+                    - 2.0 * al * (2 * a + 1) * xa
+                    + 4.0 * al * al * powi(dx, a + 2);
+                const double syb = b * (b - 1) * powi(dy, b - 2)
+                    - 2.0 * al * (2 * b + 1) * yb
+                    + 4.0 * al * al * powi(dy, b + 2);
+                const double szc = c * (c - 1) * powi(dz, c - 2)
+                    - 2.0 * al * (2 * c + 1) * zc
+                    + 4.0 * al * al * powi(dz, c + 2);
+                comp[4] = sxa * yb * zc * ex;
+                comp[5] = xa * syb * zc * ex;
+                comp[6] = xa * yb * szc * ex;
+                comp[7] = dxa * dyb * zc * ex;
+                comp[8] = dxa * yb * dzc * ex;
+                comp[9] = xa * dyb * dzc * ex;
+                nc = 10;
+            }
+            const double* crow = CT + (size_t)p * M;
+            for (int k = 0; k < nc; ++k) {
+                const double ck = comp[k];
+                if (ck == 0.0) continue;
+                double* ph = phi.data() + (size_t)k * M;
+                for (int mj = 0; mj < M; ++mj) ph[mj] += ck * crow[mj];
+            }
+        }
+        const double* f0 = phi.data();
+        double r = 0.0;
+        for (int mj = 0; mj < M; ++mj) r += occ[mj] * f0[mj] * f0[mj];
+        rho[ip] = r;
+        if (nder >= 1 && grad) {
+            for (int d = 0; d < 3; ++d) {
+                const double* fd = phi.data() + (size_t)(1 + d) * M;
+                double gv = 0.0;
+                for (int mj = 0; mj < M; ++mj)
+                    gv += occ[mj] * f0[mj] * fd[mj];
+                grad[3 * ip + d] = 2.0 * gv;
+            }
+        }
+        if (nder >= 2 && hess) {
+            const double* px = phi.data() + (size_t)1 * M;
+            const double* py = phi.data() + (size_t)2 * M;
+            const double* pz = phi.data() + (size_t)3 * M;
+            const double* comp2[6] = {
+                phi.data() + (size_t)4 * M, phi.data() + (size_t)5 * M,
+                phi.data() + (size_t)6 * M, phi.data() + (size_t)7 * M,
+                phi.data() + (size_t)8 * M, phi.data() + (size_t)9 * M};
+            const double* d1a[6] = {px, py, pz, px, px, py};
+            const double* d1b[6] = {px, py, pz, py, pz, pz};
+            double hv[6];
+            for (int k = 0; k < 6; ++k) {
+                double s = 0.0;
+                const double* sk = comp2[k];
+                const double* ga = d1a[k];
+                const double* gb = d1b[k];
+                for (int mj = 0; mj < M; ++mj)
+                    s += occ[mj] * (f0[mj] * sk[mj] + ga[mj] * gb[mj]);
+                hv[k] = 2.0 * s;
+            }
+            double* H = hess + 9 * ip;
+            H[0] = hv[0]; H[4] = hv[1]; H[8] = hv[2];
+            H[1] = H[3] = hv[3];
+            H[2] = H[6] = hv[4];
+            H[5] = H[7] = hv[5];
+        }
+    }
+    return nvisit;
+}
+
+// ---------------------------------------------------------------------
+// sequential AUTO drain on a molecular GTO field: per-seed Newton on
+// the screened evaluator above, plain-distance dedup, signature
+// classification (the reference per-seed loop src/autocp@proc.f90:
+// 694-723 with the wfn rho2 evaluator; single core, Cartesian - no
+// PBC for molecules). Seeds and CPs are Cartesian. Returns ncp;
+// *nev_out counts Newton evaluations (points, not primitives).
+// ---------------------------------------------------------------------
+int c2n_wfn_auto_drain(long long P, const double* ctr, const int* li,
+                       const double* alpha, int M, const double* CT,
+                       const double* occ, long long nseeds,
+                       const double* seeds, double gfnormeps,
+                       double cpeps, int maxit, double lncut,
+                       double rmax, double* cps, int* cp_sig,
+                       int maxcp, long long* nev_out) {
+    int ncp = 0;
+    long long nev = 0;
+    for (long long s = 0; s < nseeds; ++s) {
+        double xx[3] = {seeds[3 * s], seeds[3 * s + 1], seeds[3 * s + 2]};
+        bool conv = false;
+        double Hc[9] = {0, 0, 0, 0, 0, 0, 0, 0, 0};
+        for (int it = 0; it < maxit; ++it) {
+            double r, g[3];
+            c2n_wfn_eval(P, ctr, li, alpha, M, CT, occ, 1, xx, 2,
+                         lncut, &r, g, Hc);
+            ++nev;
+            const double gn = std::sqrt(g[0] * g[0] + g[1] * g[1]
+                                        + g[2] * g[2]);
+            if (gn < gfnormeps) { conv = true; break; }
+            // solve Hc dx = g (Cramer)
+            const double det =
+                Hc[0] * (Hc[4] * Hc[8] - Hc[5] * Hc[7])
+                - Hc[1] * (Hc[3] * Hc[8] - Hc[5] * Hc[6])
+                + Hc[2] * (Hc[3] * Hc[7] - Hc[4] * Hc[6]);
+            if (std::fabs(det) < 1e-30) break;
+            double dx[3];
+            for (int a = 0; a < 3; ++a) {
+                double A[9];
+                std::memcpy(A, Hc, sizeof(A));
+                A[a] = g[0];
+                A[3 + a] = g[1];
+                A[6 + a] = g[2];
+                dx[a] = (A[0] * (A[4] * A[8] - A[5] * A[7])
+                         - A[1] * (A[3] * A[8] - A[5] * A[6])
+                         + A[2] * (A[3] * A[7] - A[4] * A[6])) / det;
+            }
+            xx[0] -= dx[0];
+            xx[1] -= dx[1];
+            xx[2] -= dx[2];
+            if (xx[0] * xx[0] + xx[1] * xx[1] + xx[2] * xx[2]
+                > rmax * rmax)
+                break;                 // escaped the molecule
+        }
+        if (!conv) continue;
+        bool dup = false;
+        for (int q = 0; q < ncp && !dup; ++q) {
+            const double d0 = xx[0] - cps[3 * q],
+                         d1 = xx[1] - cps[3 * q + 1],
+                         d2 = xx[2] - cps[3 * q + 2];
+            if (d0 * d0 + d1 * d1 + d2 * d2 < cpeps * cpeps) dup = true;
+        }
+        if (dup || ncp >= maxcp) continue;
+        // signature via the trigonometric closed-form eigenvalues
+        const double q0 = (Hc[0] + Hc[4] + Hc[8]) / 3.0;
+        const double da = Hc[0] - q0, db_ = Hc[4] - q0, dc_ = Hc[8] - q0;
+        const double p2 = da * da + db_ * db_ + dc_ * dc_
+            + 2.0 * (Hc[1] * Hc[1] + Hc[2] * Hc[2] + Hc[5] * Hc[5]);
+        const double pp = std::sqrt(p2 / 6.0);
+        double e1 = q0, e2 = q0, e3 = q0;
+        if (pp > 0) {
+            const double na = da / pp, nb = db_ / pp, nc_ = dc_ / pp;
+            const double nxy = Hc[1] / pp, nxz = Hc[2] / pp,
+                         nyz = Hc[5] / pp;
+            double rr = (na * (nb * nc_ - nyz * nyz)
+                         - nxy * (nxy * nc_ - nyz * nxz)
+                         + nxz * (nxy * nyz - nb * nxz)) / 2.0;
+            rr = std::max(-1.0, std::min(1.0, rr));
+            const double phi = std::acos(rr) / 3.0;
+            e1 = q0 + 2.0 * pp * std::cos(phi);
+            e3 = q0 + 2.0 * pp * std::cos(phi + 2.0 * M_PI / 3.0);
+            e2 = 3.0 * q0 - e1 - e3;
+        }
+        int sig = 0;
+        sig += (e1 > 0) ? 1 : -1;
+        sig += (e2 > 0) ? 1 : -1;
+        sig += (e3 > 0) ? 1 : -1;
+        cps[3 * ncp] = xx[0];
+        cps[3 * ncp + 1] = xx[1];
+        cps[3 * ncp + 2] = xx[2];
+        cp_sig[ncp] = sig;
+        ++ncp;
+    }
+    if (nev_out) *nev_out = nev;
+    return ncp;
+}
+
 int c2n_omp_threads() {
 #ifdef _OPENMP
     int n = 0;

@@ -54,3 +54,37 @@ def test_mesh_integrates_gaussian():
     val = (m.w * np.exp(-1.3 * r2)).sum()
     ref = (np.pi / 1.3) ** 1.5
     assert abs(val - ref) / ref < 1e-8
+
+
+def test_becke_knn_matches_dense():
+    """The mu-threshold Becke truncation (the >64-atom path used at the
+    cps_large scale) must reproduce the dense O(nat^2) weights: every
+    excluded atom has mu <= -0.85, where the 4x-iterated switching
+    polynomial puts |1 - s| under ~3e-11, so the per-point error is
+    bounded by nat * 3e-11 ~ 2e-9 on this 70-atom packed cluster (a
+    worst-case geometry: a fixed 48-nearest cut erred 1e-4 here)."""
+    from critic2_tpu.analysis.mesh import (_becke_mesh_points,
+                                           _becke_parent_weights_knn,
+                                           _becke_weights_chunked, _LVL)
+    from critic2_tpu.crystal.crystal import Crystal, Species
+
+    rng = np.random.default_rng(11)
+    nat = 70
+    # a packed random cluster (~3 bohr typical spacing, like a
+    # molecular assembly interior)
+    pos = rng.uniform(0, 14.0, size=(nat, 3))
+    lo = pos.min(0) - 10.0
+    side = pos.max(0) - lo + 10.0
+    c = Crystal(m_x2c=np.diag(side),
+                x_frac=(pos - lo) / side,
+                species_of=np.zeros(nat, dtype=int),
+                species=[Species("H", 1)],
+                ismolecule=True, molx0=lo)
+    x, wraw, parent = _becke_mesh_points(c, _LVL["small"])
+    atpos = np.asarray(c.x_cart)
+    # subsample: the dense reference is O(N nat^2)
+    idx = rng.choice(len(x), size=4096, replace=False)
+    dense = _becke_weights_chunked(x[idx], atpos)[
+        np.arange(len(idx)), parent[idx]]
+    knn = _becke_parent_weights_knn(x[idx], atpos, parent[idx])
+    assert np.abs(dense - knn).max() < 1e-8

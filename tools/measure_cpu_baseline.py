@@ -104,6 +104,35 @@ def main():
         alive[idx[~ok]] = False     # converged or singular: retire
     out["auto256_cpu_wall_s"] = round(time.perf_counter() - t0, 2)
     out["auto256_cpu_nseeds"] = int(len(xs))
+    print(json.dumps(out), file=sys.stderr, flush=True)
+
+    # FULL grid-AUTO driver (round-3 verdict #3): one seed at a time,
+    # Newton + min-image dedup + signature classification (native
+    # c2n_auto_drain - the whole reference per-seed loop,
+    # src/autocp@proc.f90:694-723), default and heavy WS seed loads
+    m = np.asarray(s.crystal.m_x2c)
+    for tag, sd in (("", Seed(typ="ws")), ("h", Seed(typ="ws", depth=2))):
+        xs = np.mod(gen_seeds(s.crystal, [sd]), 1.0)
+        t0 = time.perf_counter()
+        cps, sig = native.auto_drain(g, m, xs)
+        out[f"auto256{tag}_cpu_driver_wall_s"] = round(
+            time.perf_counter() - t0, 2)
+        out[f"auto256{tag}_cpu_driver_nseeds"] = int(len(xs))
+        out[f"auto256{tag}_cpu_driver_ncp"] = int(len(cps))
+        print(json.dumps(out), file=sys.stderr, flush=True)
+
+    # FULL sequential qtree driver (round-3 verdict #2): subdivide +
+    # trace-coloring + Keast cubature + beta spheres on the native
+    # kernels (tools/qtree_cpu_standin.py), same field and options as
+    # the bench qtree leg (maxl=4, sphfactor=0.9)
+    from qtree_cpu_standin import qtree_cpu
+
+    t0 = time.perf_counter()
+    pops, vols, ntraced, nev = qtree_cpu(g, s.crystal, maxl=4,
+                                         sphfactor=0.9)
+    out["qtree256_cpu_seq_wall_s"] = round(time.perf_counter() - t0, 2)
+    out["qtree256_cpu_ntraced"] = int(ntraced)
+    out["qtree256_cpu_nev"] = int(nev)
 
     print(json.dumps(out, indent=1))
 
