@@ -178,12 +178,12 @@ class QtreeResult:
 
 def qtree_integrate(system, maxl: int = 3, minl: int = 4,
                     origin_atom: int | None = None,
-                    block: int = 1 << 13, field_block: int = 1 << 16,
+                    block: int = 1 << 11, field_block: int = 1 << 16,
                     integ: str = "keast",
                     keastnum: int = 7, keastlow: int = 4,
                     cub_abs: float = 1e-7, cub_rel: float = 1e-6,
                     maxrefine: int = 8, max_queue: int = 1 << 16,
-                    usesym: bool = True, precision: str = "f64",
+                    usesym: bool = True, precision: str = "mixed",
                     sphfactor: float | None = None) -> QtreeResult:
     """Basin populations/volumes of the reference field by qtree coloring.
 
@@ -219,24 +219,61 @@ def qtree_integrate(system, maxl: int = 3, minl: int = 4,
     """
     c = system.crystal
     f = system.ref
-    # precision="f32" traces on an f32 shadow of the grid (the v5e f32
-    # row-gather interp is 5.6x the emulated-f64 rate).  NOT the
-    # default: measured at 256^3/maxl=4, f32 traces fail near CPs
-    # (|grad| under the f32 noise floor jitters the BS23 error control)
-    # - 86302 traces vs 66907 at f64, 3x the wall, and a 0.03-e charge
-    # shift.  The option stays for coarse exploratory runs.
+    # Color-trace precision (the trace wall dominates the qtree leg;
+    # the v5e f32 row-gather interp is 5.6x the emulated-f64 rate):
+    #   "mixed" (default): f32 FIELD EVALS + f64 integrator state, with
+    #     an f64 RETRACE of every lane that fails to resolve (f32 gmod
+    #     noise in flat regions can false-trigger the gradient-zero
+    #     termination; the retrace pass restores those lanes at f64
+    #     cost only for the few % that need it).  Positions, step
+    #     control, and the BS23 error estimate stay f64 (maxerr 1e-4 >>
+    #     the ~3e-8 f32 direction noise).  Coloring decisions shift
+    #     only for paths within f32 noise of a separatrix - gated by
+    #     the exact-half parity leg.
+    #   "f32": everything f32 including step control.  NOT recommended:
+    #     measured at 256^3/maxl=4, |grad| under the f32 noise floor
+    #     jitters the BS23 error control - 86302 traces vs 66907 at
+    #     f64, 3x the wall, and a 0.03-e charge shift.
+    #   "f64": reference-exact traces.
     fn = None
-    if (precision == "f32" and f.type == "grid"
+    if (precision in ("f32", "mixed") and f.type == "grid"
             and f.grid.mode in ("tricubic", "trilinear")):
-        from ..fields.field import Field
-        from ..fields.grid3 import Grid3
+        fn = getattr(f, "_qtree_trace_fn", {}).get(precision)
+        if fn is None:
+            from ..fields.field import Field
+            from ..fields.grid3 import Grid3
 
-        f32fld = Field.from_grid(
-            c, Grid3(jnp.asarray(f.grid.f, jnp.float32),
-                     mode=f.grid.mode), name="_qtree_trace32")
-        fn = f32fld.eval_fn(nder=1)
+            f32fld = Field.from_grid(
+                c, Grid3(jnp.asarray(f.grid.f, jnp.float32),
+                         mode=f.grid.mode), name="_qtree_trace32")
+            fn = f32fld.eval_fn(nder=1)
+            if precision == "mixed":
+                raw32 = fn._c2t_raw
+                consts32 = fn._c2t_consts
+
+                def mixed_raw(consts, xT):
+                    fv, gf, h6 = raw32(consts, xT.astype(jnp.float32))
+                    return (fv.astype(jnp.float64),
+                            gf.astype(jnp.float64),
+                            None if h6 is None
+                            else h6.astype(jnp.float64))
+
+                def mfn(xT):
+                    return mixed_raw(consts32, xT)
+
+                mfn._c2t_raw = mixed_raw
+                mfn._c2t_consts = consts32
+                mfn._c2t_loop = fn._c2t_loop
+                fn = mfn
+            try:      # cache: jit keys on the raw fn's identity
+                if not hasattr(f, "_qtree_trace_fn"):
+                    f._qtree_trace_fn = {}
+                f._qtree_trace_fn[precision] = fn
+            except Exception:
+                pass
+    fn64 = f.eval_fn(nder=1)    # traces use the gradient only
     if fn is None:
-        fn = f.eval_fn(nder=1)  # traces use the gradient only
+        fn = fn64
     fnv = f.eval_fn(nder=0)     # cubature uses values only
     iat = 0 if origin_atom is None else origin_atom
     x0 = np.asarray(c.x_cart[iat])
@@ -289,11 +326,10 @@ def qtree_integrate(system, maxl: int = 3, minl: int = 4,
         pad = (-npts) % nb
         if pad:
             pts = np.concatenate([pts, np.repeat(pts[-1:], pad, axis=0)])
-        cols = np.empty(len(pts), dtype=int)
-        for lo in range(0, len(pts), nb):
-            sl = slice(lo, lo + nb)
+
+        def _one_pass(pp, fnx):
             xf_, status, termid, _, _ = trace_paths(
-                fn, jnp.asarray(pts[sl]), iup=1, targets=tgtj,
+                fnx, jnp.asarray(pp), iup=1, targets=tgtj,
                 rterm=rt, mstep=600)
             st = np.asarray(status)
             ti = np.asarray(termid)
@@ -310,7 +346,29 @@ def qtree_integrate(system, maxl: int = 3, minl: int = 4,
                 kbest = d.argmin(axis=1)
                 okm = d[np.arange(len(xg)), kbest] < 0.5
                 cc[np.nonzero(gz)[0][okm]] = tgt_ids[kbest[okm]]
-            cols[sl] = cc
+            return cc
+
+        cols = np.empty(len(pts), dtype=int)
+        for lo in range(0, len(pts), nb):
+            sl = slice(lo, lo + nb)
+            cols[sl] = _one_pass(pts[sl], fn)
+        if fn is not fn64:
+            # mixed/f32 primary pass: lanes that failed to resolve (f32
+            # gmod noise can false-trigger the gradient-zero stop in
+            # flat regions) retrace from their seeds at full f64
+            bad = np.nonzero(cols < 0)[0]
+            if len(bad):
+                nb2 = min(block, max(256, 1 << int(
+                    np.ceil(np.log2(len(bad))))))
+                pp = pts[bad]
+                pad2 = (-len(pp)) % nb2
+                if pad2:
+                    pp = np.concatenate(
+                        [pp, np.repeat(pp[-1:], pad2, axis=0)])
+                cc2 = np.empty(len(pp), dtype=int)
+                for lo in range(0, len(pp), nb2):
+                    cc2[lo:lo + nb2] = _one_pass(pp[lo:lo + nb2], fn64)
+                cols[bad] = cc2[:len(bad)]
         return cols[:npts]
 
     # beta-sphere verification (reference find_beta / tetrahedral-grid
@@ -339,8 +397,18 @@ def qtree_integrate(system, maxl: int = 3, minl: int = 4,
     rtj = (jnp.asarray(sphrad[tgt_ids]) if sphrad is not None
            else jnp.full(len(tgt), 0.2))
 
-    def colors_of(points):
+    def colors_of(points, seeds=None):
+        """Basin color per point, cached by the ROUNDED RAW position -
+        a corner shared by several tetrahedra is traced ONCE (the
+        reference's color_allocate stores one color per grid point,
+        src/qtree_basic.f90; per-tet re-traces of shared corners were
+        ~4x the necessary trace load).  `seeds` optionally supplies
+        per-point trace START positions (the callers' centroid nudge,
+        which unsticks zero-gradient symmetry corners); the first
+        occurrence of a repeated point wins."""
         nonlocal ntraced
+        if seeds is None:
+            seeds = points
         keys = [tuple(np.round(p, 8)) for p in points]
         if sphrad is not None:
             # inside-any-sphere check on device (beta spheres are
@@ -350,9 +418,13 @@ def qtree_integrate(system, maxl: int = 3, minl: int = 4,
             kb = np.asarray(km_d)
             for i in np.nonzero(inside)[0]:
                 color_cache.setdefault(keys[i], int(tgt_ids[kb[i]]))
-        need = [i for i, k in enumerate(keys) if k not in color_cache]
+        need, seen = [], set()
+        for i, k in enumerate(keys):
+            if k not in color_cache and k not in seen:
+                seen.add(k)
+                need.append(i)
         if need:
-            cols = _traced_colors(points[need], rtj)
+            cols = _traced_colors(seeds[need], rtj)
             ntraced += len(need)
             for i, idx in enumerate(need):
                 color_cache[keys[idx]] = cols[i]
@@ -530,12 +602,14 @@ def qtree_integrate(system, maxl: int = 3, minl: int = 4,
             gidx = np.repeat(gidx, 8)
             level += 1
             continue
-        # nudge corners toward the centroid: level-0 corners sit exactly
-        # on symmetry points with zero gradient
+        # trace seeds are nudged toward the centroid (corners on exact
+        # symmetry points have zero gradient), but the color CACHE is
+        # keyed on the raw corner so tets sharing a vertex share one
+        # trace
         centers = tets.mean(axis=1, keepdims=True)
         seeds = tets + 1e-3 * (centers - tets)
-        verts = seeds.reshape(-1, 3)
-        cols = colors_of(verts).reshape(-1, 4)
+        cols = colors_of(tets.reshape(-1, 3),
+                         seeds.reshape(-1, 3)).reshape(-1, 4)
         uniform = (cols == cols[:, :1]).all(axis=1)
         retire(tets[uniform], cols[uniform, 0], gidx[uniform])
         tets = tets[~uniform]
@@ -565,8 +639,10 @@ def qtree_integrate(system, maxl: int = 3, minl: int = 4,
                     # dropping their volume (the reference inherits
                     # neighbor colors for failed terms)
                     cen = tets.mean(axis=1, keepdims=True)
-                    ccols = colors_of((tets + 1e-3 * (cen - tets))
-                                      .reshape(-1, 3)).reshape(-1, 4)
+                    ccols = colors_of(
+                        tets.reshape(-1, 3),
+                        (tets + 1e-3 * (cen - tets)).reshape(-1, 3)
+                    ).reshape(-1, 4)
                     d = np.linalg.norm(qpts[:, :, None, :]
                                        - tets[:, None, :, :], axis=3)
                     near = np.take_along_axis(

@@ -133,6 +133,40 @@ def main():
     out["qtree256_cpu_seq_wall_s"] = round(time.perf_counter() - t0, 2)
     out["qtree256_cpu_ntraced"] = int(ntraced)
     out["qtree256_cpu_nev"] = int(nev)
+    print(json.dumps(out), file=sys.stderr, flush=True)
+
+    # benzene ultra-mesh NELEC denominator (BASELINE config 4): the
+    # measured sequential screened-GTO rate (c2n_wfn_eval, the
+    # reference per-point near-primitive loop,
+    # src/wfn_private@proc.F90:2032-2228) times the ultra-mesh point
+    # count.  Rate measured on two subset sizes that must agree within
+    # 10% (the per-point work is uniform), like the cps_large mesh leg.
+    fchk = "/root/reference/tests_cint/benzene-631gs.fchk"
+    import os
+    if os.path.exists(fchk):
+        from critic2_tpu.fields.wfn import Wavefunction
+        from critic2_tpu import System
+        from critic2_tpu.analysis.mesh import _becke_mesh_points, _LVL
+
+        sw = System.from_structure(fchk)
+        w = Wavefunction.read_fchk(fchk)
+        w.atpos = w.atpos - np.asarray(sw.crystal.molx0)
+        w._dev = {}
+        mx, _, _ = _becke_mesh_points(sw.crystal, _LVL["ultra"])
+        out["wfn_mesh_ultra_npts"] = int(len(mx))
+        rng = np.random.default_rng(11)
+        rates = []
+        for nsub in (20000, 40000):
+            idx = rng.choice(len(mx), size=nsub, replace=False)
+            t0 = time.perf_counter()
+            native.wfn_eval_seq(w, mx[idx], nder=0)
+            rates.append(nsub / (time.perf_counter() - t0))
+        r1, r2 = rates
+        if abs(r1 - r2) > 0.10 * max(r1, r2):
+            out["wfn_mesh_cpu_rate_unstable"] = [round(r1), round(r2)]
+        rate = max(r1, r2)          # conservative (anti-us): faster CPU
+        out["wfn_mesh_cpu_evals_per_s"] = round(rate, 1)
+        out["wfn_mesh_cpu_implied_s"] = round(len(mx) / rate, 1)
 
     print(json.dumps(out, indent=1))
 

@@ -94,16 +94,25 @@ def qtree_cpu(grid_f, crystal, maxl: int = 4, minl: int = 4,
         k = d2.argmin(1)
         return d2.min(1) <= rt[k] ** 2, k
 
-    def colors_of(pts_cart):
+    def colors_of(pts_cart, seeds=None):
+        # cache keyed on the RAW point, traces start at `seeds` (the
+        # centroid nudge): identical corner-sharing semantics as the
+        # device driver (analysis/qtree.colors_of)
         nonlocal ntraced, nev
+        if seeds is None:
+            seeds = pts_cart
         keys = [tuple(np.round(p, 8)) for p in pts_cart]
         ins, kb = inside_spheres(pts_cart)
         for i in np.nonzero(ins)[0]:
             cache.setdefault(keys[i], int(tgt_ids[kb[i]]))
-        need = [i for i, k in enumerate(keys) if k not in cache]
+        need, seen = [], set()
+        for i, k in enumerate(keys):
+            if k not in cache and k not in seen:
+                seen.add(k)
+                need.append(i)
         if need:
             cols, ne = native.trace_colors(
-                g, m, pts_cart[need], tgt, tgt_ids, rt, mstep=600)
+                g, m, seeds[need], tgt, tgt_ids, rt, mstep=600)
             nev += ne
             ntraced += len(need)
             for i, idx in enumerate(need):
@@ -165,7 +174,8 @@ def qtree_cpu(grid_f, crystal, maxl: int = 4, minl: int = 4,
             continue
         centers = tets.mean(axis=1, keepdims=True)
         seeds = tets + 1e-3 * (centers - tets)
-        cols = colors_of(seeds.reshape(-1, 3)).reshape(-1, 4)
+        cols = colors_of(tets.reshape(-1, 3),
+                         seeds.reshape(-1, 3)).reshape(-1, 4)
         uniform = (cols == cols[:, :1]).all(axis=1)
         retire(tets[uniform], cols[uniform, 0], gidx[uniform])
         tets = tets[~uniform]
@@ -179,8 +189,10 @@ def qtree_cpu(grid_f, crystal, maxl: int = 4, minl: int = 4,
                 ncols = colors_of(qpts.reshape(-1, 3)).reshape(qw.shape)
                 if (ncols < 0).any():
                     cen = tets.mean(axis=1, keepdims=True)
-                    ccols = colors_of((tets + 1e-3 * (cen - tets))
-                                      .reshape(-1, 3)).reshape(-1, 4)
+                    ccols = colors_of(
+                        tets.reshape(-1, 3),
+                        (tets + 1e-3 * (cen - tets)).reshape(-1, 3)
+                    ).reshape(-1, 4)
                     d = np.linalg.norm(qpts[:, :, None, :]
                                        - tets[:, None, :, :], axis=3)
                     near = np.take_along_axis(
