@@ -95,20 +95,55 @@ _partial = {"extra": {}}
 # libtpu C-level stdout chatter made the emitted line unparseable)
 _stdout_fd = {"fd": None}
 
-_MAX_STR = 300          # longest string value allowed inside extra
-_MAX_LINE = 32768       # hard bound on the emitted line length
+_MAX_STR = 120          # longest string value allowed inside extra
+# The driver records only the LAST ~2000 characters of stdout; the
+# emitted line must fit INSIDE that window or the artifact parses to
+# null (round-4 post-mortem: embedding the five-config table pushed the
+# line past the tail capture and the whole round's numbers were lost;
+# the old 32768 bound guarded the wrong limit).  The FULL unbounded
+# payload goes to BENCH_full_last.json in the repo instead.
+_MAX_LINE = 1800
+_FULL_PATH = "/root/repo/BENCH_full_last.json"
+
+# Scalar keys in information-value order: the headline denominators and
+# the five BASELINE-config walls/parities (what the verdict reads) pack
+# into the bounded line first; whatever still fits follows.
+_PRIORITY_KEYS = [
+    # config 3 - YT
+    "yt256_wall_s", "yt256_cpu_seq_wall_s", "yt_parity_max_dq_e",
+    "yt256_punity_err_e",
+    # config 1 - NCI
+    "nci256_wall_s", "nci256_cpu_driver_wall_s",
+    # config 2 - grid AUTO (heavy-seed leg is the batched-Newton story)
+    "auto256h_wall_s", "auto256h_cpu_driver_wall_s", "auto256_wall_s",
+    "auto_grid_cp_parity_bohr", "auto256h_ph", "auto256h_nseeds",
+    # config 5 - qtree
+    "qtree_wall_s", "qtree256_cpu_seq_wall_s", "qtree_exact_half_dev_e",
+    "qtree_vs_yt_max_dq_e", "qtree_maxl",
+    # config 4 - wfn mesh
+    "wfn_mesh_ultra_wall_s", "wfn_mesh_cpu_implied_s",
+    "wfn_nelec_err_ultra", "wfn_mesh_ultra_build_s",
+    # config 5b/5c - cps_large nameplate scale
+    "cps_auto_wall_s", "cps_auto_cpu_wall_s",
+    "cps_auto_cpu_matched_frac", "cps_auto_morse", "cps_nelec_err_e",
+    "cps_mesh_wall_s", "cps_mesh_cpu_wall_implied_s", "cps_nat",
+    "cps_npri", "cps_eval2_evals_per_s", "cps_large_error",
+    # headline secondary
+    "f64_sweep_evals_per_s", "f64_vs_baseline", "platform", "truncated",
+    "big_error", "parity_error",
+]
 
 
-def _sanitize(obj):
+def _sanitize(obj, max_str: int = _MAX_STR):
     """Bound every string inside the JSON payload: exception reprs from
     jax embed full compiler/tunnel logs (kilobytes), which is what broke
     the round-2 artifact."""
     if isinstance(obj, str):
-        return obj if len(obj) <= _MAX_STR else obj[:_MAX_STR] + "...[cut]"
+        return obj if len(obj) <= max_str else obj[:max_str] + "...[cut]"
     if isinstance(obj, dict):
-        return {str(k)[:80]: _sanitize(v) for k, v in obj.items()}
+        return {str(k)[:80]: _sanitize(v, max_str) for k, v in obj.items()}
     if isinstance(obj, (list, tuple)):
-        return [_sanitize(v) for v in obj[:64]]
+        return [_sanitize(v, max_str) for v in obj[:64]]
     if isinstance(obj, float):
         return obj if np.isfinite(obj) else str(obj)
     return obj
@@ -117,25 +152,39 @@ def _sanitize(obj):
 def _emit(rate32, n, extra):
     import os
 
-    payload = {
-        "metric": (f"tricubic rho/grad/Hess evals/sec (full {n}^3 "
-                   "sweep, f32 eval / f64 accumulation; basin-charge "
-                   "parity vs f64 in extra)"),
-        "value": round(rate32, 1),
-        "unit": "evals/s",
-        "vs_baseline": round(rate32 / BASELINE_EVALS_PER_S, 3),
-        "extra": _sanitize(extra),
-    }
-    line = json.dumps(payload, separators=(",", ":"), allow_nan=False)
-    if len(line) > _MAX_LINE:       # last resort: drop the bulkiest keys
-        ex = payload["extra"]
-        for k in sorted(ex, key=lambda k: -len(json.dumps(ex[k]))):
-            del ex[k]
-            ex["dropped_oversize"] = True
-            line = json.dumps(payload, separators=(",", ":"),
-                              allow_nan=False)
-            if len(line) <= _MAX_LINE:
-                break
+    def payload_for(ex):
+        return {
+            "metric": (f"tricubic rho/grad/Hess evals/s ({n}^3 f32 "
+                       "sweep; full payload in BENCH_full_last.json)"),
+            "value": round(rate32, 1),
+            "unit": "evals/s",
+            "vs_baseline": round(rate32 / BASELINE_EVALS_PER_S, 3),
+            "extra": ex,
+        }
+
+    clean = _sanitize(extra, max_str=300)
+    try:        # the full record, unbounded, committed with the repo
+        with open(_FULL_PATH, "w") as fh:
+            json.dump(payload_for(clean), fh, indent=1, default=str)
+            fh.write("\n")
+    except Exception:
+        pass
+
+    # pack the bounded line: priority scalars first, then the rest by
+    # ascending size while the line still fits (a 40-byte reserve keeps
+    # room for the overflow marker)
+    compact: dict = {}
+    rest = [k for k in clean if k not in _PRIORITY_KEYS]
+    rest.sort(key=lambda k: len(json.dumps(clean[k], default=str)))
+    for k in [k for k in _PRIORITY_KEYS if k in clean] + rest:
+        compact[k] = _sanitize(clean[k])
+        trial = json.dumps(payload_for(compact), separators=(",", ":"),
+                           allow_nan=False, default=str)
+        if len(trial) > _MAX_LINE - 40:
+            del compact[k]
+            compact["more"] = "BENCH_full_last.json"
+    line = json.dumps(payload_for(compact), separators=(",", ":"),
+                      allow_nan=False, default=str)
     fd = _stdout_fd["fd"]
     if fd is None:
         print(line, flush=True)
@@ -166,6 +215,13 @@ def main():
     def _on_alarm(signum, frame):  # pragma: no cover
         extra = dict(_partial["extra"])
         extra["truncated"] = "hard budget deadline hit mid-leg"
+        try:
+            from tools.parity_bench import CPU_MEASURED, ckpt_fill
+            for k, v in CPU_MEASURED.items():
+                extra.setdefault(k, v)
+            ckpt_fill(extra)
+        except Exception:
+            pass
         _emit(_partial.get("rate32", 0.0), _partial.get("n", 256), extra)
         os._exit(0)
 
@@ -255,7 +311,11 @@ def main():
         try:
             from tools.parity_bench import run_big, CPU_MEASURED
             remaining = max(60.0, budget - (time.perf_counter() - t_start))
-            big = run_big(deadline_s=remaining, n=nbig, sink=extra)
+            # run_big gets at most 55% of the whole budget: round-4
+            # post-mortem - its enlarged legs starved the never-measured
+            # wfn/cps legs in run_parity (which now also run FIRST there)
+            big = run_big(deadline_s=min(remaining, 0.55 * budget),
+                          n=nbig, sink=extra)
             # ratios only where the CPU stand-in runs the same whole
             # workload (YT: exact sequential sweep; NCI: the FULL
             # driver stand-in - interp + eig + cutoffs). The auto
@@ -287,14 +347,18 @@ def main():
         extra["parity_error"] = f"{type(exc).__name__}: {exc}"
 
     # the measured single-core denominators land in the artifact so
-    # the five-config BASELINE table (round-3 verdict #8) materializes
-    # from the emitted JSON alone
+    # the five-config BASELINE table materializes offline from the
+    # emitted scalars via tools/baseline_table.py.  The table itself is
+    # NOT embedded (round-4 post-mortem: it pushed the line past the
+    # driver's ~2000-char tail capture and the artifact parsed to null)
     try:
-        from tools.parity_bench import CPU_MEASURED
+        from tools.parity_bench import CPU_MEASURED, ckpt_fill
         for k, v in CPU_MEASURED.items():
             extra.setdefault(k, v)
-        from tools.baseline_table import build_table
-        extra["baseline_table"] = build_table(extra)
+        # fill legs this run could not reach from the freshest prior
+        # run's checkpoint (age labeled via ckpt_age_h) - a
+        # budget-starved run reports recent measurements, not nulls
+        ckpt_fill(extra)
     except Exception as exc:  # pragma: no cover
         extra["table_error"] = f"{type(exc).__name__}: {exc}"
 

@@ -178,12 +178,12 @@ class QtreeResult:
 
 def qtree_integrate(system, maxl: int = 3, minl: int = 4,
                     origin_atom: int | None = None,
-                    block: int = 1 << 11, field_block: int = 1 << 16,
+                    block: int = 1 << 13, field_block: int = 1 << 16,
                     integ: str = "keast",
                     keastnum: int = 7, keastlow: int = 4,
                     cub_abs: float = 1e-7, cub_rel: float = 1e-6,
                     maxrefine: int = 8, max_queue: int = 1 << 16,
-                    usesym: bool = True, precision: str = "mixed",
+                    usesym: bool = True, precision: str = "f64",
                     sphfactor: float | None = None) -> QtreeResult:
     """Basin populations/volumes of the reference field by qtree coloring.
 
@@ -221,24 +221,33 @@ def qtree_integrate(system, maxl: int = 3, minl: int = 4,
     f = system.ref
     # Color-trace precision (the trace wall dominates the qtree leg;
     # the v5e f32 row-gather interp is 5.6x the emulated-f64 rate):
-    #   "mixed" (default): f32 FIELD EVALS + f64 integrator state, with
-    #     an f64 RETRACE of every lane that fails to resolve (f32 gmod
-    #     noise in flat regions can false-trigger the gradient-zero
-    #     termination; the retrace pass restores those lanes at f64
-    #     cost only for the few % that need it).  Positions, step
-    #     control, and the BS23 error estimate stay f64 (maxerr 1e-4 >>
-    #     the ~3e-8 f32 direction noise).  Coloring decisions shift
-    #     only for paths within f32 noise of a separatrix - gated by
-    #     the exact-half parity leg.
+    #   "f64" (default): reference-exact traces.  The round-4 artifact
+    #     measured "mixed" at 56.8 s / 2.1e-4 e exact-half deviation vs
+    #     f64's 20.7 s / 3.5e-6 e at 256^3 maxl=4 - mixed lost on BOTH
+    #     axes there (the f64 retrace volume ate the f32 eval saving),
+    #     so f64 stays the default until mixed beats it on wall while
+    #     holding the 2e-5-e exact-half bar.
+    #   "mixed" (opt-in): f32 FIELD EVALS + f64 integrator state, with
+    #     an f64 RETRACE of lanes that fail to RESOLVE (f32 gmod noise
+    #     in flat regions can false-trigger the gradient-zero stop).
+    #     CAVEAT: lanes that resolve to the WRONG basin under f32 noise
+    #     near a separatrix are silently kept - the retrace only sees
+    #     unresolved lanes, so mixed's coloring error is bounded by the
+    #     separatrix-adjacent volume, NOT by the retrace.  Validate
+    #     against an exact-answer case before trusting mixed charges.
     #   "f32": everything f32 including step control.  NOT recommended:
     #     measured at 256^3/maxl=4, |grad| under the f32 noise floor
     #     jitters the BS23 error control - 86302 traces vs 66907 at
     #     f64, 3x the wall, and a 0.03-e charge shift.
-    #   "f64": reference-exact traces.
     fn = None
     if (precision in ("f32", "mixed") and f.type == "grid"
             and f.grid.mode in ("tricubic", "trilinear")):
-        fn = getattr(f, "_qtree_trace_fn", {}).get(precision)
+        # cache keyed on the Grid3 OBJECT identity: if the field's grid
+        # is later replaced, a stale f32 shadow must not be traced
+        cache = getattr(f, "_qtree_trace_fn", None)
+        if cache is not None and cache.get("_grid_id") != id(f.grid):
+            cache = None
+        fn = cache.get(precision) if cache is not None else None
         if fn is None:
             from ..fields.field import Field
             from ..fields.grid3 import Grid3
@@ -266,8 +275,10 @@ def qtree_integrate(system, maxl: int = 3, minl: int = 4,
                 mfn._c2t_loop = fn._c2t_loop
                 fn = mfn
             try:      # cache: jit keys on the raw fn's identity
-                if not hasattr(f, "_qtree_trace_fn"):
-                    f._qtree_trace_fn = {}
+                if (not hasattr(f, "_qtree_trace_fn")
+                        or f._qtree_trace_fn.get("_grid_id")
+                        != id(f.grid)):
+                    f._qtree_trace_fn = {"_grid_id": id(f.grid)}
                 f._qtree_trace_fn[precision] = fn
             except Exception:
                 pass
@@ -398,18 +409,31 @@ def qtree_integrate(system, maxl: int = 3, minl: int = 4,
            else jnp.full(len(tgt), 0.2))
 
     def colors_of(points, seeds=None):
-        """Basin color per point, cached by the ROUNDED RAW position -
-        a corner shared by several tetrahedra is traced ONCE (the
+        """Basin color per point, cached by (ROUNDED RAW position,
+        nudge-direction OCTANT) - a corner shared by several tetrahedra
+        on the same side of a separatrix is traced ONCE (the
         reference's color_allocate stores one color per grid point,
         src/qtree_basic.f90; per-tet re-traces of shared corners were
         ~4x the necessary trace load).  `seeds` optionally supplies
         per-point trace START positions (the callers' centroid nudge,
-        which unsticks zero-gradient symmetry corners); the first
-        occurrence of a repeated point wins."""
+        which unsticks zero-gradient symmetry corners).  The octant of
+        seed-point joins the key because a corner lying exactly ON a
+        separatrix takes the basin of its nudge side: keying on the
+        raw position alone let the FIRST tet's nudge win and tets on
+        the other side of the plane inherited the wrong color
+        (measured on the exact-half two-Gaussian case at maxl=5:
+        5.4e-5 e systematic bias vs 7.0e-6 e with octant keys - the
+        r3 pre-cache level - for ~35% more traces, still ~3x fewer
+        than per-tet re-tracing)."""
         nonlocal ntraced
         if seeds is None:
             seeds = points
-        keys = [tuple(np.round(p, 8)) for p in points]
+            keys = [tuple(np.round(p, 8)) for p in points]
+        else:
+            dirs = np.sign(np.round(np.asarray(seeds) - np.asarray(points),
+                                    9)).astype(np.int8)
+            keys = [tuple(np.round(p, 8)) + tuple(d)
+                    for p, d in zip(points, dirs)]
         if sphrad is not None:
             # inside-any-sphere check on device (beta spheres are
             # disjoint, so "inside any" == "inside the nearest")

@@ -1,19 +1,25 @@
-"""The bench artifact must be ONE parseable JSON line on stdout.
+"""The bench artifact must be ONE parseable JSON line on stdout that
+fits the driver's ~2000-char tail capture.
 
 Round-2 post-mortem: BENCH_r02.json recorded `parsed: null` because a
 multi-kilobyte jax exception string inside `extra` plus libtpu C-level
-fd-1 chatter made the emitted line unparseable in the driver's tail
-window.  bench.py now redirects fd 1 to stderr for the whole process,
-writes the JSON line to the saved fd, truncates every string value, and
-bounds the total line length.  This test drives that path with hostile
-content (`--emit-test`): fake C-level stdout writes, 5 KB strings,
-NaN/Inf floats.
+fd-1 chatter made the emitted line unparseable.  Round-4 post-mortem:
+the line parsed as JSON but was LONGER than the driver's tail window
+(the old 32768 bound guarded the wrong limit), so the artifact again
+recorded `parsed: null`.  bench.py now packs priority scalars into a
+1800-byte-bounded line (the five BASELINE-config keys first) and
+writes the unbounded payload to BENCH_full_last.json.  This test
+drives that path with hostile content (`--emit-test`): fake C-level
+stdout writes, 5 KB strings, NaN/Inf floats, and a key flood.
 """
 import json
 import subprocess
 import sys
 
 import pytest
+
+sys.path.insert(0, "/root/repo")
+import bench  # noqa: E402
 
 
 @pytest.fixture(scope="module")
@@ -37,26 +43,58 @@ def test_chatter_lands_on_stderr(emit_run):
     assert "python-level stdout print" in emit_run.stderr
 
 
+def test_line_fits_driver_tail(emit_run):
+    """THE operative bound: the driver records only the last ~2000
+    chars of stdout; a longer line means the whole round's numbers are
+    lost (parsed: null) even at rc 0."""
+    line = [l for l in emit_run.stdout.splitlines() if l.strip()][0]
+    assert len(line) <= 1800
+
+
 def test_strings_bounded_and_floats_finite(emit_run):
     line = [l for l in emit_run.stdout.splitlines() if l.strip()][0]
-    assert len(line) < 16500
     extra = json.loads(line)["extra"]
-    assert len(extra["big_error"]) <= 310
-    assert len(extra["nested"]["log"]) <= 310
+    for v in extra.values():
+        if isinstance(v, str):
+            assert len(v) <= 130
     # json.loads with default settings would raise on bare NaN/Infinity;
     # a successful parse already proves they were stringified
-    assert isinstance(extra["nan_val"], str)
-    assert isinstance(extra["inf_val"], str)
+    if "nan_val" in extra:
+        assert isinstance(extra["nan_val"], str)
     assert extra["wall_s"] == 0.123
 
 
-def test_sanitize_unit():
-    sys.path.insert(0, "/root/repo")
-    import bench
+def test_full_payload_file_written(emit_run):
+    with open("/root/repo/BENCH_full_last.json") as fh:
+        full = json.load(fh)
+    assert full["extra"]["wall_s"] == 0.123
+    assert "big_error" in full["extra"]
 
+
+def test_priority_keys_survive_key_flood(capsys):
+    """200 filler keys must not crowd the five-config scalars out of
+    the bounded line."""
+    extra = {f"filler_{i:03d}_{'x' * 40}": float(i) for i in range(200)}
+    pri = {"yt256_wall_s": 0.27, "yt256_cpu_seq_wall_s": 16.26,
+           "nci256_wall_s": 3.6, "auto256h_wall_s": 9.9,
+           "qtree_wall_s": 20.7, "qtree_exact_half_dev_e": 3.5e-6,
+           "wfn_mesh_ultra_wall_s": 24.7, "cps_auto_wall_s": 33.0,
+           "cps_nelec_err_e": 1e-7}
+    extra.update(pri)
+    bench._emit(3.4e9, 256, extra)
+    line = [l for l in capsys.readouterr().out.splitlines()
+            if l.strip()][-1]
+    assert len(line) <= 1800
+    got = json.loads(line)["extra"]
+    for k, v in pri.items():
+        assert got[k] == v, f"priority key {k} crowded out"
+    assert got.get("more") == "BENCH_full_last.json"
+
+
+def test_sanitize_unit():
     out = bench._sanitize({"a": "z" * 1000, "b": [1.0, float("nan")],
                            "c": {"d": ("x", "y" * 400)}})
-    assert out["a"].endswith("...[cut]") and len(out["a"]) <= 310
+    assert out["a"].endswith("...[cut]") and len(out["a"]) <= 130
     assert out["b"][1] == "nan"
     assert out["c"]["d"][1].endswith("...[cut]")
     json.dumps(out, allow_nan=False)

@@ -144,10 +144,13 @@ def run_cpu(out: dict, mesh_sub: int = 2000) -> dict:
         rates.append(nsub / dt)
     r1, r2 = rates
     if abs(r1 - r2) > 0.10 * max(r1, r2):
+        # unstable (contended host): record raw rates, publish no
+        # denominator - rerun on an idle core
         out["cps_mesh_cpu_rate_unstable"] = [round(r1), round(r2)]
-    rate = max(r1, r2)             # conservative (anti-us): faster CPU
-    out["cps_mesh_cpu_evals_per_s"] = round(rate, 1)
-    out["cps_mesh_cpu_wall_implied_s"] = round(len(mx) / rate, 1)
+    else:
+        rate = max(r1, r2)         # conservative (anti-us): faster CPU
+        out["cps_mesh_cpu_evals_per_s"] = round(rate, 1)
+        out["cps_mesh_cpu_wall_implied_s"] = round(len(mx) / rate, 1)
     _log(out, "cps_mesh_npts", "cps_mesh_cpu_evals_per_s",
          "cps_mesh_cpu_wall_implied_s")
     return out

@@ -163,10 +163,14 @@ def main():
             rates.append(nsub / (time.perf_counter() - t0))
         r1, r2 = rates
         if abs(r1 - r2) > 0.10 * max(r1, r2):
+            # unstable measurement (contended host): record the raw
+            # rates but DO NOT publish a denominator downstream tables
+            # could consume - rerun on an idle core instead
             out["wfn_mesh_cpu_rate_unstable"] = [round(r1), round(r2)]
-        rate = max(r1, r2)          # conservative (anti-us): faster CPU
-        out["wfn_mesh_cpu_evals_per_s"] = round(rate, 1)
-        out["wfn_mesh_cpu_implied_s"] = round(len(mx) / rate, 1)
+        else:
+            rate = max(r1, r2)      # conservative (anti-us): faster CPU
+            out["wfn_mesh_cpu_evals_per_s"] = round(rate, 1)
+            out["wfn_mesh_cpu_implied_s"] = round(len(mx) / rate, 1)
 
     print(json.dumps(out, indent=1))
 
