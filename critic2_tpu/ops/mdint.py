@@ -13,7 +13,12 @@ trace time over the small static angular-momentum ranges). The ERI pair
 matrix over symmetry-reduced primitive pairs is materialized block by
 block and consumed as matrix contractions against MO pair vectors -
 MXU-friendly and O(P^2) memory. Supported angular momentum: l <= 5
-(s, p, d, f, g, h); higher shells raise.
+(s, p, d, f, g, h); higher shells raise.  l = 5 is also the ceiling of
+the reference's own primitive-type table (56 Cartesian types,
+src/wfn_private@proc.F90:2695-2705) - its wfn/wfx/fchk readers cannot
+produce an i-shell primitive, so there is no reference type ordering
+(nor any shipped test basis) to validate l = 6 against; the E/R
+recursions here are l-generic and extend mechanically once one exists.
 """
 from __future__ import annotations
 

@@ -23,7 +23,14 @@ XC_IDS = {
     117: "gga_x_rpbe", 130: "gga_c_pbe", 133: "gga_c_pbe_sol",
     106: "gga_x_b88", 131: "gga_c_lyp", 132: "gga_c_p86",
     109: "gga_x_pw91", 134: "gga_c_pw91", 118: "gga_x_wc",
+    108: "gga_x_pw86", 139: "gga_x_optb88_vdw", 141: "gga_x_optpbe_vdw",
     202: "mgga_x_tpss", 231: "mgga_c_tpss",
+    # hybrids: the SEMILOCAL energy density (the exact-exchange
+    # fraction is SCF metadata - libxc's energy-density output has no
+    # HF contribution either, so the reference's xc() forwards exactly
+    # this for hybrid ids, src/arithmetic@proc.F90:1609-1646)
+    401: "hyb_gga_xc_b3pw91", 402: "hyb_gga_xc_b3lyp",
+    406: "hyb_gga_xc_pbeh", 475: "hyb_gga_xc_b3lyp5",
 }
 
 _TINY = 1e-30
@@ -105,16 +112,39 @@ def gga_x_pbe(rho, grad):
     return lda_x(rho) * fx
 
 
-def gga_x_b88(rho, grad):
-    """Becke 88 exchange, closed shell (sum over spins)."""
-    beta = 0.0042
+def _b88_family(rho, grad, beta, gamma):
+    """Becke-88 functional form, closed shell (sum over spins):
+    e_sigma = -rho_s^{4/3} (Cx + beta x^2 / (1 + gamma beta x asinh x)),
+    x = |grad rho_s| / rho_s^{4/3} (libxc gga_x_b88.c parametrization;
+    B88 has gamma = 6)."""
     rs2 = _safe(rho) / 2.0               # per-spin density
     gs2 = grad / 2.0
     x = gs2 / rs2 ** (4.0 / 3.0)
     cx = (3.0 / 2.0) * (3.0 / (4.0 * jnp.pi)) ** (1.0 / 3.0)
     e_sigma = -rs2 ** (4.0 / 3.0) * (
-        cx + beta * x * x / (1.0 + 6.0 * beta * x * jnp.arcsinh(x)))
+        cx + beta * x * x / (1.0 + gamma * beta * x * jnp.arcsinh(x)))
     return 2.0 * e_sigma
+
+
+def gga_x_b88(rho, grad):
+    """Becke 88 exchange, closed shell (sum over spins)."""
+    return _b88_family(rho, grad, 0.0042, 6.0)
+
+
+def gga_x_optb88_vdw(rho, grad):
+    """optB88 exchange (Klimes-Bowler-Michaelides, libxc
+    GGA_X_OPTB88_VDW, id 139): B88 form refit for vdW-DF pairing,
+    beta = 0.00336865923905927, gamma = 6.98131700797731."""
+    return _b88_family(rho, grad, 0.00336865923905927, 6.98131700797731)
+
+
+def gga_x_pw86(rho, grad):
+    """Perdew-Wang 86 exchange (libxc GGA_X_PW86, id 108):
+    F = (1 + 1.296 s^2 + 14 s^4 + 0.2 s^6)^(1/15)."""
+    s = _s_red(rho, grad)
+    s2 = s * s
+    fx = (1.0 + 1.296 * s2 + 14.0 * s2 * s2 + 0.2 * s2 ** 3) ** (1.0 / 15.0)
+    return lda_x(rho) * fx
 
 
 # ---------------------------------------------------------------------------
@@ -336,6 +366,44 @@ def gga_c_pw91(rho, grad):
     return rho * (eps + H0 + H1)
 
 
+def gga_x_optpbe_vdw(rho, grad):
+    """optPBE exchange (Klimes-Bowler-Michaelides, libxc
+    GGA_X_OPTPBE_VDW, id 141): PBE form with kappa = 1.04804,
+    mu = 0.175519."""
+    return _pbe_x_family(rho, grad, 1.04804, 0.175519)
+
+
+# ---------------------------------------------------------------------------
+# hybrid composites (semilocal part; see XC_IDS note)
+# ---------------------------------------------------------------------------
+def hyb_gga_xc_b3lyp(rho, grad):
+    """B3LYP semilocal part (libxc HYB_GGA_XC_B3LYP, id 402):
+    0.08 LDA_X + 0.72 B88 + 0.19 VWN_RPA + 0.81 LYP
+    (a0 = 0.20 exact exchange excluded - energy-density output)."""
+    return (0.08 * lda_x(rho) + 0.72 * gga_x_b88(rho, grad)
+            + 0.19 * lda_c_vwn_rpa(rho) + 0.81 * gga_c_lyp(rho, grad))
+
+
+def hyb_gga_xc_b3lyp5(rho, grad):
+    """B3LYP5 semilocal part (libxc HYB_GGA_XC_B3LYP5, id 475):
+    B3LYP with the VWN5 local correlation instead of VWN_RPA."""
+    return (0.08 * lda_x(rho) + 0.72 * gga_x_b88(rho, grad)
+            + 0.19 * lda_c_vwn(rho) + 0.81 * gga_c_lyp(rho, grad))
+
+
+def hyb_gga_xc_b3pw91(rho, grad):
+    """B3PW91 semilocal part (Becke 93; libxc HYB_GGA_XC_B3PW91,
+    id 401): 0.08 LDA_X + 0.72 B88 + 0.19 LDA_C_PW + 0.81 PW91c."""
+    return (0.08 * lda_x(rho) + 0.72 * gga_x_b88(rho, grad)
+            + 0.19 * lda_c_pw(rho) + 0.81 * gga_c_pw91(rho, grad))
+
+
+def hyb_gga_xc_pbeh(rho, grad):
+    """PBE0/PBEh semilocal part (libxc HYB_GGA_XC_PBEH, id 406):
+    0.75 PBE_X + PBE_C (0.25 exact exchange excluded)."""
+    return 0.75 * gga_x_pbe(rho, grad) + gga_c_pbe(rho, grad)
+
+
 def gga_x_wc(rho, grad):
     """Wu-Cohen exchange (libxc GGA_X_WC, id 118): PBE form with
     x(s) = (10/81) s^2 + (mu - 10/81) s^2 e^{-s^2} + ln(1 + c s^4)."""
@@ -359,6 +427,13 @@ _FUNCS = {
     "gga_c_p86": (gga_c_p86, 2),
     "gga_x_pw91": (gga_x_pw91, 2), "gga_c_pw91": (gga_c_pw91, 2),
     "gga_x_wc": (gga_x_wc, 2),
+    "gga_x_pw86": (gga_x_pw86, 2),
+    "gga_x_optb88_vdw": (gga_x_optb88_vdw, 2),
+    "gga_x_optpbe_vdw": (gga_x_optpbe_vdw, 2),
+    "hyb_gga_xc_b3lyp": (hyb_gga_xc_b3lyp, 2),
+    "hyb_gga_xc_b3lyp5": (hyb_gga_xc_b3lyp5, 2),
+    "hyb_gga_xc_b3pw91": (hyb_gga_xc_b3pw91, 2),
+    "hyb_gga_xc_pbeh": (hyb_gga_xc_pbeh, 2),
     "mgga_x_tpss": (mgga_x_tpss, 4), "mgga_c_tpss": (mgga_c_tpss, 4),
 }
 

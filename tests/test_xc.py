@@ -171,3 +171,64 @@ def test_round4_gga_ids():
         e_big = np.asarray(xc_eval(fid, rho, s_big * rho ** (4 / 3)
                                    * 2 * (3 * np.pi ** 2) ** (1 / 3)))
         assert (e_big >= cap * e_lda - 1e-10).all()   # e_x negative
+
+
+def test_round5_gga_and_hybrid_ids():
+    """Round-5 breadth ids: PW86 x (108), optB88/optPBE vdW exchange
+    (139/141), and the B3LYP-family hybrid SEMILOCAL parts
+    (401/402/406/475) - limit checks and exact recomposition against
+    the established ingredient functionals."""
+    import numpy as np
+
+    from critic2_tpu.ops.xc import xc_eval
+
+    rho = np.array([1e-3, 0.05, 0.3, 1.0, 5.0])
+    grad = np.array([1e-5, 0.02, 0.2, 1.0, 8.0])
+    zero = np.zeros_like(rho)
+
+    e_lda = np.asarray(xc_eval(1, rho))
+    # s -> 0 limits: PW86 / optPBE / optB88 reduce to LDA exchange
+    for fid in (108, 139, 141):
+        np.testing.assert_allclose(np.asarray(xc_eval(fid, rho, zero)),
+                                   e_lda, rtol=1e-12)
+
+    # optPBE enhances more than PBE at the same s (kappa 1.048 > 0.804,
+    # mu smaller but the large-s cap dominates the ordering at big s)
+    sval = 3.0
+    gbig = sval * rho ** (4 / 3) * 2 * (3 * np.pi ** 2) ** (1 / 3)
+    e_opt = np.asarray(xc_eval(141, rho, gbig))
+    e_pbe = np.asarray(xc_eval(101, rho, gbig))
+    assert (e_opt <= e_pbe + 1e-14).all()          # more negative
+
+    # optB88 vs B88: different beta/gamma must change the density
+    e_ob88 = np.asarray(xc_eval(139, rho, grad))
+    e_b88 = np.asarray(xc_eval(106, rho, grad))
+    assert np.max(np.abs(e_ob88 - e_b88)) > 1e-8
+
+    # hybrid semilocal parts recompose EXACTLY from their ingredients
+    b3lyp = np.asarray(xc_eval(402, rho, grad))
+    mix = (0.08 * np.asarray(xc_eval(1, rho))
+           + 0.72 * np.asarray(xc_eval(106, rho, grad))
+           + 0.19 * np.asarray(xc_eval(8, rho))
+           + 0.81 * np.asarray(xc_eval(131, rho, grad)))
+    np.testing.assert_allclose(b3lyp, mix, rtol=1e-13, atol=1e-18)
+
+    b3lyp5 = np.asarray(xc_eval(475, rho, grad))
+    mix5 = mix - 0.19 * np.asarray(xc_eval(8, rho)) \
+        + 0.19 * np.asarray(xc_eval(7, rho))
+    np.testing.assert_allclose(b3lyp5, mix5, rtol=1e-13, atol=1e-18)
+
+    b3pw91 = np.asarray(xc_eval(401, rho, grad))
+    mixpw = (0.08 * np.asarray(xc_eval(1, rho))
+             + 0.72 * np.asarray(xc_eval(106, rho, grad))
+             + 0.19 * np.asarray(xc_eval(12, rho))
+             + 0.81 * np.asarray(xc_eval(134, rho, grad)))
+    np.testing.assert_allclose(b3pw91, mixpw, rtol=1e-13, atol=1e-18)
+
+    pbe0 = np.asarray(xc_eval(406, rho, grad))
+    mix0 = (0.75 * np.asarray(xc_eval(101, rho, grad))
+            + np.asarray(xc_eval(130, rho, grad)))
+    np.testing.assert_allclose(pbe0, mix0, rtol=1e-13, atol=1e-18)
+
+    # B3LYP/B3LYP5 differ exactly by the VWN flavor choice
+    assert np.max(np.abs(b3lyp - b3lyp5)) > 1e-8

@@ -55,22 +55,40 @@ def _import_cps():
 # BASELINE.md "Measured CPU" table. tools/measure_cpu_baseline.py
 # regenerates these.
 CPU_MEASURED = {
-    # re-measured 2026-08-18 on an idle core (the 08-17 numbers were
-    # 3-4x slower: the TPU-tunnel outage kept compile-retry processes
-    # pinning this 1-core box; keep the clean-host values)
+    # Policy: per-key MINIMUM wall (MAXIMUM rate) across every recorded
+    # idle-host run - uniformly conservative AGAINST the TPU ratios.
+    # The single-core box's wall clock for identical work varies up to
+    # 4.6x between runs (qtree stand-in: 79.8 s judge r4 / 149.9 s /
+    # 367.3 s builder r5, all with ntraced=37115, nev=5.04e6 - the
+    # work is deterministic, the host is noisy), so the minimum is the
+    # only defensible denominator.  Snapshots: 2026-08-18 idle-core,
+    # 2026-08-19 idle-core, r4 judge review, 2026-08-21 r5
+    # (tools/measure_cpu_baseline.py regenerates; raw r5 run in
+    # BASELINE.md).
     "yt48_cpu_seq_wall_s": 0.042,
     "yt128_cpu_seq_wall_s": 1.318,
-    "yt256_cpu_seq_wall_s": 16.26,
-    "tricubic_cpu_evals_per_s": 6.8e5,     # value+grad+Hess, 1 core
+    "yt256_cpu_seq_wall_s": 16.26,         # r5 re-measure: 21.4
+    "tricubic_cpu_evals_per_s": 1.0e6,     # value+grad+Hess, 1 core
+                                           # (r5; 08-18 measured 6.8e5)
     "nci256_cpu_wall_s": 5.81,             # 256^3 interp sweep stand-in
     # FULL NCI driver stand-in (interp sweep + 3x3 eigensolve + RDG +
-    # cutoff masks + dat selection), measured 2026-08-19 on an idle
-    # core; the same run reproduced the 08-18 table within ~10%
-    # (yt256 18.95 vs 16.26, tricubic 0.66M vs 0.68M evals/s), so the
-    # two snapshots are consistent and the smaller (conservative,
-    # anti-us) yt/tricubic denominators above are kept
-    "nci256_cpu_driver_wall_s": 5.83,
+    # cutoff masks + dat selection)
+    "nci256_cpu_driver_wall_s": 4.91,      # r5; 08-19 measured 5.83
     "auto256_cpu_wall_s": 0.05,            # 2071 WS-seed Newton drain
+    # FULL sequential AUTO driver (Newton + dedup + classify,
+    # c2n_auto_drain) - default and heavy (39312-seed) WS loads.  The
+    # heavy drain is CHEAP on a grid field (~1 us/eval tricubic, ~15
+    # evals/seed): config 2 at this scale is a dispatch-latency story
+    # on any accelerator, not a throughput one.
+    "auto256_cpu_driver_wall_s": 0.04,
+    "auto256h_cpu_driver_wall_s": 0.33,
+    # FULL sequential qtree driver (tools/qtree_cpu_standin.py,
+    # maxl=4 sphfactor=0.9): judge-measured minimum (see policy above)
+    "qtree256_cpu_seq_wall_s": 79.8,
+    # benzene ultra-mesh NELEC: sequential screened-GTO rate x 2.55M
+    # points (two subset sizes agreed within 10%, r5)
+    "wfn_mesh_cpu_evals_per_s": 347717.7,
+    "wfn_mesh_cpu_implied_s": 7.3,
 }
 
 
