@@ -93,7 +93,7 @@ def _log(out: dict, *keys):
           file=sys.stderr, flush=True)
 
 
-def run_cpu(out: dict, mesh_sub: int = 2000) -> dict:
+def run_cpu(out: dict, mesh_sub: int = 8000) -> dict:
     from critic2_tpu import native
     from critic2_tpu.analysis.mesh import _becke_mesh_points, _LVL
 
@@ -108,15 +108,67 @@ def run_cpu(out: dict, mesh_sub: int = 2000) -> dict:
     _log(out, "cps_build_s", "cps_nat", "cps_npri", "cps_nmo")
 
     # --- AUTO drain (sequential, full driver work) -------------------
+    # Chunked (seed order preserved) so a multi-hour run logs progress
+    # and survives interruption: each chunk's CPs/wall checkpoint to
+    # CPU_CPS_NPZ + '.part.npz', and a restart resumes after the last
+    # completed chunk.  The native drain dedupes within its call;
+    # cross-chunk duplicates are merged on host with the same cpeps -
+    # identical work to the single-call drain up to the (negligible vs
+    # the 10^2-ms/seed Newton evals) dedup-list scans.
     seeds = pair_seeds_cart(s)
     out["cps_auto_nseeds"] = int(len(seeds))
     _log(out, "cps_auto_nseeds")
-    t0 = time.perf_counter()
-    cps, sig, nev = native.wfn_auto_drain(w, seeds)
-    out["cps_auto_cpu_wall_s"] = round(time.perf_counter() - t0, 2)
+    part_path = CPU_CPS_NPZ + ".part.npz"
+    nchunk = 16
+    bounds = np.linspace(0, len(seeds), nchunk + 1).astype(int)
+    start_chunk, wall, all_cps, all_sig, nev = 0, 0.0, [], [], 0
+    import os as _os
+    if _os.path.exists(part_path):
+        part = np.load(part_path)
+        if int(part["nseeds"]) == len(seeds) and int(part["nchunk"]) == nchunk:
+            start_chunk = int(part["done"])
+            wall = float(part["wall_s"])
+            nev = int(part["nev"])
+            all_cps = [np.asarray(part["cps"])]
+            all_sig = [np.asarray(part["sig"])]
+            print(f"resuming after chunk {start_chunk}/{nchunk}",
+                  file=sys.stderr, flush=True)
+    for ic in range(start_chunk, nchunk):
+        sl = slice(bounds[ic], bounds[ic + 1])
+        t0 = time.perf_counter()
+        cps_c, sig_c, nev_c = native.wfn_auto_drain(w, seeds[sl])
+        wall += time.perf_counter() - t0
+        nev += int(nev_c)
+        all_cps.append(np.asarray(cps_c).reshape(-1, 3))
+        all_sig.append(np.asarray(sig_c))
+        cps_sofar = np.concatenate(all_cps) if all_cps else np.zeros((0, 3))
+        sig_sofar = np.concatenate(all_sig) if all_sig else np.zeros(0, int)
+        np.savez_compressed(part_path, cps=cps_sofar, sig=sig_sofar,
+                            done=ic + 1, nchunk=nchunk, wall_s=wall,
+                            nev=nev, nseeds=len(seeds))
+        print(json.dumps({"chunk": ic + 1, "of": nchunk,
+                          "wall_s": round(wall, 1), "nev": nev,
+                          "ncp_raw": int(len(cps_sofar))}),
+              file=sys.stderr, flush=True)
+    # cross-chunk dedup at the native drain's cpeps (first wins, the
+    # same rule as the in-call dedup)
+    cps_raw = np.concatenate(all_cps)
+    sig_raw = np.concatenate(all_sig)
+    keep: list = []
+    for i in range(len(cps_raw)):
+        ok = True
+        for j in keep:
+            d = cps_raw[i] - cps_raw[j]
+            if (d @ d) < 1e-2 ** 2:
+                ok = False
+                break
+        if ok:
+            keep.append(i)
+    cps = cps_raw[keep]
+    sig = sig_raw[keep]
+    out["cps_auto_cpu_wall_s"] = round(wall, 2)
     out["cps_auto_cpu_ncp"] = int(len(cps))
     out["cps_auto_cpu_nev"] = int(nev)
-    sig = np.asarray(sig)
     out["cps_auto_cpu_counts"] = [int((sig == -3).sum()),
                                   int((sig == -1).sum()),
                                   int((sig == 1).sum()),
@@ -188,6 +240,10 @@ def run_tpu(out: dict) -> dict:
     if os.path.exists(CPU_CPS_NPZ):
         ref = np.load(CPU_CPS_NPZ)
         if tuple(ref["reps"]) == REPS:
+            # the sequential drain's measured wall rides along in the
+            # npz so the artifact carries the config-5b denominator
+            # even when CPU_MEASURED lags the latest CPU run
+            out.setdefault("cps_auto_cpu_wall_s", float(ref["wall_s"]))
             cpu_cps = np.asarray(ref["cps"])
             rho_cpu = np.asarray(
                 w.rho_eval_screened(jnp.asarray(cpu_cps.T), nder=0)[0])

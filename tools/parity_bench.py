@@ -89,6 +89,15 @@ CPU_MEASURED = {
     # points (two subset sizes agreed within 10%, r5)
     "wfn_mesh_cpu_evals_per_s": 347717.7,
     "wfn_mesh_cpu_implied_s": 7.3,
+    # cps_large (768-atom / 12288-primitive assembly, r5 2026-08-21):
+    # full sequential AUTO drain of the 105672 pair seeds
+    # (c2n_wfn_auto_drain, 922044 evals, 2420 CPs) measured in 16
+    # logged chunks on an idle core; mesh rate from 8k/16k/16k-point
+    # subsets (max 2763.4 evals/s, larger two within 5%) x the
+    # 14032128-point good-level mesh
+    "cps_auto_cpu_wall_s": 1464.91,
+    "cps_mesh_cpu_evals_per_s": 2763.4,
+    "cps_mesh_cpu_wall_implied_s": 5078.0,
 }
 
 
