@@ -306,50 +306,92 @@ def init_cplist(system) -> CPList:
 
 
 def _newton_screened(w, cart, gfnormeps, maxit, n_chunk: int = 512,
-                     margin: float = 3.0):
+                     margin: float = 3.0, seg: int = 30):
     """Newton CP refinement through the screened GTO kernel (the
     cps_large AUTO path, examples/cps_large/insulin.cri).
 
-    Seeds are chunked spatially (fields/wfn.screen_plan) and every
-    chunk runs the SAME compiled fori-loop Newton with its own block
-    table as a jit argument. Because the table is computed from the
-    SEED positions, a seed that wanders outside the chunk's reach
-    margin sees a truncated field - so converged candidates are
-    re-verified against a freshly screened evaluation at their FINAL
-    positions and re-polished once when the gradient disagrees (the
-    reference instead rebuilds its near-atom list every eval,
-    src/wfn_private@proc.F90:2070)."""
+    Two stages, both chunked spatially (fields/wfn.screen_plan), every
+    chunk running the SAME compiled fori-loop Newton with its block
+    table as a jit argument:
+
+    1. f32 sweep to an f32-reachable gradient floor, in segments of
+       `seg` iterations with GLOBAL compaction + re-planning between
+       segments: surviving seeds are re-chunked at their CURRENT
+       positions (which also refreshes block tables the seeds walked
+       out of), and seeds outside the native drain's escape sphere
+       (|x| > max|atpos| + 10, the same rmax rule as
+       native.wfn_auto_drain) are dropped.  Without the segmenting, a
+       handful of never-converging lanes forced every 512-lane chunk
+       through the full 200-iteration budget in f64 - the r5 first
+       attempt ran past 58 min on the 105k-seed assembly.
+    2. f64 polish: stage-1 candidates are clustered on a cpeps/2
+       rounding grid (duplicate seeds converge to duplicate CPs by the
+       thousands), ONE representative per cluster is polished to the
+       true gfnormeps with fresh block tables, and every member
+       inherits its representative's polished position (the downstream
+       cpeps dedup merges them regardless - the polish only has to be
+       exact per distinct CP, not per seed)."""
     from ..ops.newton import newton_batch
 
-    def _pass(points):
+    rmax = float(np.linalg.norm(np.asarray(w.atpos), axis=1).max() + 10.0)
+
+    def _pass(points, nit, dtype, eps):
         order, xstack, bidx, N = w.screen_plan(points, n_chunk=n_chunk,
                                                margin=margin)
         xs, convs = [], []
         for i in range(len(xstack)):
-            shim = w.screened_shim(bidx[i], nder=2)
+            shim = w.screened_shim(bidx[i], nder=2, dtype=dtype)
             xx, cc, _ = newton_batch(shim, jnp.asarray(xstack[i].T),
-                                     gfnormeps=gfnormeps, maxit=maxit)
+                                     gfnormeps=eps, maxit=nit)
             xs.append(np.asarray(xx))
             convs.append(np.asarray(cc))
         inv = np.argsort(order)
-        xf = np.concatenate(xs)[:N][inv]
-        cv = np.concatenate(convs)[:N][inv]
-        return xf, cv
+        return np.concatenate(xs)[:N][inv], np.concatenate(convs)[:N][inv]
 
-    xfin, conv = _pass(cart)
-    if conv.any():
-        # verify converged candidates with a fresh block table at the
-        # final positions; re-polish the ones the truncated field fooled
-        xv = xfin[conv]
-        _, gf, _ = w.rho_eval_screened(jnp.asarray(xv.T), nder=1)
-        gm = np.sqrt((np.asarray(gf) ** 2).sum(0))
-        bad = gm > 10.0 * gfnormeps
-        if bad.any():
-            xr, cr = _pass(xv[bad])
-            sel = np.flatnonzero(conv)[bad]
-            xfin[sel] = xr
-            conv[sel] = cr
-    return xfin, conv
+    import sys
+    import time as _t
+
+    t0 = _t.perf_counter()
+
+    def _log(msg):
+        print(f"[newton_screened +{_t.perf_counter() - t0:6.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    x = np.array(cart, dtype=float, copy=True)
+    N0 = len(x)
+    conv = np.zeros(N0, bool)
+    alive = np.ones(N0, bool)
+    eps32 = max(gfnormeps, 1e-4)
+    left = maxit
+    while left > 0 and alive.any():
+        # constant segment length: a ragged final segment would compile
+        # a second nsteps shape through the remote tunnel
+        idx = np.flatnonzero(alive)
+        xs, cs = _pass(x[idx], seg, jnp.float32, eps32)
+        x[idx] = xs
+        esc = np.linalg.norm(xs, axis=1) > rmax
+        conv[idx] = cs & ~esc
+        alive[idx] = ~cs & ~esc
+        left -= seg
+        _log(f"f32 seg done: {alive.sum()}/{N0} alive, "
+             f"{conv.sum()} candidates, {int(esc.sum())} escaped")
+    # lanes that ran out of f32 budget near a CP (the f32 gradient
+    # noise floor scales with the local density) still join the polish
+    # set; the f64 stage is the arbiter of convergence
+    cand = conv | alive
+    if not cand.any():
+        return x, conv
+    ci = np.flatnonzero(cand)
+    key = np.round(x[ci] / 5e-3).astype(np.int64)
+    _, rep, inv_g = np.unique(key, axis=0, return_index=True,
+                              return_inverse=True)
+    _log(f"f64 polish: {len(rep)} representatives of {len(ci)} "
+         "candidates")
+    xr, cr = _pass(x[ci[rep]], 20, None, gfnormeps)
+    x[ci] = xr[inv_g]
+    conv[ci] = cr[inv_g]
+    _log(f"done: {conv.sum()}/{N0} converged")
+    return x, conv
 
 
 def autocp(system, seeds: list[Seed] | None = None, gfnormeps: float = 1e-12,

@@ -326,6 +326,48 @@ def _knn_parent_weight(points, atpos, nbr, ppos):
     return bw[jnp.arange(bw.shape[0]), ppos]
 
 
+from functools import partial as _partial  # noqa: E402
+
+
+@jax.jit
+def _mu_need_counts(points, atposf, rr, par, mu_cut):
+    """Per-point count of atoms with switching argument mu > -mu_cut
+    (device; the host version of this (B, nat) reduction was the wall
+    of the 14M-point 768-atom mesh build)."""
+    d = jnp.linalg.norm(points[:, None, :] - atposf[None, :, :], axis=2)
+    dp = jnp.take_along_axis(d, par[:, None], axis=1)[:, 0]
+    rrp = rr[par]
+    mu = (dp[:, None] - d) / jnp.where(rrp < 1e-14, 1.0, rrp)
+    mu = mu.at[jnp.arange(points.shape[0]), par].set(jnp.inf)
+    return (mu > -mu_cut).sum(axis=1).astype(jnp.int32)
+
+
+@_partial(jax.jit, static_argnames=("K",))
+def _knn_parent_weight_fused(points64, pointsw, atposf, atposw, rr, par,
+                             K):
+    """mu-threshold neighbor selection (top-K by mu, ON DEVICE) fused
+    with the Becke parent-weight evaluation.  points64/atposf carry the
+    f64 geometry for the mu ranking; pointsw/atposw carry the weight
+    dtype (f32 fast-build or f64)."""
+    B = points64.shape[0]
+    d = jnp.linalg.norm(points64[:, None, :] - atposf[None, :, :],
+                        axis=2)
+    dp = jnp.take_along_axis(d, par[:, None], axis=1)[:, 0]
+    rrp = rr[par]
+    mu = (dp[:, None] - d) / jnp.where(rrp < 1e-14, 1.0, rrp)
+    mu = mu.at[jnp.arange(B), par].set(jnp.inf)
+    nat = atposf.shape[0]
+    if K >= nat:
+        nbr = jnp.broadcast_to(jnp.arange(nat, dtype=jnp.int32),
+                               (B, nat))
+    else:
+        _, nbr = jax.lax.top_k(mu, K)
+        nbr = nbr.astype(jnp.int32)
+    ppos = jnp.argmax(nbr == par[:, None], axis=1)
+    bw = _becke_weights_knn(pointsw, atposw, nbr)
+    return bw[jnp.arange(B), ppos]
+
+
 _MU_CUT = 0.85    # atoms with switching argument mu_pj <= -_MU_CUT are
                   # excluded from a point's Becke product: near mu = -1
                   # the 4x-iterated polynomial converges as e' = 1.5e^2
@@ -333,18 +375,6 @@ _MU_CUT = 0.85    # atoms with switching argument mu_pj <= -_MU_CUT are
                   # excluded atom - a provable per-point bound, unlike
                   # a fixed k-nearest cut (whose worst-case error in a
                   # packed cluster measured 1e-4 at interior points)
-
-
-def _mu_to_all_atoms(xc, atpos, par, rr):
-    """Becke switching argument mu_pj = (d_p - d_j)/r_pj of a point
-    chunk (B, 3) against every atom j; the parent's own entry is +inf
-    (always selected)."""
-    d = np.linalg.norm(xc[:, None, :] - atpos[None, :, :], axis=2)
-    dp = d[np.arange(len(xc)), par]
-    rrp = rr[par]                                       # (B, nat)
-    mu = (dp[:, None] - d) / np.where(rrp < 1e-14, 1.0, rrp)
-    mu[np.arange(len(xc)), par] = np.inf
-    return mu
 
 
 def _becke_parent_weights_knn(x, atpos, parent, dtype=np.float64,
@@ -359,43 +389,81 @@ def _becke_parent_weights_knn(x, atpos, parent, dtype=np.float64,
     shape count stays logarithmic while interior points (small K,
     most of the quadrature mass) stay O(K^2) cheap.  Far radial-shell
     points see every atom as equidistant and fall back to K = nat -
-    there the truncation is empty, i.e. exact."""
+    there the truncation is empty, i.e. exact.
+
+    The (B, nat) mu tensors and the top-K neighbor selection run ON
+    DEVICE (_mu_need_counts / _knn_parent_weight_fused): the original
+    host-NumPy version spent ~1 GB of memory traffic per 16k block and
+    took the better part of an hour over the 14M-point 768-atom cps
+    mesh; the host now only sorts and scatters."""
     nat = len(atpos)
     atposf = np.asarray(atpos, float)
     rr = np.linalg.norm(atposf[:, None, :] - atposf[None, :, :], axis=2)
     n = len(x)
     xf = np.asarray(x, float)
+    atj64 = jnp.asarray(atposf)
+    atj = jnp.asarray(np.asarray(atpos, dtype))
+    rrj = jnp.asarray(rr)
+    parj = np.asarray(parent, np.int32)
+
+    def padded(arr, m):
+        if m == block:
+            return arr
+        return np.concatenate(
+            [arr, np.broadcast_to(arr[:1], (block - m,) + arr.shape[1:])])
+
     need = np.empty(n, dtype=np.int32)
     for lo in range(0, n, block):
-        sl = slice(lo, min(lo + block, n))
-        mu = _mu_to_all_atoms(xf[sl], atposf, parent[sl], rr)
-        need[sl] = (mu > -mu_cut).sum(axis=1)
-    order = np.argsort(need, kind="stable")
-    atj = jnp.asarray(np.asarray(atpos, dtype))
-    out = np.empty(n, dtype)
-    for lo in range(0, n, block):
-        idx = order[lo:lo + block]
+        idx = np.arange(lo, min(lo + block, n))
         m = len(idx)
-        kmax = int(need[idx].max())
-        K = nat if kmax > nat // 2 else min(
-            nat, 8 << max(0, int(np.ceil(np.log2(max(1, kmax) / 8)))))
-        mu = _mu_to_all_atoms(xf[idx], atposf, parent[idx], rr)
-        if K >= nat:
-            nbr = np.broadcast_to(np.arange(nat), (m, nat)).copy()
-        else:
-            nbr = np.argpartition(-mu, K - 1, axis=1)[:, :K]
-        ppos = np.argmax(nbr == parent[idx, None], axis=1)
-        chunk = np.asarray(xf[idx], dtype)
-        if m < block:               # pad: one compiled shape per K
-            pad = block - m
-            chunk = np.concatenate(
-                [chunk, np.broadcast_to(chunk[:1], (pad, 3))])
-            nbr = np.concatenate(
-                [nbr, np.broadcast_to(nbr[:1], (pad, nbr.shape[1]))])
-            ppos = np.concatenate([ppos, np.broadcast_to(ppos[:1], (pad,))])
-        out[idx] = np.asarray(_knn_parent_weight(
-            jnp.asarray(chunk), atj, jnp.asarray(nbr),
-            jnp.asarray(ppos)))[:m]
+        need[idx] = np.asarray(_mu_need_counts(
+            jnp.asarray(padded(xf[idx], m)), atj64, rrj,
+            jnp.asarray(padded(parj[idx], m)), mu_cut))[:m]
+    order = np.argsort(need, kind="stable")
+    out = np.empty(n, dtype)
+    # the Becke product needs a (B, K, K) pair tensor per block; bound
+    # it at ~1.5 GB by shrinking the block as K grows (at K = 512 a
+    # 16384-point block planned a 16 GB temporary and the v5e refused
+    # to compile).  Distinct (B, K) compile shapes stay bounded: one
+    # per K quantization level.
+    pair_budget = 1.5e9
+    isz = np.dtype(dtype).itemsize
+    lo = 0
+    while lo < n:
+        # fixed point: K is the block max's quantized level, bK the
+        # largest pow-2 block whose (bK, K, K) tensor fits the budget.
+        # Shrinking bK drops the highest-need points (the order is
+        # need-ascending), so K never grows across iterations and the
+        # loop terminates.
+        bK = block
+        while True:
+            idx = order[lo:lo + bK]
+            kmax = int(need[idx].max())
+            K = nat if kmax > nat // 2 else min(
+                nat, 8 << max(0, int(np.ceil(np.log2(max(1, kmax) / 8)))))
+            bK_ok = min(block, max(256, 1 << int(np.floor(np.log2(
+                max(256.0, pair_budget / (K * K * isz)))))))
+            if bK <= bK_ok:
+                break
+            bK = bK_ok
+        m = len(idx)
+
+        def padb(arr):
+            if m == bK:
+                return arr
+            return np.concatenate(
+                [arr, np.broadcast_to(arr[:1], (bK - m,) + arr.shape[1:])])
+
+        p64 = jnp.asarray(padb(xf[idx]))
+        pw_ = jnp.asarray(padb(np.asarray(xf[idx], dtype)))
+        pj = jnp.asarray(padb(parj[idx]))
+        if n > (1 << 22) and lo % (1 << 22) < bK:
+            import sys
+            print(f"[becke_knn] {lo}/{n} (B={bK}, K={K})",
+                  file=sys.stderr, flush=True)
+        out[idx] = np.asarray(_knn_parent_weight_fused(
+            p64, pw_, atj64, atj, rrj, pj, int(K)))[:m]
+        lo += bK
     return out
 
 

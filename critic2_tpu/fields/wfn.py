@@ -33,6 +33,25 @@ import numpy as np
 
 __all__ = ["Wavefunction"]
 
+
+def _morton3(cell):
+    """Morton (Z-order) code of non-negative integer cells (N, 3):
+    interleaves the low 21 bits of each axis so lexicographic order is
+    spatially local (used to keep screening blocks/chunks compact)."""
+    c = np.asarray(cell, dtype=np.uint64)
+
+    def spread(v):
+        v = v & np.uint64(0x1FFFFF)
+        v = (v | (v << np.uint64(32))) & np.uint64(0x1F00000000FFFF)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x1F0000FF0000FF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x100F00F00F00F00F)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x10C30C30C30C30C3)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x1249249249249249)
+        return v
+
+    return ((spread(c[:, 0]) << np.uint64(2))
+            | (spread(c[:, 1]) << np.uint64(1)) | spread(c[:, 2]))
+
 # AIMPAC primitive type -> cartesian powers (reference li table)
 _LI = np.array([
     (0, 0, 0),
@@ -342,19 +361,27 @@ class Wavefunction:
             else (lambda v: v.sum(0))
         prec = jax.lax.Precision.HIGHEST
 
-        def pw(X, n):
-            # X^n for per-primitive int exponents n (P,), 0 for n < 0.
-            # Exact repeated multiplication: the XLA pow lowering on the
+        def pows(V):
+            # shared power table V^k, k = 0..nmax, built ONCE per
+            # direction and reused by every exponent selection below
+            # (a per-call multiply chain kept ~200 (P, N) temporaries
+            # live in large-assembly programs - see screened_closure)
+            out = [jnp.ones_like(V), V]
+            for _ in range(2, nmax + 1):
+                out.append(out[-1] * V)
+            return out
+
+        def pw(pV, n):
+            # pV[n] for per-primitive int exponents n (P,), 0 for n < 0.
+            # Integer-select powers: the XLA pow lowering on the
             # v5e returns NaN for subnormal bases with zero exponents
             # (pow(1e-320, 0) = NaN), which poisons near-nucleus mesh
-            # points; integer-select powers avoid pow entirely and are
-            # exact in f64.
+            # points; selects over the exact product table avoid pow
+            # entirely and are exact in f64.
             nb = n[:, None]
             out = jnp.where(nb == 0, 1.0, 0.0)
-            Xk = X
             for k in range(1, nmax + 1):
-                out = jnp.where(nb == k, Xk, out)
-                Xk = Xk * X
+                out = jnp.where(nb == k, pV[k], out)
             return out
 
         def fn(xT):
@@ -368,7 +395,8 @@ class Wavefunction:
             ex = jnp.exp(-al[:, None] * r2)
             X, Y, Z = dx[0], dx[1], dx[2]
             a, b, c = lx[0], lx[1], lx[2]
-            xa, yb, zc = pw(X, a), pw(Y, b), pw(Z, c)
+            pX, pY, pZ = pows(X), pows(Y), pows(Z)
+            xa, yb, zc = pw(pX, a), pw(pY, b), pw(pZ, c)
             chi0 = xa * yb * zc * ex
             phi0 = jnp.matmul(C, chi0, precision=prec)      # (M, N) matmul
             rho = occ @ acc(phi0 * phi0)
@@ -398,9 +426,12 @@ class Wavefunction:
             if nder < 1 and not extras:
                 return rho, jnp.zeros((3, N)), jnp.zeros((6, N))
 
-            dxa = a[:, None] * pw(X, a - 1) - 2.0 * al[:, None] * pw(X, a + 1)
-            dyb = b[:, None] * pw(Y, b - 1) - 2.0 * al[:, None] * pw(Y, b + 1)
-            dzc = c[:, None] * pw(Z, c - 1) - 2.0 * al[:, None] * pw(Z, c + 1)
+            dxa = a[:, None] * pw(pX, a - 1) \
+                - 2.0 * al[:, None] * pw(pX, a + 1)
+            dyb = b[:, None] * pw(pY, b - 1) \
+                - 2.0 * al[:, None] * pw(pY, b + 1)
+            dzc = c[:, None] * pw(pZ, c - 1) \
+                - 2.0 * al[:, None] * pw(pZ, c + 1)
             phix = jnp.matmul(C, dxa * yb * zc * ex, precision=prec)
             phiy = jnp.matmul(C, xa * dyb * zc * ex, precision=prec)
             phiz = jnp.matmul(C, xa * yb * dzc * ex, precision=prec)
@@ -424,15 +455,15 @@ class Wavefunction:
                 return rho, grad, jnp.zeros((6, N))
 
             al2 = 2.0 * al[:, None]
-            sxa = (a * (a - 1))[:, None] * pw(X, a - 2) \
+            sxa = (a * (a - 1))[:, None] * pw(pX, a - 2) \
                 - al2 * (2 * a + 1)[:, None] * xa \
-                + 4.0 * al[:, None] ** 2 * pw(X, a + 2)
-            syb = (b * (b - 1))[:, None] * pw(Y, b - 2) \
+                + 4.0 * al[:, None] ** 2 * pw(pX, a + 2)
+            syb = (b * (b - 1))[:, None] * pw(pY, b - 2) \
                 - al2 * (2 * b + 1)[:, None] * yb \
-                + 4.0 * al[:, None] ** 2 * pw(Y, b + 2)
-            szc = (c * (c - 1))[:, None] * pw(Z, c - 2) \
+                + 4.0 * al[:, None] ** 2 * pw(pY, b + 2)
+            szc = (c * (c - 1))[:, None] * pw(pZ, c - 2) \
                 - al2 * (2 * c + 1)[:, None] * zc \
-                + 4.0 * al[:, None] ** 2 * pw(Z, c + 2)
+                + 4.0 * al[:, None] ** 2 * pw(pZ, c + 2)
             phixx = jnp.matmul(C, sxa * yb * zc * ex, precision=prec)
             phiyy = jnp.matmul(C, xa * syb * zc * ex, precision=prec)
             phizz = jnp.matmul(C, xa * yb * szc * ex, precision=prec)
@@ -501,11 +532,14 @@ class Wavefunction:
     #     block to the fixed width K), so shapes stay static and the
     #     whole sweep is ONE compiled scan,
     #   * per chunk the kernel gathers the K blocks' primitive data +
-    #     the (Ka, Ka) density-matrix tile and contracts
-    #     rho = chi^T D chi (and derivatives via t_d = D @ chi_d):
-    #     cost per point is O(P_active^2), INDEPENDENT of system size,
-    #     vs O(M * P) for the dense MO path - the difference between
-    #     benzene and insulin being feasible.
+    #     the (M, Ka) MO-coefficient columns and contracts
+    #     phi_d = C_g @ chi_d, rho = occ . phi^2 (the dense math
+    #     restricted to active primitives): cost per point is
+    #     O(M * P_active) vs O(P * M) dense - the difference between
+    #     benzene and insulin being feasible.  (A density-matrix tile
+    #     rho = chi^T D chi was tried first: O(P_active^2) only wins
+    #     when the active set is narrower than the occupied space,
+    #     which 64-wide BLOCK screening never achieves - see _screen.)
     #
     # Primitives outside dran but inside a gathered block contribute
     # their true (sub-1e-12) exponential tails, so the screened result
@@ -532,24 +566,38 @@ class Wavefunction:
         dran = np.sqrt(-np.log(thres) / al)
         P = len(al)
 
-        # spatial sort: quantized-cell lexicographic hash keeps blocks
-        # compact; within a cell, diffuse primitives (large dran) group
-        # together so tight blocks keep small bounding radii
+        # spatial sort: Morton (Z-order) code of the quantized cell
+        # keeps CONSECUTIVE primitives spatially adjacent, so 64-wide
+        # blocks stay compact.  (The first implementation lexsorted an
+        # XOR hash of the cell, which orders distant cells arbitrarily:
+        # on the 768-atom cps assembly the median block bounding radius
+        # came out 31 bohr - wider than a benzene copy - and every
+        # chunk's "screened" table saturated at all 192 blocks, OOMing
+        # the 16 GB v5e on the gathered density-matrix tile.  Morton
+        # ordering cuts the median bR to the cell+dran scale.)  Within
+        # a cell, diffuse primitives (large dran) group together so
+        # tight blocks keep small bounding radii.
         h = 4.0
         cell = np.floor((ctr - ctr.min(0)) / h).astype(np.int64)
-        hashv = (cell[:, 0] * 73856093 ^ cell[:, 1] * 19349663
-                 ^ cell[:, 2] * 83492791)
-        # stable two-key sort: cell id major, dran minor
-        perm = np.lexsort((dran, hashv))
+        perm = np.lexsort((dran, _morton3(cell)))
         ctr, al, li, dran = ctr[perm], al[perm], li[perm], dran[perm]
 
-        # density matrix in the permuted primitive basis
-        D = (self.cmo.T * self.occ) @ self.cmo            # (P, P)
-        D = np.ascontiguousarray(D[perm][:, perm])
+        # MO coefficients in the permuted primitive basis.  The kernel
+        # contracts through the MOs (phi = C_g @ chi, rho = occ.(phi^2))
+        # rather than a density-matrix tile: at BLOCK granularity the
+        # active set Ka = K*B runs thousands wide, so the (Ka, Ka) tile
+        # gather costs O(Ka^2) memory AND the D @ chi matmuls O(Ka^2 n)
+        # flops, vs O(M Ka) / O(M Ka n) for the MO route with M << Ka
+        # occupied orbitals (the cps assembly: M = 1344 vs Ka up to
+        # 12288 - the tile route's buffer plan hit 15.76 GB and refused
+        # to compile on the 16 GB v5e).  A density-matrix tile only
+        # wins when the active set is narrower than the occupied space,
+        # which block screening never achieves.
+        Cp = np.ascontiguousarray(self.cmo[:, perm])      # (M, P)
 
-        # pad to a block multiple with inert primitives (zero D rows
-        # AND columns guarantee exactly zero contribution; dran = 0
-        # keeps them out of every block radius)
+        # pad to a block multiple with inert primitives (zero C columns
+        # guarantee exactly zero contribution; dran = 0 keeps them out
+        # of every block radius)
         npad = (-P) % B
         if npad:
             ctr = np.concatenate([ctr, np.broadcast_to(ctr.mean(0),
@@ -557,9 +605,7 @@ class Wavefunction:
             al = np.concatenate([al, np.ones(npad)])
             li = np.concatenate([li, np.zeros((npad, 3), np.int32)])
             dran = np.concatenate([dran, np.zeros(npad)])
-            Dp = np.zeros((P + npad, P + npad))
-            Dp[:P, :P] = D
-            D = Dp
+            Cp = np.concatenate([Cp, np.zeros((len(Cp), npad))], axis=1)
         Pp = len(al)
         nb = Pp // B
 
@@ -573,14 +619,14 @@ class Wavefunction:
         ctr = np.concatenate([ctr, np.broadcast_to(ctr.mean(0), (B, 3))])
         al = np.concatenate([al, np.ones(B)])
         li = np.concatenate([li, np.zeros((B, 3), np.int32)])
-        Dx = np.zeros((Pp + B, Pp + B))
-        Dx[:Pp, :Pp] = D
+        Cp = np.concatenate([Cp, np.zeros((len(Cp), B))], axis=1)
         scr = dict(
             perm=perm, B=B, nb=nb, Pp=Pp,
             bctr=bctr, bR=bR,
             ctrT=np.ascontiguousarray(ctr.T),             # (3, Pp+B)
             al=al, lxT=np.ascontiguousarray(li.T),        # (3, Pp+B)
-            D=Dx,
+            C=Cp,                                         # (M, Pp+B)
+            occ=np.asarray(self.occ, np.float64),
             nmax=int(li.max()) + 2,
         )
         cache[key] = scr
@@ -602,7 +648,8 @@ class Wavefunction:
                 "s_ctrT": jnp.asarray(scr["ctrT"]),  # f64 displacements
                 "s_al": jnp.asarray(scr["al"].astype(dt)),
                 "s_lxT": jnp.asarray(scr["lxT"]),
-                "s_D": jnp.asarray(scr["D"].astype(dt)),
+                "s_C": jnp.asarray(scr["C"].astype(dt)),
+                "s_occ": jnp.asarray(scr["occ"]),    # f64 accumulation
             }
         return cache[key]
 
@@ -632,12 +679,14 @@ class Wavefunction:
         """Jittable screened kernel: (consts, xT (3, n), bidx (K,)) ->
         (rho, grad (3, n), h6 (6, n)) [or extras dict].
 
-        Density-matrix contraction (see the section comment): gathers
-        the bidx blocks' primitive data and the (Ka, Ka) density-matrix
-        tile; the four MXU matmuls are D @ chi_d for d in (0, x, y, z),
-        every occupied-space reduction accumulates in f64.  EDF core
-        primitives (ECP wavefunctions) are evaluated densely per chunk
-        (their count is O(atoms), never the bottleneck)."""
+        MO contraction (see _screen for why not a density-matrix
+        tile): gathers the bidx blocks' primitive data and the (M, Ka)
+        MO-coefficient columns; the MXU matmuls are phi_d = C_g @ chi_d
+        per derivative component, and every occupied-space reduction
+        accumulates in f64 (the same math as eval_closure restricted
+        to the gathered primitives).  EDF core primitives (ECP
+        wavefunctions) are evaluated densely per chunk (their count is
+        O(atoms), never the bottleneck)."""
         scr = self._screen()
         B = scr["B"]
         nmax = scr["nmax"]
@@ -666,8 +715,8 @@ class Wavefunction:
             a = cst["s_lxT"][0, pidx]
             b = cst["s_lxT"][1, pidx]
             c = cst["s_lxT"][2, pidx]
-            Dg = jnp.take(jnp.take(cst["s_D"], pidx, axis=0),
-                          pidx, axis=1)                   # (Ka, Ka)
+            Cg = jnp.take(cst["s_C"], pidx, axis=1)       # (M, Ka)
+            occ = cst["s_occ"]
 
             dx = xT[:, None, :] - ctrT[:, :, None]        # (3, Ka, n) f64
             if lowp:
@@ -676,19 +725,32 @@ class Wavefunction:
             ex = jnp.exp(-al[:, None] * r2)
             X, Y, Z = dx[0], dx[1], dx[2]
 
-            def pw(V, nexp):
-                nbx = nexp[:, None]
-                out = jnp.where(nbx == 0, 1.0, 0.0)
-                Vk = V
-                for k in range(1, nmax + 1):
-                    out = jnp.where(nbx == k, Vk, out)
-                    Vk = Vk * V
+            # shared power tables: V^k for k = 0..nmax computed ONCE
+            # per direction, every exponent selection reuses them.  A
+            # per-call multiply chain (the first implementation) built
+            # ~15 calls x nmax fresh (Ka, n) temporaries inside the
+            # Newton while-loop body - the buffer plan hit 15.76 GB on
+            # the 12288-primitive cps assembly and the 16 GB v5e
+            # refused to compile it.
+            def pows(V):
+                out = [jnp.ones_like(V), V]
+                for _ in range(2, nmax + 1):
+                    out.append(out[-1] * V)
                 return out
 
-            xa, yb, zc = pw(X, a), pw(Y, b), pw(Z, c)
+            pX, pY, pZ = pows(X), pows(Y), pows(Z)
+
+            def pw(pV, nexp):
+                nbx = nexp[:, None]
+                out = jnp.where(nbx == 0, 1.0, 0.0)
+                for k in range(1, nmax + 1):
+                    out = jnp.where(nbx == k, pV[k], out)
+                return out
+
+            xa, yb, zc = pw(pX, a), pw(pY, b), pw(pZ, c)
             chi0 = xa * yb * zc * ex
-            t0 = jnp.matmul(Dg, chi0, precision=prec)     # (Ka, n)
-            rho = psum(chi0 * t0)
+            phi0 = jnp.matmul(Cg, chi0, precision=prec)   # (M, n)
+            rho = occ @ acc(phi0 * phi0)
             n = xT.shape[1]
 
             if has_edf:
@@ -714,18 +776,23 @@ class Wavefunction:
             if nder < 1 and not extras:
                 return rho, jnp.zeros((3, n)), jnp.zeros((6, n))
 
-            dxa = a[:, None] * pw(X, a - 1) - 2.0 * al[:, None] * pw(X, a + 1)
-            dyb = b[:, None] * pw(Y, b - 1) - 2.0 * al[:, None] * pw(Y, b + 1)
-            dzc = c[:, None] * pw(Z, c - 1) - 2.0 * al[:, None] * pw(Z, c + 1)
+            dxa = a[:, None] * pw(pX, a - 1) \
+                - 2.0 * al[:, None] * pw(pX, a + 1)
+            dyb = b[:, None] * pw(pY, b - 1) \
+                - 2.0 * al[:, None] * pw(pY, b + 1)
+            dzc = c[:, None] * pw(pZ, c - 1) \
+                - 2.0 * al[:, None] * pw(pZ, c + 1)
             cx = dxa * yb * zc * ex
             cy = xa * dyb * zc * ex
             cz = xa * yb * dzc * ex
-            tx = jnp.matmul(Dg, cx, precision=prec)
-            ty = jnp.matmul(Dg, cy, precision=prec)
-            tz = jnp.matmul(Dg, cz, precision=prec)
-            grad = 2.0 * jnp.stack([psum(cx * t0), psum(cy * t0),
-                                    psum(cz * t0)])
-            gkin = 0.5 * (psum(cx * tx) + psum(cy * ty) + psum(cz * tz))
+            phix = jnp.matmul(Cg, cx, precision=prec)
+            phiy = jnp.matmul(Cg, cy, precision=prec)
+            phiz = jnp.matmul(Cg, cz, precision=prec)
+            grad = 2.0 * jnp.stack([occ @ acc(phi0 * phix),
+                                    occ @ acc(phi0 * phiy),
+                                    occ @ acc(phi0 * phiz)])
+            gkin = 0.5 * (occ @ acc(phix * phix + phiy * phiy
+                                    + phiz * phiz))
             if has_edf:
                 edxa = ae[:, None] * pwe(Xe, ae - 1) \
                     - 2.0 * eal[:, None] * pwe(Xe, ae + 1)
@@ -741,28 +808,34 @@ class Wavefunction:
                 return rho, grad, jnp.zeros((6, n))
 
             al2 = 2.0 * al[:, None]
-            sxa = (a * (a - 1))[:, None] * pw(X, a - 2) \
+            sxa = (a * (a - 1))[:, None] * pw(pX, a - 2) \
                 - al2 * (2 * a + 1)[:, None] * xa \
-                + 4.0 * al[:, None] ** 2 * pw(X, a + 2)
-            syb = (b * (b - 1))[:, None] * pw(Y, b - 2) \
+                + 4.0 * al[:, None] ** 2 * pw(pX, a + 2)
+            syb = (b * (b - 1))[:, None] * pw(pY, b - 2) \
                 - al2 * (2 * b + 1)[:, None] * yb \
-                + 4.0 * al[:, None] ** 2 * pw(Y, b + 2)
-            szc = (c * (c - 1))[:, None] * pw(Z, c - 2) \
+                + 4.0 * al[:, None] ** 2 * pw(pY, b + 2)
+            szc = (c * (c - 1))[:, None] * pw(pZ, c - 2) \
                 - al2 * (2 * c + 1)[:, None] * zc \
-                + 4.0 * al[:, None] ** 2 * pw(Z, c + 2)
+                + 4.0 * al[:, None] ** 2 * pw(pZ, c + 2)
             cxx = sxa * yb * zc * ex
             cyy = xa * syb * zc * ex
             czz = xa * yb * szc * ex
             cxy = dxa * dyb * zc * ex
             cxz = dxa * yb * dzc * ex
             cyz = xa * dyb * dzc * ex
+            phixx = jnp.matmul(Cg, cxx, precision=prec)
+            phiyy = jnp.matmul(Cg, cyy, precision=prec)
+            phizz = jnp.matmul(Cg, czz, precision=prec)
+            phixy = jnp.matmul(Cg, cxy, precision=prec)
+            phixz = jnp.matmul(Cg, cxz, precision=prec)
+            phiyz = jnp.matmul(Cg, cyz, precision=prec)
             h6 = 2.0 * jnp.stack([
-                psum(cxx * t0) + psum(cx * tx),
-                psum(cyy * t0) + psum(cy * ty),
-                psum(czz * t0) + psum(cz * tz),
-                psum(cxy * t0) + psum(cx * ty),
-                psum(cxz * t0) + psum(cx * tz),
-                psum(cyz * t0) + psum(cy * tz),
+                occ @ acc(phi0 * phixx + phix * phix),
+                occ @ acc(phi0 * phiyy + phiy * phiy),
+                occ @ acc(phi0 * phizz + phiz * phiz),
+                occ @ acc(phi0 * phixy + phix * phiy),
+                occ @ acc(phi0 * phixz + phix * phiz),
+                occ @ acc(phi0 * phiyz + phiy * phiz),
             ])
             if has_edf:
                 eal2 = 2.0 * eal[:, None]
@@ -785,12 +858,12 @@ class Wavefunction:
             if not extras:
                 return rho, grad, h6
             s6 = 0.5 * jnp.stack([
-                psum(cxx * t0) - psum(cx * tx),
-                psum(cyy * t0) - psum(cy * ty),
-                psum(czz * t0) - psum(cz * tz),
-                psum(cxy * t0) - psum(cx * ty),
-                psum(cxz * t0) - psum(cx * tz),
-                psum(cyz * t0) - psum(cy * tz),
+                occ @ acc(phi0 * phixx - phix * phix),
+                occ @ acc(phi0 * phiyy - phiy * phiy),
+                occ @ acc(phi0 * phizz - phiz * phiz),
+                occ @ acc(phi0 * phixy - phix * phiy),
+                occ @ acc(phi0 * phixz - phix * phiz),
+                occ @ acc(phi0 * phiyz - phiy * phiz),
             ])
             vir = s6[0] + s6[1] + s6[2]
             return {"rho": rho, "grad": grad, "h6": h6, "gkin": gkin,
@@ -817,7 +890,11 @@ class Wavefunction:
         N = len(pts)
         h = 3.0
         cell = np.floor((pts - pts.min(0)) / h).astype(np.int64)
-        order = np.lexsort((cell[:, 2], cell[:, 1], cell[:, 0]))
+        # Morton order: chunks of consecutive points stay spatially
+        # compact (plain lexicographic cell order makes chunks span
+        # entire x-slabs - measured rc up to 44 bohr on the cps
+        # assembly, inflating every chunk's block table)
+        order = np.argsort(_morton3(cell), kind="stable")
         p = pts[order]
         npadp = (-N) % n_chunk
         if npadp:
@@ -831,8 +908,13 @@ class Wavefunction:
                             axis=2)                        # (nchunk, nb)
         act = dd <= rc[:, None] + scr["bR"][None, :] + margin
         kmax = int(act.sum(axis=1).max())
-        # quantize K (multiples of 8) to bound distinct compile shapes
-        K = max(8, -(-kmax // 8) * 8)
+        # quantize K COARSELY (multiples of 64) to bound distinct
+        # compile shapes: the screened kernel compiles per K, each
+        # compile costs minutes through the remote-compile tunnel, and
+        # the cps AUTO driver re-plans between Newton segments - with
+        # multiples-of-8 quantization one 105k-seed run generated a
+        # dozen distinct K shapes and spent its entire wall in compiles
+        K = max(64, -(-kmax // 64) * 64)
         bidx = np.full((nchunk, K), scr["nb"], dtype=np.int32)
         for i in range(nchunk):
             ai = np.flatnonzero(act[i])
@@ -859,6 +941,13 @@ class Wavefunction:
                                         jax.jit(core))
         return self._scr_jit_cache[key]
 
+    # max scan length per sweep dispatch: a 14M-point mesh at
+    # n_chunk=2048 is a 6852-iteration scan, and one device program
+    # running past the multi-minute mark crashed the TPU worker
+    # (watchdog); groups of 256 chunks keep each dispatch ~10 s while
+    # amortizing the ~27 ms tunnel latency 256x
+    SWEEP_GROUP = 256
+
     def rho_eval_screened(self, xT, nder: int = 2, dtype=None,
                           n_chunk: int = 2048):
         """Screened (f, gf (3, N), h6 (6, N)) sweep; any N, any layout
@@ -867,7 +956,24 @@ class Wavefunction:
         order, xstack, bidx, N = self.screen_plan(pts, n_chunk=n_chunk)
         sweep, _, _ = self._jitted_screened(nder, False, dtype)
         cst = self.screen_consts(dtype)
-        outs = sweep(cst, jnp.asarray(xstack), jnp.asarray(bidx))
+        G = self.SWEEP_GROUP
+        nch = len(xstack)
+        if nch <= G:
+            outs = sweep(cst, jnp.asarray(xstack), jnp.asarray(bidx))
+        else:
+            # fixed-size groups (tail padded by repeating the last
+            # chunk) -> one compiled program per (G, K, n) shape
+            npadg = (-nch) % G
+            if npadg:
+                xstack = np.concatenate(
+                    [xstack, np.repeat(xstack[-1:], npadg, axis=0)])
+                bidx = np.concatenate(
+                    [bidx, np.repeat(bidx[-1:], npadg, axis=0)])
+            parts = [sweep(cst, jnp.asarray(xstack[lo:lo + G]),
+                           jnp.asarray(bidx[lo:lo + G]))
+                     for lo in range(0, len(xstack), G)]
+            outs = tuple(jnp.concatenate([p[i] for p in parts])[:nch]
+                         for i in range(len(parts[0])))
         inv = np.argsort(order)
         res = []
         for o in outs:

@@ -80,12 +80,22 @@ def build_assembly(reps=REPS, gap: float = 4.0):
 
 
 def pair_seeds_cart(system):
-    """The molecular AUTO seed set (reference pair strategy), Cartesian
-    internal frame - identical on both sides."""
+    """The molecular AUTO seed set (reference pair strategy) AFTER the
+    driver's pruning - wrap, molcell-border clip, uniqc-style dedup
+    (the reference prunes identically, src/autocp@proc.f90:594-655) -
+    Cartesian internal frame, identical on both sides.  (The r5 first
+    CPU drain ran the 105672 RAW pair seeds while the TPU driver
+    pruned to 22543: a 4.7x inflated denominator; both sides now get
+    the pruned list.)"""
     from critic2_tpu.analysis.autocp import Seed, gen_seeds
 
-    xf = gen_seeds(system.crystal, [Seed(typ="pair")])
-    return np.asarray(system.crystal.x2c(xf))
+    c = system.crystal
+    xf = np.mod(gen_seeds(c, [Seed(typ="pair")]), 1.0)
+    if c.ismolecule:
+        b = c.molborder
+        xf = xf[np.all((xf >= b) & (xf <= 1.0 - b), axis=1)]
+    xf = np.unique(np.round(xf, 10), axis=0)
+    return np.asarray(c.x2c(xf))
 
 
 def _log(out: dict, *keys):
@@ -214,19 +224,28 @@ def run_tpu(out: dict) -> dict:
     from critic2_tpu.analysis.autocp import autocp
     from critic2_tpu.analysis.molcalc import molcalc_nelec
 
+    tstart = time.perf_counter()
+
+    def stage(msg):
+        print(f"[cps_tpu +{time.perf_counter() - tstart:7.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
     t0 = time.perf_counter()
     s, w = build_assembly()
     out["cps_build_s"] = round(time.perf_counter() - t0, 2)
     out["cps_nat"] = int(len(w.atz))
     out["cps_npri"] = int(w.npri)
+    stage("assembly built")
 
     # --- AUTO (screened batch Newton) --------------------------------
     seeds = pair_seeds_cart(s)
     out["cps_auto_nseeds"] = int(len(seeds))
     cpl = autocp(s, verbose=False)             # warmup/compile
+    stage("auto warm")
     t0 = time.perf_counter()
     cpl = autocp(s, verbose=False)
     out["cps_auto_wall_s"] = round(time.perf_counter() - t0, 2)
+    stage("auto timed")
     n_, b_, r_, c_ = cpl.counts()
     out["cps_auto_counts"] = [n_, b_, r_, c_]
     out["cps_auto_morse"] = n_ - b_ + r_ - c_
@@ -263,10 +282,12 @@ def run_tpu(out: dict) -> dict:
     t0 = time.perf_counter()
     nelec = molcalc_nelec(s, lvl="good")       # warmup: mesh+compile
     out["cps_mesh_build_s"] = round(time.perf_counter() - t0, 2)
+    stage("mesh warm")
     t0 = time.perf_counter()
     nelec = molcalc_nelec(s, lvl="good")
     out["cps_mesh_wall_s"] = round(time.perf_counter() - t0, 2)
     out["cps_nelec_err_e"] = round(abs(nelec - MONO_NELEC * NCOPY), 8)
+    stage("mesh timed")
 
     # --- screened eval throughput (nder=2, the AUTO/trace shape) -----
     rng = np.random.default_rng(5)
