@@ -126,6 +126,7 @@ _PRIORITY_KEYS = [
     # config 5b/5c - cps_large nameplate scale
     "cps_auto_wall_s", "cps_auto_cpu_wall_s",
     "cps_auto_cpu_matched_frac", "cps_auto_morse", "cps_nelec_err_e",
+    "cps_engine_sub_dev_e", "cps_engine_max_drho",
     "cps_mesh_wall_s", "cps_mesh_cpu_wall_implied_s", "cps_nat",
     "cps_npri", "cps_eval2_evals_per_s", "cps_large_error",
     # headline secondary

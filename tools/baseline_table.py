@@ -101,9 +101,12 @@ def build_table(extra: dict) -> list[dict]:
               f"({_get(extra, 'cps_mesh_npts')} pts)",
         _get(extra, "cps_mesh_wall_s"),
         _get(extra, "cps_mesh_cpu_wall_implied_s"),
-        {"nelec_err_e": _get(extra, "cps_nelec_err_e")},
+        {"engine_dev_e": _get(extra, "cps_engine_sub_dev_e"),
+         "nelec_err_e_mesh_level": _get(extra, "cps_nelec_err_e")},
         "CPU denominator = measured sequential screened-GTO rate x "
-        "point count (two subset sizes agree within 10%)")
+        "point count; nelec_err is good-LEVEL quadrature error shared "
+        "with the reference mesh (engine parity is engine_dev: "
+        "screened vs dense MO closure on the same weighted points)")
     return rows
 
 

@@ -251,10 +251,16 @@ def run_tpu(out: dict) -> dict:
     out["cps_auto_morse"] = n_ - b_ + r_ - c_
 
     # parity: direct CP-list match against the sequential native
-    # drain's saved result (same seeds, same field). Restricted to
-    # CPs with rho >= 1e-8: in the inter-copy vdW voids the density
-    # is numerically flat and both engines legitimately find (or
-    # skip) micro-CPs below any chemical meaning.
+    # drain's saved result (same pruned seeds, same field).
+    # Restricted to CPs with rho >= 1e-8: in the inter-copy vdW voids
+    # the density is numerically flat and both engines legitimately
+    # find (or skip) micro-CPs below any chemical meaning.  NUCLEAR
+    # maxima (sig = -3) are matched against the ATOM positions at the
+    # no-cusp offset scale (a Gaussian-basis density maximum sits
+    # ~1e-2 bohr off an H nucleus; the TPU driver seats nuclei at the
+    # exact atom positions via init_cplist, like the reference) -
+    # matching them against non-nuclear CPs at 1e-3 bohr structurally
+    # failed 288 H-nucleus maxima in the r5 first run.
     import os
     if os.path.exists(CPU_CPS_NPZ):
         ref = np.load(CPU_CPS_NPZ)
@@ -264,19 +270,28 @@ def run_tpu(out: dict) -> dict:
             # even when CPU_MEASURED lags the latest CPU run
             out.setdefault("cps_auto_cpu_wall_s", float(ref["wall_s"]))
             cpu_cps = np.asarray(ref["cps"])
+            cpu_sig = np.asarray(ref["sig"])
             rho_cpu = np.asarray(
                 w.rho_eval_screened(jnp.asarray(cpu_cps.T), nder=0)[0])
-            cpu_cps = cpu_cps[rho_cpu >= 1e-8]
+            keep = rho_cpu >= 1e-8
+            cpu_cps, cpu_sig = cpu_cps[keep], cpu_sig[keep]
             tpu_cps = np.array([cp.r for cp in cpl.cps
                                 if not cp.isnuc], dtype=float)
-            if len(tpu_cps) and len(cpu_cps):
-                d = np.linalg.norm(cpu_cps[:, None, :]
+            nonnuc = cpu_sig != -3
+            if len(tpu_cps) and nonnuc.any():
+                d = np.linalg.norm(cpu_cps[nonnuc][:, None, :]
                                    - tpu_cps[None, :, :], axis=2)
                 out["cps_auto_cpu_matched_frac"] = round(float(
                     (d.min(1) < 1e-3).mean()), 4)
                 out["cps_auto_cp_parity_bohr"] = float(
                     np.quantile(d.min(1), 0.99))
-                out["cps_auto_cpu_ncp_sig"] = int(len(cpu_cps))
+                out["cps_auto_cpu_ncp_sig"] = int(nonnuc.sum())
+            if (~nonnuc).any():
+                dn = np.linalg.norm(
+                    cpu_cps[~nonnuc][:, None, :]
+                    - np.asarray(w.atpos)[None, :, :], axis=2)
+                out["cps_auto_nucmax_matched_frac"] = round(float(
+                    (dn.min(1) < 0.05).mean()), 4)
 
     # --- mesh NELEC (one device sweep) -------------------------------
     t0 = time.perf_counter()
@@ -286,8 +301,37 @@ def run_tpu(out: dict) -> dict:
     t0 = time.perf_counter()
     nelec = molcalc_nelec(s, lvl="good")
     out["cps_mesh_wall_s"] = round(time.perf_counter() - t0, 2)
+    # ABSOLUTE error is good-LEVEL quadrature error of the assembly
+    # mesh (measured -0.0208 e at 12 copies with BOTH engines and both
+    # weight precisions agreeing; the reference's genmesh at the same
+    # level shares it).  Engine parity - the 1e-6-class claim - is
+    # cps_engine_* below: the screened kernel vs the dense MO closure
+    # on the same weighted mesh points.
     out["cps_nelec_err_e"] = round(abs(nelec - MONO_NELEC * NCOPY), 8)
     stage("mesh timed")
+
+    # --- engine parity: screened vs dense on a weighted mesh subset --
+    from critic2_tpu.analysis.mesh import becke_mesh
+
+    m = becke_mesh(s.crystal, "good", weights_dtype=np.float32)  # cached
+    rng = np.random.default_rng(11)
+    sub = rng.choice(m.n, size=1 << 18, replace=False)
+    xs_ = m.x[sub]
+    rho_s = np.asarray(w.rho_eval_screened(jnp.asarray(xs_.T), nder=0)[0])
+    dense = w._jitted(0)          # dense MO closure, chunked small
+    blk = 2048
+    rho_d = np.empty(len(xs_))
+    for lo in range(0, len(xs_), blk):
+        ch = xs_[lo:lo + blk]
+        if len(ch) < blk:
+            ch = np.concatenate(
+                [ch, np.broadcast_to(ch[-1:], (blk - len(ch), 3))])
+        rho_d[lo:lo + blk] = np.asarray(
+            dense(jnp.asarray(ch.T))[0])[:len(xs_) - lo][:blk]
+    out["cps_engine_max_drho"] = float(np.abs(rho_s - rho_d).max())
+    out["cps_engine_sub_dev_e"] = float(
+        np.abs(np.asarray(m.w, np.float64)[sub] @ (rho_s - rho_d)))
+    stage("engine parity")
 
     # --- screened eval throughput (nder=2, the AUTO/trace shape) -----
     rng = np.random.default_rng(5)

@@ -90,14 +90,16 @@ CPU_MEASURED = {
     "wfn_mesh_cpu_evals_per_s": 347717.7,
     "wfn_mesh_cpu_implied_s": 7.3,
     # cps_large (768-atom / 12288-primitive assembly, r5 2026-08-21):
-    # full sequential AUTO drain of the 105672 pair seeds
-    # (c2n_wfn_auto_drain, 922044 evals, 2420 CPs) measured in 16
-    # logged chunks on an idle core; mesh rate from 8k/16k/16k-point
-    # subsets (max 2763.4 evals/s, larger two within 5%) x the
-    # 14032128-point good-level mesh
-    "cps_auto_cpu_wall_s": 1464.91,
-    "cps_mesh_cpu_evals_per_s": 2763.4,
-    "cps_mesh_cpu_wall_implied_s": 5078.0,
+    # full sequential AUTO drain of the 22543 PRUNED pair seeds - the
+    # same wrap/clip/unique pruning the TPU driver (and the reference,
+    # src/autocp@proc.f90:594-655) applies; the first drain over the
+    # 105672 RAW seeds measured 1464.9 s, a 4.7x inflated denominator
+    # retired for honesty.  c2n_wfn_auto_drain, 230427 evals, 2420 CPs,
+    # idle core, 16 logged chunks.  Mesh rate from stable 8k/16k
+    # subsets (max 2911.3 evals/s) x the 14032128-point good mesh.
+    "cps_auto_cpu_wall_s": 309.29,
+    "cps_mesh_cpu_evals_per_s": 2911.3,
+    "cps_mesh_cpu_wall_implied_s": 4819.9,
 }
 
 
