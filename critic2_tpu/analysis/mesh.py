@@ -292,7 +292,38 @@ def becke_mesh(crystal, lvl="good", weights_dtype=np.float64) -> Mesh:
             cache = None
     if cache is not None and key in cache:
         return cache[key]
-    m = _becke_mesh_build(crystal, lvl, weights_dtype)
+    m = None
+    disk = None
+    if len(np.asarray(crystal.x_cart)) >= _KNN_NAT_MIN or lvl >= 5:
+        # disk cache for LARGE meshes: the KNN weight build of a
+        # 14M-point 768-atom mesh costs ~10 min of device dispatches
+        # per process, and even the benzene ultra mesh (2.55M points)
+        # costs ~15 s of weight evaluation + point generation; keyed
+        # by a hash of (positions, Z, lvl, dtype)
+        import hashlib
+        import os
+        import tempfile
+
+        hsh = hashlib.sha256()
+        hsh.update(np.round(np.asarray(crystal.x_cart), 9).tobytes())
+        hsh.update(np.asarray(crystal.zatoms).tobytes())
+        hsh.update(f"{lvl}:{np.dtype(weights_dtype).name}".encode())
+        disk = os.path.join(tempfile.gettempdir(),
+                            f"critic2_becke_{hsh.hexdigest()[:16]}.npz")
+        if os.path.exists(disk):
+            try:
+                dat = np.load(disk)
+                m = Mesh(x=dat["x"], w=dat["w"])
+            except Exception:
+                m = None
+    if m is None:
+        m = _becke_mesh_build(crystal, lvl, weights_dtype)
+        if disk is not None:
+            try:
+                np.savez(disk + ".tmp.npz", x=m.x, w=m.w)
+                os.replace(disk + ".tmp.npz", disk)
+            except Exception:
+                pass
     if cache is not None:
         cache[key] = m
     return m

@@ -128,10 +128,10 @@ def newton_batch(eval_fn, x0, gfnormeps: float = 1e-12, maxit: int = 200,
     the large-batch Newton's wall: most seeds converge in ~10-30
     iterations while a handful of oscillating lanes run to maxit, and
     without compaction EVERY lane pays every straggler iteration
-    (measured on the 39312-seed 256^3 heavy AUTO leg: 11.4 s one-shot
-    -> 1.9 s compacted, identical results - the grid-AUTO CP-parity
-    gate stays at 3.2e-12 bohr).  Disabled for small batches where the
-    extra dispatches cost more than the width saves.
+    (measured in-bench on the 39312-seed 256^3 heavy AUTO leg: 11.4 s
+    one-shot -> 3.3 s compacted, identical results - the grid-AUTO
+    CP-parity gate stays at 3.2e-12 bohr).  Disabled for small batches
+    where the extra dispatches cost more than the width saves.
     Returns (x (N, 3) final positions, conv (N,) success mask, nit).
     """
     import numpy as np
