@@ -33,6 +33,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -103,7 +104,12 @@ _MAX_STR = 120          # longest string value allowed inside extra
 # the old 32768 bound guarded the wrong limit).  The FULL unbounded
 # payload goes to BENCH_full_last.json in the repo instead.
 _MAX_LINE = 1800
-_FULL_PATH = "/root/repo/BENCH_full_last.json"
+# Overridable so the --emit-test harness (hostile filler payloads)
+# cannot clobber the committed full record of a real run - round-5
+# post-mortem: a test run overwrote BENCH_full_last.json with 200
+# filler keys and the fixture got committed as if it were the record.
+_FULL_PATH = os.environ.get("BENCH_FULL_PATH",
+                            "/root/repo/BENCH_full_last.json")
 
 # Scalar keys in information-value order: the headline denominators and
 # the five BASELINE-config walls/parities (what the verdict reads) pack
@@ -233,7 +239,11 @@ def main():
         # exercise the emission path under hostile conditions: C-level
         # stdout chatter + oversized strings + non-finite floats inside
         # extra.  tests/test_bench_emit.py asserts the last stdout line
-        # parses and is bounded.
+        # parses and is bounded.  The hostile payload must never reach
+        # the committed record of a real run.
+        global _FULL_PATH
+        if "BENCH_FULL_PATH" not in os.environ:
+            _FULL_PATH = "/tmp/BENCH_full_emit_test.json"
         os.write(1, b"FAKE LIBTPU LOG LINE ON FD1\n")
         print("python-level stdout print")
         _emit(1.0e9, 64, {

@@ -65,15 +65,19 @@ def test_strings_bounded_and_floats_finite(emit_run):
 
 
 def test_full_payload_file_written(emit_run):
-    with open("/root/repo/BENCH_full_last.json") as fh:
+    # --emit-test redirects the full record to /tmp so the hostile
+    # fixture can never clobber the committed record of a real run
+    with open("/tmp/BENCH_full_emit_test.json") as fh:
         full = json.load(fh)
     assert full["extra"]["wall_s"] == 0.123
     assert "big_error" in full["extra"]
 
 
-def test_priority_keys_survive_key_flood(capsys):
+def test_priority_keys_survive_key_flood(capsys, monkeypatch, tmp_path):
     """200 filler keys must not crowd the five-config scalars out of
     the bounded line."""
+    monkeypatch.setattr(bench, "_FULL_PATH",
+                        str(tmp_path / "BENCH_full.json"))
     extra = {f"filler_{i:03d}_{'x' * 40}": float(i) for i in range(200)}
     pri = {"yt256_wall_s": 0.27, "yt256_cpu_seq_wall_s": 16.26,
            "nci256_wall_s": 3.6, "auto256h_wall_s": 9.9,

@@ -107,19 +107,41 @@ CPU_MEASURED = {
 # numbers EVER were budget-starved while stable legs re-measured).
 # Every completed leg persists its scalars here; a later budget-starved
 # run fills still-missing keys from the freshest checkpoint, age
-# labeled, instead of reporting null.  /tmp survives between the
-# builder's warm runs and the driver's end-of-round run on this host.
-_CKPT_PATH = "/tmp/critic2_bench_legs.json"
+# labeled, instead of reporting null.  Two locations: /tmp (fast,
+# survives between warm runs on one host) and a repo-local snapshot
+# (survives container restarts between the builder's session and the
+# driver's end-of-round run - round-5 post-mortem: /tmp was wiped
+# between sessions and a 24h-fresh checkpoint was lost).  Reads merge
+# both, freshest timestamp per key winning.
+_CKPT_PATHS = (
+    "/tmp/critic2_bench_legs.json",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "bench_legs_ckpt.json"),
+)
 _CKPT_MAX_AGE_H = 24.0
 
 
+def _ckpt_load() -> dict:
+    """Merged checkpoint dict, freshest timestamp per key."""
+    d = {}
+    for path in _CKPT_PATHS:
+        try:
+            if not os.path.exists(path):
+                continue
+            with open(path) as fh:
+                cur = json.load(fh)
+            for k, (v, ts) in cur.items():
+                if k not in d or ts > d[k][1]:
+                    d[k] = [v, ts]
+        except Exception:
+            continue
+    return d
+
+
 def ckpt_update(out: dict) -> None:
-    """Merge `out`'s scalar keys into the checkpoint with timestamps."""
+    """Merge `out`'s scalar keys into both checkpoints, timestamped."""
     try:
-        d = {}
-        if os.path.exists(_CKPT_PATH):
-            with open(_CKPT_PATH) as fh:
-                d = json.load(fh)
+        d = _ckpt_load()
         now = time.time()
         for k, v in out.items():
             if k.endswith("_error") or k in ("platform", "truncated",
@@ -128,10 +150,14 @@ def ckpt_update(out: dict) -> None:
                 continue
             if isinstance(v, (int, float, bool, str, list)):
                 d[k] = [v, now]
-        tmp = _CKPT_PATH + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(d, fh)
-        os.replace(tmp, _CKPT_PATH)
+        for path in _CKPT_PATHS:
+            try:
+                tmp = path + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump(d, fh)
+                os.replace(tmp, path)
+            except Exception:
+                continue
     except Exception:
         pass
 
@@ -142,10 +168,7 @@ def ckpt_fill(out: dict) -> None:
     ckpt_age_h) so the artifact is honest about what was re-measured
     this run vs carried from a recent one."""
     try:
-        if not os.path.exists(_CKPT_PATH):
-            return
-        with open(_CKPT_PATH) as fh:
-            d = json.load(fh)
+        d = _ckpt_load()
         now = time.time()
         filled, maxage = 0, 0.0
         for k, (v, ts) in d.items():
