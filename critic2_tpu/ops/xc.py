@@ -24,7 +24,9 @@ XC_IDS = {
     106: "gga_x_b88", 131: "gga_c_lyp", 132: "gga_c_p86",
     109: "gga_x_pw91", 134: "gga_c_pw91", 118: "gga_x_wc",
     108: "gga_x_pw86", 139: "gga_x_optb88_vdw", 141: "gga_x_optpbe_vdw",
+    107: "gga_x_g96", 120: "gga_x_am05", 135: "gga_c_am05",
     202: "mgga_x_tpss", 231: "mgga_c_tpss",
+    263: "mgga_x_scan", 267: "mgga_c_scan",
     # hybrids: the SEMILOCAL energy density (the exact-exchange
     # fraction is SCF metadata - libxc's energy-density output has no
     # HF contribution either, so the reference's xc() forwards exactly
@@ -416,6 +418,127 @@ def gga_x_wc(rho, grad):
     return lda_x(rho) * fx
 
 
+def gga_x_g96(rho, grad):
+    """Gill 96 exchange (libxc GGA_X_G96, id 107; Mol. Phys. 89, 433),
+    closed shell: e_sigma = -rho_s^{4/3} (Cx + x^{3/2}/137),
+    x = |grad rho_s| / rho_s^{4/3}."""
+    rs2 = _safe(rho) / 2.0
+    x = (grad / 2.0) / rs2 ** (4.0 / 3.0)
+    cx = (3.0 / 2.0) * (3.0 / (4.0 * jnp.pi)) ** (1.0 / 3.0)
+    return 2.0 * (-(rs2 ** (4.0 / 3.0)) * (cx + x ** 1.5 / 137.0))
+
+
+def _lambertw0(x):
+    """Lambert W_0 for x >= 0 (the AM05 Airy-gas closed form needs it).
+    log1p seed + 4 Halley steps: <1e-14 relative on [0, 1e12]."""
+    w = jnp.log1p(x)
+    for _ in range(4):
+        ew = jnp.exp(w)
+        f = w * ew - x
+        w = w - f / (ew * (w + 1.0) - (w + 2.0) * f / (2.0 * w + 2.0))
+    return w
+
+
+_AM05_ALPHA, _AM05_C, _AM05_GAMMA = 2.804, 0.7168, 0.8098
+_AM05_D = 28.23705740248932
+
+
+def gga_x_am05(rho, grad):
+    """Armiento-Mattsson 05 exchange (libxc GGA_X_AM05, id 120; PRB 72,
+    085108): LAA interpolation between LDA and the Airy-gas edge
+    functional, F = X + (1-X) flaa, X = 1/(1 + alpha s^2),
+    flaa = (c s^2 + 1)/(c s^2/fb + 1),
+    fb = (pi/3) s / (xi (d + xi^2)^{1/4}),
+    xi = ((3/2) W0(s^{3/2}/(2 sqrt 6)))^{2/3}."""
+    s = jnp.maximum(_s_red(rho, grad), 1e-12)   # xi ~ s: guard the 0/0
+    xi = (1.5 * _lambertw0(s ** 1.5 / (2.0 * jnp.sqrt(6.0)))) ** (2.0 / 3.0)
+    fb = (jnp.pi / 3.0) * s / (xi * (_AM05_D + xi * xi) ** 0.25)
+    s2 = s * s
+    flaa = (_AM05_C * s2 + 1.0) / (_AM05_C * s2 / fb + 1.0)
+    X = 1.0 / (1.0 + _AM05_ALPHA * s2)
+    return lda_x(rho) * (X + (1.0 - X) * flaa)
+
+
+def gga_c_am05(rho, grad):
+    """AM05 correlation (libxc GGA_C_AM05, id 135): PW92 LDA scaled by
+    the same density-index interpolation, X + (1-X) gamma."""
+    s = _s_red(rho, grad)
+    X = 1.0 / (1.0 + _AM05_ALPHA * s * s)
+    rs = (3.0 / (4.0 * jnp.pi * _safe(rho))) ** (1.0 / 3.0)
+    return _safe(rho) * _pw92_eps(rs) * (X + (1.0 - X) * _AM05_GAMMA)
+
+
+def _scan_alpha_interp(alpha, c1, c2, d):
+    """SCAN's alpha interpolation: exp(-c1 a/(1-a)) below a=1,
+    -d exp(c2/(1-a)) above; both branches -> 0 smoothly at a=1."""
+    oma = 1.0 - alpha
+    f_lo = jnp.exp(-c1 * alpha / jnp.where(oma > 0, oma, 1.0))
+    f_hi = -d * jnp.exp(c2 / jnp.where(oma < 0, oma, -1.0))
+    return jnp.where(oma > 0, f_lo, jnp.where(oma < 0, f_hi, 0.0))
+
+
+def _scan_alpha(rho, grad, tau):
+    tau_w = grad * grad / (8.0 * rho)
+    tau_unif = 0.3 * (3.0 * jnp.pi ** 2) ** (2.0 / 3.0) * rho ** (5.0 / 3.0)
+    return (jnp.maximum(tau, _TINY) - tau_w) / jnp.maximum(tau_unif, _TINY)
+
+
+def mgga_x_scan(rho, grad, lap, tau):
+    """SCAN exchange (PRL 115, 036402 (2015)), closed shell.  lap is
+    accepted for the mgga calling convention but unused (SCAN is
+    tau-only, like libxc MGGA_X_SCAN, id 263)."""
+    rho = _safe(rho)
+    k1, a1 = 0.065, 4.9479
+    c1x, c2x, dx, h0x = 0.667, 0.8, 1.24, 1.174
+    mu_ak = 10.0 / 81.0
+    b2 = jnp.sqrt(5913.0 / 405000.0)
+    b1 = 511.0 / 13500.0 / (2.0 * b2)
+    b3 = 0.5
+    b4 = mu_ak ** 2 / k1 - 1606.0 / 18225.0 - b1 ** 2
+    s = _s_red(rho, grad)
+    p = s * s
+    alpha = _scan_alpha(rho, grad, tau)
+    oma = 1.0 - alpha
+    fx = _scan_alpha_interp(alpha, c1x, c2x, dx)
+    x = (mu_ak * p * (1.0 + (b4 * p / mu_ak)
+                      * jnp.exp(-jnp.abs(b4) * p / mu_ak))
+         + (b1 * p + b2 * oma * jnp.exp(-b3 * oma * oma)) ** 2)
+    h1x = 1.0 + k1 - k1 / (1.0 + x / k1)
+    gx = 1.0 - jnp.exp(-a1 / jnp.sqrt(jnp.maximum(s, 1e-20)))
+    return lda_x(rho) * (h1x + fx * (h0x - h1x)) * gx
+
+
+def mgga_c_scan(rho, grad, lap, tau):
+    """SCAN correlation (PRL 115, 036402 supplemental), closed shell
+    (zeta = 0, phi = 1; libxc MGGA_C_SCAN, id 267): eps = eps1 +
+    fc(alpha) (eps0 - eps1) with the single-orbital (eps0) and slowly
+    varying (eps1 = PW92 + H1) limits."""
+    rho = _safe(rho)
+    b1c, b2c, b3c = 0.0285764, 0.0889, 0.125541
+    c1c, c2c, dc = 0.64, 1.5, 0.7
+    chi_inf, gamma = 0.128026, 0.031091
+    rs = (3.0 / (4.0 * jnp.pi * rho)) ** (1.0 / 3.0)
+    s = _s_red(rho, grad)
+    alpha = _scan_alpha(rho, grad, tau)
+    # alpha = 0 limit
+    eps_lda0 = -b1c / (1.0 + b2c * jnp.sqrt(rs) + b3c * rs)
+    w0 = jnp.expm1(-eps_lda0 / b1c)
+    ginf = (1.0 + 4.0 * chi_inf * s * s) ** -0.25
+    eps0 = eps_lda0 + b1c * jnp.log1p(w0 * (1.0 - ginf))
+    # slowly-varying limit: PW92 + gradient correction H1
+    eps_lsda = _pw92_eps(rs)
+    kf = (3.0 * jnp.pi ** 2 * rho) ** (1.0 / 3.0)
+    ks = jnp.sqrt(4.0 * kf / jnp.pi)
+    t = grad / (2.0 * ks * rho)
+    w1 = jnp.maximum(jnp.expm1(-eps_lsda / gamma), _TINY)
+    beta_rs = 0.066725 * (1.0 + 0.1 * rs) / (1.0 + 0.1778 * rs)
+    A = beta_rs / (gamma * w1)
+    g_at2 = (1.0 + 4.0 * A * t * t) ** -0.25
+    eps1 = eps_lsda + gamma * jnp.log1p(w1 * (1.0 - g_at2))
+    fc = _scan_alpha_interp(alpha, c1c, c2c, dc)
+    return rho * (eps1 + fc * (eps0 - eps1))
+
+
 _FUNCS = {
     "lda_x": (lda_x, 1), "lda_c_vwn": (lda_c_vwn, 1),
     "lda_c_vwn_rpa": (lda_c_vwn_rpa, 1), "lda_c_pz": (lda_c_pz, 1),
@@ -434,7 +557,10 @@ _FUNCS = {
     "hyb_gga_xc_b3lyp5": (hyb_gga_xc_b3lyp5, 2),
     "hyb_gga_xc_b3pw91": (hyb_gga_xc_b3pw91, 2),
     "hyb_gga_xc_pbeh": (hyb_gga_xc_pbeh, 2),
+    "gga_x_g96": (gga_x_g96, 2),
+    "gga_x_am05": (gga_x_am05, 2), "gga_c_am05": (gga_c_am05, 2),
     "mgga_x_tpss": (mgga_x_tpss, 4), "mgga_c_tpss": (mgga_c_tpss, 4),
+    "mgga_x_scan": (mgga_x_scan, 4), "mgga_c_scan": (mgga_c_scan, 4),
 }
 
 

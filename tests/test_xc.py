@@ -232,3 +232,74 @@ def test_round5_gga_and_hybrid_ids():
 
     # B3LYP/B3LYP5 differ exactly by the VWN flavor choice
     assert np.max(np.abs(b3lyp - b3lyp5)) > 1e-8
+
+
+def test_round5_tranche6_ids():
+    """Tranche-6 breadth ids: G96 x (107), AM05 x/c (120/135),
+    SCAN x/c (263/267) - exact-limit and structural checks."""
+    import numpy as np
+
+    from critic2_tpu.ops.xc import _lambertw0, xc_eval
+
+    rho = np.array([1e-3, 0.05, 0.3, 1.0, 5.0])
+    grad = np.array([1e-5, 0.02, 0.2, 1.0, 8.0])
+    zero = np.zeros_like(rho)
+
+    # Lambert W kernel: w e^w == x to f64 on the AM05-relevant range
+    xs = np.array([1e-10, 1e-3, 0.1, 1.0, 10.0, 1e4, 1e8])
+    w = np.asarray(_lambertw0(xs))
+    np.testing.assert_allclose(w * np.exp(w), xs, rtol=1e-12)
+
+    e_lda = np.asarray(xc_eval(1, rho))
+    # s -> 0 limits: G96 and AM05 exchange reduce to LDA exchange
+    np.testing.assert_allclose(np.asarray(xc_eval(107, rho, zero)),
+                               e_lda, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(xc_eval(120, rho, zero)),
+                               e_lda, rtol=1e-3)  # Airy fb(0) = 0.999
+    # AM05 correlation at s = 0 is exactly PW92
+    c_pw92 = np.asarray(xc_eval(12, rho))
+    np.testing.assert_allclose(np.asarray(xc_eval(135, rho, zero)),
+                               c_pw92, rtol=1e-12)
+    # and at large s it approaches gamma * PW92 from above
+    gbig = 50.0 * rho ** (4 / 3) * 2 * (3 * np.pi ** 2) ** (1 / 3)
+    c_big = np.asarray(xc_eval(135, rho, gbig))
+    np.testing.assert_allclose(c_big, 0.8098 * c_pw92, rtol=1e-2)
+
+    # exchange with gradients is MORE negative than LDA (G96, AM05)
+    for fid in (107, 120):
+        e_g = np.asarray(xc_eval(fid, rho, grad))
+        assert (e_g <= e_lda + 1e-14).all()
+
+    # SCAN uniform-gas limit: grad = 0, tau = tau_unif (alpha = 1)
+    # recovers LDA exchange and PW92 correlation EXACTLY.  xc_eval
+    # doubles its tau argument (the reference feeds 0.5*gkin), so pass
+    # tau_unif/2.
+    tau_unif = 0.3 * (3 * np.pi ** 2) ** (2 / 3) * rho ** (5 / 3)
+    np.testing.assert_allclose(
+        np.asarray(xc_eval(263, rho, zero, zero, tau_unif / 2)),
+        e_lda, rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(xc_eval(267, rho, zero, zero, tau_unif / 2)),
+        c_pw92, rtol=1e-12, atol=1e-16)
+
+    # single-orbital (alpha = 0: tau = tau_W) SCAN correlation matches
+    # the published eps_c0 closed form at s = 0: -b1c/(1+b2c*srs+b3c*rs)
+    tau_w = grad * grad / (8 * rho)
+    c0 = np.asarray(xc_eval(267, rho, zero, zero, zero))
+    rs = (3 / (4 * np.pi * rho)) ** (1 / 3)
+    eps0 = -0.0285764 / (1 + 0.0889 * np.sqrt(rs) + 0.125541 * rs)
+    np.testing.assert_allclose(c0, rho * eps0, rtol=1e-12)
+
+    # SCAN exchange enhancement stays within its exact bounds:
+    # 0 < Fx <= 1.174 for any (s, alpha) - scan a grid
+    svals = np.array([0.01, 0.3, 1.0, 3.0, 10.0])
+    r0 = np.ones_like(svals)
+    g0 = svals * r0 ** (4 / 3) * 2 * (3 * np.pi ** 2) ** (1 / 3)
+    tu = 0.3 * (3 * np.pi ** 2) ** (2 / 3) * r0 ** (5 / 3)
+    for amult in (0.0, 0.5, 1.0, 2.0, 10.0):
+        tw = g0 * g0 / (8 * r0)
+        tau = tw + amult * tu
+        e_scan = np.asarray(xc_eval(263, r0, g0, 0 * r0, tau / 2))
+        fx = e_scan / np.asarray(xc_eval(1, r0))
+        assert (fx > 0).all() and (fx <= 1.174 + 1e-12).all(), \
+            (amult, fx)
