@@ -223,7 +223,12 @@ def main():
         extra = dict(_partial["extra"])
         extra["truncated"] = "hard budget deadline hit mid-leg"
         try:
-            from tools.parity_bench import CPU_MEASURED, ckpt_fill
+            from tools.parity_bench import (CPU_MEASURED, ckpt_fill,
+                                            ckpt_update)
+            # checkpoint everything measured BEFORE the cut: run_parity
+            # only checkpoints at its own end, so an alarm mid-leg would
+            # otherwise lose every completed parity leg of this run
+            ckpt_update(extra)
             for k, v in CPU_MEASURED.items():
                 extra.setdefault(k, v)
             ckpt_fill(extra)
@@ -363,7 +368,9 @@ def main():
     # NOT embedded (round-4 post-mortem: it pushed the line past the
     # driver's ~2000-char tail capture and the artifact parsed to null)
     try:
-        from tools.parity_bench import CPU_MEASURED, ckpt_fill
+        from tools.parity_bench import (CPU_MEASURED, ckpt_fill,
+                                        ckpt_update)
+        ckpt_update(extra)      # persist THIS run's legs for later runs
         for k, v in CPU_MEASURED.items():
             extra.setdefault(k, v)
         # fill legs this run could not reach from the freshest prior
